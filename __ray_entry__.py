@@ -1,44 +1,88 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship image pipeline on a deterministic fixture
+table (the BASELINE.json input_hint shape); ``queries()`` exposes the
+implemented operators from SURVEY.md §2 over the sf parquet tables;
+``oracle_sql()`` gives DuckDB twins for the SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gdal_drivers_ray import fixtures  # noqa: E402
+from gdal_drivers_ray.pipelines import flagship as _flagship  # noqa: E402
+from gdal_drivers_ray.pipelines import queries as _q  # noqa: E402
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synth input_hint table (sf0.001 scale) -> decode
+    actor stage -> tile/cell assignment -> per-row invariant columns."""
+    sf_dir = "/root/testdata/sf0.001"
+    path = fixtures.images_path_for(sf_dir)
+    import pyarrow.parquet as pq
+    n = pq.read_metadata(path).num_rows
+    lod = fixtures.lod_for_count(n)
+    return _flagship.flagship(path, lod)
+
+
+def _images_flagship(sf_dir: str) -> Any:
+    path = fixtures.images_path_for(sf_dir)
+    import pyarrow.parquet as pq
+    lod = fixtures.lod_for_count(pq.read_metadata(path).num_rows)
+    return _flagship.flagship(path, lod)
+
+
+def _images_lod_rollup(sf_dir: str) -> Any:
+    path = fixtures.images_path_for(sf_dir)
+    import pyarrow.parquet as pq
+    lod = fixtures.lod_for_count(pq.read_metadata(path).num_rows)
+    return _flagship.lod_rollup(_flagship.tile_index(path, lod))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # grid / tiling / joins (SQL-checked)
+        "tile_assign": _q.q_tile_assign,
+        "lod_rollup": _q.q_lod_rollup,
+        "zigzag": _q.q_zigzag,
+        "tms_join": _q.q_tms_join,
+        "weighted_blend": _q.q_weighted_blend,
+        "solid_agg": _q.q_solid_agg,
+        "pip_rect": _q.q_pip_rect,
+        # training-data ops (SQL-checked)
+        "dedup_exact": _q.q_dedup_exact,
+        "token_count": _q.q_token_count,
+        "quality": _q.q_quality,
+        "events_window": _q.q_events_window,
+        "knn_brute": _q.q_knn_brute,
+        # image pipelines over the deterministic input_hint fixture
+        # (binary decode is not SQL-expressible -> rows-only checks)
+        "images_flagship": _images_flagship,
+        "images_lod_rollup": _images_lod_rollup,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tile_assign": _q.SQL_TILE_ASSIGN,
+        "lod_rollup": _q.SQL_LOD_ROLLUP,
+        "zigzag": _q.SQL_ZIGZAG,
+        "tms_join": _q.SQL_TMS_JOIN,
+        "weighted_blend": _q.SQL_WEIGHTED_BLEND,
+        "solid_agg": _q.SQL_SOLID_AGG,
+        "pip_rect": _q.SQL_PIP_RECT,
+        "dedup_exact": _q.SQL_DEDUP_EXACT,
+        "token_count": _q.SQL_TOKEN_COUNT,
+        "quality": _q.SQL_QUALITY,
+        "events_window": _q.SQL_EVENTS_WINDOW,
+        "knn_brute": _q.SQL_KNN_BRUTE,
+    }

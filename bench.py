@@ -1,0 +1,117 @@
+"""Benchmark entry point. Prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "tiles_per_sec": ...}
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+
+`--scaling` runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox stand-in for N vs 4N
+nodes; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# bench fixture: 16k tiles at sf0.1 (~1.1 GB decoded pixels)
+BENCH_IMAGES = {"sf0.001": 1000, "sf0.01": 4000}.get(
+    os.path.basename(os.path.normpath(SF_DIR)), 16000)
+
+
+def run_headline() -> tuple[float, int]:
+    """Flagship: decode 256x256 tiles on an actor pool, assign cells, check
+    per-row invariants, roll up one LOD, and reduce. Returns (sec, tiles)."""
+    from gdal_drivers_ray import fixtures
+    from gdal_drivers_ray.pipelines import flagship as fp
+
+    path = fixtures.images_path_for(SF_DIR, BENCH_IMAGES)
+    lod = fixtures.lod_for_count(BENCH_IMAGES)
+
+    # warm page cache so we measure compute + shuffle, not first disk read
+    with open(path, "rb") as f:
+        while f.read(1 << 24):
+            pass
+
+    t0 = time.perf_counter()
+    tiles = fp.flagship(path, lod, batch_size=256)
+    rollup = fp.lod_rollup(tiles)
+    n = rollup.count()
+    assert n > 0
+    return time.perf_counter() - t0, BENCH_IMAGES
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as e
+
+    out = {}
+    for name, fn in e.queries().items():
+        if name.startswith("images_"):
+            continue  # covered by the headline
+        t0 = time.perf_counter()
+        res = fn(SF_DIR)
+        import ray.data
+        if isinstance(res, ray.data.Dataset):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_HEADLINE_ONLY="1")
+            out = subprocess.run([sys.executable, __file__], env=env,
+                                 capture_output=True, text=True, check=True).stdout
+            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        t8, t32 = results[8]["value"], results[32]["value"]
+        eff = (t8 / t32) / (32 / 8)
+        print(json.dumps({
+            "sec_8": t8, "sec_32": t32,
+            "tiles_per_sec_8": results[8]["tiles_per_sec"],
+            "tiles_per_sec_32": results[32]["tiles_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "sf": SF_DIR, "tiles": BENCH_IMAGES,
+        }))
+        return
+
+    import ray
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    headline_sec, tiles = run_headline()
+    queries = ({} if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
+               else run_queries())
+    ray.shutdown()
+
+    print(json.dumps({
+        "metric": "flagship tile decode+assign+invariants+lod-rollup wall time",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "tiles": tiles,
+        "tiles_per_sec": round(tiles / headline_sec, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

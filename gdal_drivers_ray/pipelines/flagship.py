@@ -1,0 +1,99 @@
+"""Flagship pipeline: image+caption table -> decoded tile index.
+
+The end-to-end slice of SURVEY.md §7.3: read the input_hint table, decode
+tile bytes on an actor pool over zero-copy Arrow batches, assign each tile
+to its hierarchical grid cell, verify the per-row invariants (caption tile
+address, phash of decoded pixels), and roll counts up one LOD
+(groupby(parent) — the shuffle is over narrow feature rows only; pixels
+never shuffle).
+
+Reference counterparts: block decode solid.cpp:443-448 / blender.cpp:559-655,
+LOD rollup solid.cpp:352-369, cell keying detail/mbtiles.cpp:128-225.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..grid import cell_parent
+from ..stages.decode import DecodeImages
+
+
+def tile_index(images_path: str, lod: int, *, concurrency=None,
+               batch_size: int = 512, keep_pixels: bool = False) -> ray.data.Dataset:
+    """images parquet -> per-tile feature Dataset (narrow unless keep_pixels)."""
+    ds = ray.data.read_parquet(images_path)
+    return ds.map_batches(
+        DecodeImages(lod=lod, keep_pixels=keep_pixels),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def check_invariants(tiles: ray.data.Dataset) -> ray.data.Dataset:
+    """Append boolean invariant columns (BASELINE.json per-row gates):
+    `caption_ok` — caption names the tile's own (z/x/y) address;
+    `phash_ok`   — recomputed phash equals the stored one exactly for
+    lossless rows, within Hamming<=4 for the lossy stand-in."""
+
+    def _check(batch: pa.Table) -> pa.Table:
+        z = batch["lod"].to_numpy()
+        tx = batch["tile_x"].to_numpy()
+        ty = batch["tile_y"].to_numpy()
+        caps = batch["caption"].to_pylist()
+        cap_ok = np.fromiter(
+            (c.startswith(f"tile {zz}/{xx}/{yy} ")
+             for c, zz, xx, yy in zip(caps, z, tx, ty)),
+            dtype=bool, count=len(caps))
+        from ..codecs import hamming64
+        dist = hamming64(batch["phash"].to_numpy(), batch["stored_phash"].to_numpy())
+        lossy = pc.equal(batch["fmt"], "jpeg").to_numpy(zero_copy_only=False)
+        ph_ok = np.where(lossy, dist <= 4, dist == 0)
+        return (batch.append_column("caption_ok", pa.array(cap_ok))
+                     .append_column("phash_ok", pa.array(ph_ok)))
+
+    return tiles.map_batches(_check, batch_format="pyarrow")
+
+
+def lod_rollup(tiles: ray.data.Dataset) -> ray.data.Dataset:
+    """Counts + mean brightness per parent cell (one LOD up). Pre-aggregates
+    per batch before the groupby so the shuffle moves one row per parent
+    cell per batch, not one per tile."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parent = cell_parent(batch["cell"].to_numpy())
+        order = np.argsort(parent, kind="stable")
+        parent = parent[order]
+        mean_px = batch["mean_px"].to_numpy()[order]
+        keys, starts = np.unique(parent, return_index=True)
+        sums = np.add.reduceat(mean_px, starts)
+        cnts = np.diff(np.append(starts, len(parent)))
+        return pa.table({"parent_cell": pa.array(keys),
+                         "px_sum": pa.array(sums),
+                         "n_tiles": pa.array(cnts.astype(np.int64))})
+
+    partials = tiles.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+    agg = partials.groupby("parent_cell").aggregate(
+        Sum("px_sum", alias_name="px_sum"),
+        Sum("n_tiles", alias_name="n_tiles"),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mean = pc.divide(batch["px_sum"], pc.cast(batch["n_tiles"], pa.float64()))
+        return (batch.append_column("mean_px", mean)
+                     .drop_columns(["px_sum"]))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def flagship(images_path: str, lod: int, *, concurrency=None,
+             batch_size: int = 512) -> ray.data.Dataset:
+    """decode -> invariants -> narrow tile index (the driver smoke surface)."""
+    tiles = tile_index(images_path, lod, concurrency=concurrency,
+                       batch_size=batch_size)
+    return check_invariants(tiles)

@@ -1,0 +1,539 @@
+"""Driver-checkable query pipelines over the testdata tables.
+
+Each function here is one `queries()` entry in `__ray_entry__.py`; most have
+an exact ANSI-SQL twin in `oracle_sql()` that DuckDB runs on the same
+parquet. Conventions for bit-exact parity with the SQL oracle:
+
+- grouped sums are computed over INTEGERS (cents / basis points) so the sum
+  is order-independent; a final single division (if any) is the only float op;
+- min/max/count are order-independent by construction;
+- column names match the SQL aliases exactly.
+
+The reference operator each query exercises is cited per function
+(file:line under /root/reference/gdal-drivers).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..grid import Extents, tile_of_points
+
+WORLD = Extents(0.0, 0.0, 1024.0, 1024.0)
+PACK_Z = 1 << 58
+PACK_Y = 1 << 29
+
+
+def _read(sf_dir: str, table: str, columns: list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# tile assignment + LOD rollup (grid math of blender.cpp:449-463,
+# solid.cpp:352-369; cell key of detail/mbtiles.cpp:128-225)
+# ---------------------------------------------------------------------------
+
+def _assign_tiles_batch(batch: pa.Table) -> pa.Table:
+    """lineitem rows -> synthetic points -> (lod, tile_x, tile_y) partial
+    counts. Pre-aggregated per batch so the groupby shuffles one row per
+    distinct tile per batch."""
+    pk = batch["l_partkey"].to_numpy()
+    sk = batch["l_suppkey"].to_numpy()
+    ln = batch["l_linenumber"].to_numpy().astype(np.int64)
+    x = (pk % 1024).astype(np.float64)
+    y = ((sk * 7) % 1024).astype(np.float64)
+    z = 1 + (ln % 4)
+    tx, ty = tile_of_points(x, y, WORLD, z)
+    key = z * PACK_Z + ty * PACK_Y + tx  # packed cell key
+    keys, counts = np.unique(key, return_counts=True)
+    return pa.table({"cell_packed": pa.array(keys),
+                     "n": pa.array(counts.astype(np.int64))})
+
+
+def q_tile_assign(sf_dir: str) -> ray.data.Dataset:
+    """Point->tile assignment over the synthetic 1024-unit world, counts per
+    cell. The y axis flips (north-up grid, solid.cpp:334-347)."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_linenumber"])
+    partials = li.map_batches(_assign_tiles_batch, batch_format="pyarrow")
+    agg = partials.groupby("cell_packed").aggregate(Sum("n", alias_name="n"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        key = b["cell_packed"].to_numpy()
+        return pa.table({
+            "cell_packed": b["cell_packed"],
+            "lod": pa.array(key // PACK_Z),
+            "tile_x": pa.array(key % PACK_Y),
+            "tile_y": pa.array((key % PACK_Z) // PACK_Y),
+            "n": b["n"],
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_TILE_ASSIGN = """
+WITH pts AS (
+  SELECT (l_partkey % 1024) AS x,
+         ((l_suppkey * 7) % 1024) AS y,
+         (1 + (l_linenumber % 4)) AS z
+  FROM lineitem
+), t AS (
+  SELECT CAST(z AS BIGINT) AS z,
+         GREATEST(0, LEAST(CAST(floor(x * (1 << z) / 1024.0) AS BIGINT), (1 << z) - 1)) AS tile_x,
+         GREATEST(0, LEAST(CAST(floor((1024.0 - y) * (1 << z) / 1024.0) AS BIGINT), (1 << z) - 1)) AS tile_y
+  FROM pts
+)
+SELECT z * 288230376151711744 + tile_y * 536870912 + tile_x AS cell_packed,
+       z AS lod, tile_x, tile_y, CAST(count(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_lod_rollup(sf_dir: str) -> ray.data.Dataset:
+    """One-level LOD rollup of q_tile_assign: counts per parent tile
+    (groupby(parent) — solid.cpp:352-369 halving, mask.cpp:199-211)."""
+    tiles = q_tile_assign(sf_dir)
+
+    def to_parent(b: pa.Table) -> pa.Table:
+        z = b["lod"].to_numpy()
+        px = b["tile_x"].to_numpy() // 2
+        py = b["tile_y"].to_numpy() // 2
+        key = (z - 1) * PACK_Z + py * PACK_Y + px
+        return pa.table({"parent_packed": pa.array(key), "n": b["n"]})
+
+    parents = tiles.map_batches(to_parent, batch_format="pyarrow")
+    agg = parents.groupby("parent_packed").aggregate(Sum("n", alias_name="n_tiles"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        key = b["parent_packed"].to_numpy()
+        return pa.table({
+            "parent_packed": b["parent_packed"],
+            "plod": pa.array(key // PACK_Z),
+            "px": pa.array(key % PACK_Y),
+            "py": pa.array((key % PACK_Z) // PACK_Y),
+            "n_tiles": b["n_tiles"],
+        })
+
+    return agg.map_batches(unpack, batch_format="pyarrow")
+
+
+SQL_LOD_ROLLUP = f"""
+WITH t AS ({SQL_TILE_ASSIGN})
+SELECT (lod - 1) * 288230376151711744 + (tile_y // 2) * 536870912 + (tile_x // 2) AS parent_packed,
+       lod - 1 AS plod, tile_x // 2 AS px, tile_y // 2 AS py,
+       CAST(sum(n) AS BIGINT) AS n_tiles
+FROM t GROUP BY 1, 2, 3, 4
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar codecs (zigzag mvt.cpp:241-244; TMS flip detail/mbtiles.cpp:146-155)
+# ---------------------------------------------------------------------------
+
+def q_zigzag(sf_dir: str) -> ray.data.Dataset:
+    """Per-row zigzag encode/decode round-trip on signed deltas."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+
+    def f(b: pa.Table) -> pa.Table:
+        k = b["l_orderkey"].to_numpy() - 3000
+        zz = (k << 1) ^ (k >> 63)          # int64 zigzag
+        back = (zz >> 1) ^ -(zz & 1)
+        return pa.table({
+            "l_orderkey": b["l_orderkey"],
+            "l_linenumber": b["l_linenumber"],
+            "k": pa.array(k),
+            "zz": pa.array(zz),
+            "back": pa.array(back),
+        })
+
+    return li.map_batches(f, batch_format="pyarrow")
+
+
+SQL_ZIGZAG = """
+SELECT l_orderkey, l_linenumber,
+       (l_orderkey - 3000) AS k,
+       xor((l_orderkey - 3000) * 2, CASE WHEN l_orderkey - 3000 < 0 THEN -1 ELSE 0 END) AS zz,
+       (l_orderkey - 3000) AS back
+FROM lineitem
+"""
+
+
+def q_tms_join(sf_dir: str) -> ray.data.Dataset:
+    """Keyed tile lookup with the TMS row flip on the request side
+    (detail/mbtiles.cpp:146-197: flip then exact-key SELECT). The store side
+    (from orders) is the small side and is broadcast once via ray.put —
+    requests stream and merge per batch, no shuffle; when both sides are
+    large use stages.joins.shuffle_join instead (tested separately)."""
+    import pyarrow.parquet as pq
+
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    z = 3 + (ot["o_orderkey"].to_numpy() % 3)
+    side = np.int64(1) << z
+    col = ot["o_custkey"].to_numpy() % side
+    row_tms = np.floor(ot["o_totalprice"].to_numpy()).astype(np.int64) % side
+    import pandas as pd
+    store_df = pd.DataFrame({"skey": z * PACK_Z + row_tms * PACK_Y + col,
+                             "payload": ot["o_orderkey"].to_numpy()})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def requests(b: pa.Table) -> pa.Table:
+        z = 3 + (b["l_orderkey"].to_numpy() % 3)
+        side = np.int64(1) << z
+        col = b["l_partkey"].to_numpy() % side
+        row_td = b["l_suppkey"].to_numpy() % side
+        row_tms = (side - 1) - row_td          # the flip
+        key = z * PACK_Z + row_tms * PACK_Y + col
+        return pa.table({"rkey": pa.array(key),
+                         "req_order": pa.array(b["l_orderkey"].to_numpy())})
+
+    from ..stages.joins import broadcast_join
+    r = li.map_batches(requests, batch_format="pyarrow")
+    joined = broadcast_join(r, store_df, left_on="rkey", right_on="skey")
+    agg = joined.groupby("rkey").aggregate(
+        Count(alias_name="n_hits"),
+        Min("payload", alias_name="min_payload"),
+        Max("req_order", alias_name="max_req"),
+    )
+    return agg.rename_columns({"rkey": "key"})
+
+
+SQL_TMS_JOIN = """
+WITH store AS (
+  SELECT (3 + (o_orderkey % 3)) * 288230376151711744
+         + (CAST(floor(o_totalprice) AS BIGINT) % (1 << (3 + (o_orderkey % 3)))) * 536870912
+         + (o_custkey % (1 << (3 + (o_orderkey % 3)))) AS skey,
+         o_orderkey AS payload
+  FROM orders
+), req AS (
+  SELECT (3 + (l_orderkey % 3)) * 288230376151711744
+         + (((1 << (3 + (l_orderkey % 3))) - 1) - (l_suppkey % (1 << (3 + (l_orderkey % 3))))) * 536870912
+         + (l_partkey % (1 << (3 + (l_orderkey % 3)))) AS rkey,
+         l_orderkey AS req_order
+  FROM lineitem
+)
+SELECT rkey AS key, count(*) AS n_hits, min(payload) AS min_payload,
+       max(req_order) AS max_req
+FROM req JOIN store ON rkey = skey
+GROUP BY rkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# aggregation semantics (weighted blend A1, blender.cpp:626-646)
+# ---------------------------------------------------------------------------
+
+def q_weighted_blend(sf_dir: str) -> ray.data.Dataset:
+    """Weighted-mean with zero-weight guard, the scalar shape of the blend
+    accumulator (acc = sum(v*w), wacc = sum(w), out = acc/max(wacc,1);
+    blender.cpp:626-646). Integer cents/basis-points keep sums exact."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_extendedprice", "l_discount"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        bp = np.round(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        flags = b["l_returnflag"]
+        t = pa.table({"l_returnflag": flags,
+                      "wv": pa.array(cents * bp),
+                      "w": pa.array(bp)})
+        return t
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    agg = p.groupby("l_returnflag").aggregate(
+        Sum("wv", alias_name="wsum"),
+        Sum("w", alias_name="wtot"),
+        Count(alias_name="n"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        wtot = b["wtot"].to_numpy()
+        wsum = b["wsum"].to_numpy()
+        blended = wsum / np.where(wtot == 0, 1, wtot).astype(np.float64)
+        return b.append_column("blended", pa.array(blended))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_WEIGHTED_BLEND = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS wsum,
+       CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS wtot,
+       count(*) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+       / CAST(CASE WHEN sum(CAST(round(l_discount * 100) AS BIGINT)) = 0
+              THEN 1 ELSE sum(CAST(round(l_discount * 100) AS BIGINT)) END AS DOUBLE)
+       AS blended
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_solid_agg(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-shaped flagship aggregate (count + exact integer sums) —
+    the 'constant generator smoke' analog of solid.cpp:443-448 applied to a
+    real table: per group, all-rows reduction with fixed dtype."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty": pa.array(b["l_quantity"].to_numpy().astype(np.int64)),
+            "cents": pa.array(np.round(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)),
+        })
+
+    p = li.map_batches(partial, batch_format="pyarrow")
+    return p.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("qty", alias_name="sum_qty"),
+        Sum("cents", alias_name="sum_cents"),
+        Count(alias_name="n"),
+    )
+
+
+SQL_SOLID_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup + text analysis over documents (engine-side training-data ops)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact dedup: group by a content key, keep first (min doc_id) —
+    hash-partition + first-per-group (SURVEY.md §2.6 engine addition)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def key(b: pa.Table) -> pa.Table:
+        return pa.table({"content_key": pc.utf8_slice_codeunits(b["text"], 0, 40),
+                         "doc_id": b["doc_id"]})
+
+    k = docs.map_batches(key, batch_format="pyarrow")
+    return k.groupby("content_key").aggregate(
+        Min("doc_id", alias_name="keeper_id"),
+        Count(alias_name="n_copies"),
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT substr(text, 1, 40) AS content_key,
+       min(doc_id) AS keeper_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_count(sf_dir: str) -> ray.data.Dataset:
+    """Whitespace token counting (text-analysis op)."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import re
+        pat = re.compile(r"\S+")
+        toks = [len(pat.findall(t)) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_tokens": pa.array(np.asarray(toks, dtype=np.int64))})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+
+def q_quality(sf_dir: str) -> ray.data.Dataset:
+    """Quality scoring: length, punctuation count, uppercase ratio."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import re
+        up = re.compile(r"[A-Z]")
+        pun = re.compile(r"[.,!?;:]")
+        texts = b["text"].to_pylist()
+        n_chars = np.array([len(t) for t in texts], dtype=np.int64)
+        n_upper = np.array([len(up.findall(t)) for t in texts], dtype=np.int64)
+        n_punct = np.array([len(pun.findall(t)) for t in texts], dtype=np.int64)
+        score = n_upper / np.maximum(n_chars, 1).astype(np.float64)
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_chars_calc": pa.array(n_chars),
+                         "n_punct": pa.array(n_punct),
+                         "n_upper": pa.array(n_upper),
+                         "upper_ratio": pa.array(score)})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_calc,
+       CAST(length(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS n_punct,
+       CAST(length(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+       CAST(length(regexp_extract_all(text, '[A-Z]')) AS DOUBLE)
+       / CAST(GREATEST(length(text), 1) AS DOUBLE) AS upper_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# events: tumbling-window aggregate (streaming-shaped; SURVEY.md §2.8)
+# ---------------------------------------------------------------------------
+
+def q_events_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour windows per event_type: count + order-independent
+    min/max. Window id from integer microsecond arithmetic (exact)."""
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def f(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        win = us // (3600 * 1_000_000)
+        return pa.table({"event_type": b["event_type"],
+                         "window_id": pa.array(win),
+                         "value": b["value"]})
+
+    w = ev.map_batches(f, batch_format="pyarrow")
+    return w.groupby(["event_type", "window_id"]).aggregate(
+        Count(alias_name="n"),
+        Min("value", alias_name="vmin"),
+        Max("value", alias_name="vmax"),
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT event_type, epoch_us(ts) // 3600000000 AS window_id,
+       count(*) AS n, min(value) AS vmin, max(value) AS vmax
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# kNN brute-force (engine baseline for ANN; k-ring variant lives in stages/)
+# ---------------------------------------------------------------------------
+
+def q_knn_brute(sf_dir: str, k: int = 10, n_queries: int = 5) -> ray.data.Dataset:
+    """Exact top-k cosine neighbors: queries = vec_id < n_queries, broadcast
+    as a dense matrix via ray.put; candidates stream through map_batches
+    computing a matmul per batch; per-batch top-k partials then one small
+    groupby finalize (no full shuffle of similarities)."""
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    # query side is tiny by definition: read it directly and broadcast once
+    import pyarrow.parquet as pq
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)]).sort_by("vec_id")
+    qids = qt["vec_id"].to_numpy()
+    qmat = np.stack([np.asarray(e, dtype=np.float64)
+                     for e in qt["embedding"].to_pylist()])
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    qref = ray.put((qids, qmat))
+
+    def partial_topk(b: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(qref)
+        vid = b["vec_id"].to_numpy()
+        keep = vid >= n_queries
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        vid = vid[keep]
+        cand = np.stack(b["embedding"].to_numpy(zero_copy_only=False)[keep]).astype(np.float64)
+        cand = cand / np.linalg.norm(cand, axis=1, keepdims=True)
+        sims = mat_q @ cand.T                     # (Q, C)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            out_q.append(np.full(kk, ids_q[qi]))
+            out_n.append(vid[top[qi]])
+            out_s.append(sims[qi, top[qi]])
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "neighbor_id": pa.array(np.concatenate(out_n)),
+                         "sim": pa.array(np.concatenate(out_s))})
+
+    partials = emb.map_batches(partial_topk, batch_format="pyarrow",
+                               batch_size=2048)
+
+    def finalize(g):
+        import pandas as pd
+        g = g.sort_values(["sim", "neighbor_id"],
+                          ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(finalize, batch_format="pandas")
+
+
+SQL_KNN_BRUTE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+     c AS (SELECT vec_id AS nid, embedding AS ne FROM embeddings WHERE vec_id >= 5),
+     s AS (SELECT qid, nid, list_cosine_similarity(qe, ne) AS sim FROM q CROSS JOIN c),
+     r AS (SELECT qid, nid,
+                  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rk
+           FROM s)
+SELECT qid AS query_id, nid AS neighbor_id, rk AS rank FROM r WHERE rk <= 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon, rectangle fast path (J-extensions, SURVEY.md §2.4;
+# broadcast small side + vectorized containment like blender's valid-rect
+# test, blender.cpp:590-600)
+# ---------------------------------------------------------------------------
+
+def q_pip_rect(sf_dir: str) -> ray.data.Dataset:
+    """Points (from customer) vs 5 axis-aligned rects (from region keys):
+    count per rect, half-open [x0,x1) × [y0,y1) containment."""
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    rects = [(r, r * 150.0, r * 100.0, r * 150.0 + 200.0, r * 100.0 + 180.0)
+             for r in range(5)]
+    rref = ray.put(rects)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rs = ray.get(rref)
+        ck = b["c_custkey"].to_numpy()
+        x = ((ck * 13) % 1000).astype(np.float64)
+        y = ((ck * 29) % 900).astype(np.float64)
+        ids, cnt = [], []
+        for rid, x0, y0, x1, y1 in rs:
+            inside = (x >= x0) & (x < x1) & (y >= y0) & (y < y1)
+            ids.append(rid)
+            cnt.append(int(inside.sum()))
+        return pa.table({"rect_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                         "n_points": pa.array(np.asarray(cnt, dtype=np.int64))})
+
+    p = cust.map_batches(partial, batch_format="pyarrow")
+    agg = p.groupby("rect_id").aggregate(Sum("n_points", alias_name="n_points"))
+    # SQL's inner join emits no row for an empty rect — mirror that
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater(b["n_points"], 0)), batch_format="pyarrow")
+
+
+SQL_PIP_RECT = """
+WITH rects AS (
+  SELECT CAST(r_regionkey AS BIGINT) AS rect_id,
+         r_regionkey * 150.0 AS x0, r_regionkey * 100.0 AS y0,
+         r_regionkey * 150.0 + 200.0 AS x1, r_regionkey * 100.0 + 180.0 AS y1
+  FROM region
+), pts AS (
+  SELECT CAST((c_custkey * 13) % 1000 AS DOUBLE) AS x,
+         CAST((c_custkey * 29) % 900 AS DOUBLE) AS y
+  FROM customer
+)
+SELECT rect_id, count(*) AS n_points
+FROM rects JOIN pts ON x >= x0 AND x < x1 AND y >= y0 AND y < y1
+GROUP BY rect_id
+"""

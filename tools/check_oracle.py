@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry and its oracle_sql() twin on an sf dir, compare row count, sorted
+schema, and order-insensitive value hash. Usage:
+
+    python tools/check_oracle.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            h.update("\x1f".join(map(str, s.tolist())).encode())
+        else:
+            h.update(s.to_numpy().tobytes())
+    return h.hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = e.queries()
+    sqls = e.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            mine = canon(to_pandas(fn(sf_dir)))
+        except Exception as ex:
+            print(f"FAIL {name}: ray side raised: {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
+        if name not in sqls:
+            print(f"ok?  {name}: rows={len(mine)} (rows-only, no oracle)")
+            continue
+        try:
+            orc = canon(con.execute(sqls[name]).df())
+        except Exception as ex:
+            print(f"FAIL {name}: oracle raised: {ex}")
+            failures += 1
+            continue
+        problems = []
+        if len(mine) != len(orc):
+            problems.append(f"rows {len(mine)} != {len(orc)}")
+        if list(mine.columns) != list(orc.columns):
+            problems.append(f"cols {list(mine.columns)} != {list(orc.columns)}")
+        else:
+            mt = [str(t) for t in mine.dtypes]
+            ot = [str(t) for t in orc.dtypes]
+            if mt != ot:
+                problems.append(f"dtypes {mt} != {ot}")
+            if not problems and value_hash(mine) != value_hash(orc):
+                diff = (mine != orc) & ~(mine.isna() & orc.isna())
+                bad_cols = [c for c in mine.columns if diff[c].any()]
+                problems.append(f"value hash mismatch in {bad_cols}")
+                for c in bad_cols[:2]:
+                    i = diff[c].idxmax()
+                    problems.append(f"  first diff {c}[{i}]: {mine[c][i]!r} vs {orc[c][i]!r}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"PASS {name}: rows={len(mine)} hash={value_hash(mine)}")
+    ray.shutdown()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
