@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gdal_drivers_ray import fixtures  # noqa: E402
 from gdal_drivers_ray.pipelines import flagship as _flagship  # noqa: E402
 from gdal_drivers_ray.pipelines import queries as _q  # noqa: E402
+from gdal_drivers_ray.pipelines import raster_queries as _rq  # noqa: E402
 
 
 def entry() -> Any:
@@ -68,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (binary decode is not SQL-expressible -> rows-only checks)
         "images_flagship": _images_flagship,
         "images_lod_rollup": _images_lod_rollup,
+        # raster generator sources (binary tiles, NumPy-oracle tested)
+        "solid_tiles": _rq.q_solid_tiles,
+        "mask_tiles": _rq.q_mask_tiles,
     }
 
 
