@@ -22,6 +22,7 @@ from gdal_drivers_ray import fixtures  # noqa: E402
 from gdal_drivers_ray.pipelines import flagship as _flagship  # noqa: E402
 from gdal_drivers_ray.pipelines import queries as _q  # noqa: E402
 from gdal_drivers_ray.pipelines import raster_queries as _rq  # noqa: E402
+from gdal_drivers_ray.pipelines import vector_queries as _vq  # noqa: E402
 
 
 def entry() -> Any:
@@ -72,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raster generator sources (binary tiles, NumPy-oracle tested)
         "solid_tiles": _rq.q_solid_tiles,
         "mask_tiles": _rq.q_mask_tiles,
+        # vector path: store lookup -> MVT decode -> feature aggregates
+        "mvt_pipeline": _vq.q_mvt_pipeline,
+        "mvt_errors": _vq.q_mvt_errors,
     }
 
 

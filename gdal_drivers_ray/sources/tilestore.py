@@ -1,0 +1,139 @@
+"""Keyed tile store: (zoom, col, row) -> blob, the mbtiles analog.
+
+Re-expression of /root/reference/gdal-drivers/detail/mbtiles.cpp as a
+parquet-backed table + Ray Data lookup join:
+
+- request paths end in strict 'zoom-col-row' (parse rules of
+  detail/mbtiles.cpp:63-110 via grid.parse_tile_key);
+- bounds check vs 2^zoom - 1 (mbtiles.cpp:146-151);
+- the store holds rows TMS (bottom-up); lookups are top-down, so the
+  request row flips: row' = (2^zoom - 1) - row (mbtiles.cpp:155);
+- blobs may be gzip-wrapped — first byte 0x1f sniff + gunzip
+  (mbtiles.cpp:214-224);
+- a missing tile is an ERROR row, not silence (mbtiles.cpp:188-192) —
+  failed requests come back with status != "ok" (the dead-letter pattern
+  of SURVEY.md §4);
+- unlike the reference (one SQLite connection per lookup,
+  mbtiles.cpp:160-163), lookups batch: requests stream through a
+  broadcast- or shuffle-join on the packed key.
+"""
+
+from __future__ import annotations
+
+import gzip
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..grid import parse_tile_key, pack_zxy
+
+STORE_SCHEMA = pa.schema([
+    ("zoom", pa.int32()),
+    ("col", pa.int32()),
+    ("row", pa.int32()),       # TMS, bottom-up
+    ("tile_data", pa.large_binary()),
+])
+
+
+def write_store(path: str, rows: list[tuple[int, int, int, bytes]],
+                gzip_every: int = 2) -> str:
+    """Fixture/store writer; every `gzip_every`-th blob is gzip-wrapped
+    (FIXTURES.md F6: ~half compressed)."""
+    import pyarrow.parquet as pq
+    z, c, r, d = [], [], [], []
+    for i, (zz, cc, rr, data) in enumerate(rows):
+        z.append(zz); c.append(cc); r.append(rr)
+        d.append(gzip.compress(data) if (gzip_every and i % gzip_every == 0)
+                 else data)
+    pq.write_table(pa.table({"zoom": pa.array(z, pa.int32()),
+                             "col": pa.array(c, pa.int32()),
+                             "row": pa.array(r, pa.int32()),
+                             "tile_data": pa.array(d, pa.large_binary())}),
+                   path)
+    return path
+
+
+def parse_requests(batch: pa.Table, path_col: str = "path") -> pa.Table:
+    """Request paths -> parsed/validated keys. Emits status
+    'ok' | 'bad_key' | 'out_of_bounds' and the TMS-flipped packed key for
+    the ok rows (mbtiles.cpp:128-155)."""
+    paths = batch[path_col].to_pylist()
+    status, zs, cs, rs, keys = [], [], [], [], []
+    for p in paths:
+        tail = p.rsplit("/", 1)[-1]
+        parsed = parse_tile_key(tail)
+        if parsed is None:
+            status.append("bad_key"); zs.append(0); cs.append(0); rs.append(0)
+            keys.append(0)
+            continue
+        z, c, r = parsed
+        m = (1 << z) - 1
+        if c > m or r > m:
+            status.append("out_of_bounds")
+            zs.append(z); cs.append(c); rs.append(r); keys.append(0)
+            continue
+        status.append("ok")
+        zs.append(z); cs.append(c); rs.append(r)
+        keys.append(int(pack_zxy(z, c, m - r)))   # the TMS flip
+    return batch.append_column("status", pa.array(status)) \
+                .append_column("zoom", pa.array(zs, pa.int32())) \
+                .append_column("col", pa.array(cs, pa.int32())) \
+                .append_column("row", pa.array(rs, pa.int32())) \
+                .append_column("skey", pa.array(keys, pa.int64()))
+
+
+def _gunzip_col(data: list[Optional[bytes]]) -> list[Optional[bytes]]:
+    out = []
+    for b in data:
+        if not isinstance(b, (bytes, bytearray)):
+            out.append(None)           # missing tile (pandas NaN after merge)
+            continue
+        if len(b) and b[0] == 0x1F:    # sniff (mbtiles.cpp:214)
+            b = gzip.decompress(b)
+        out.append(bytes(b))
+    return out
+
+
+def lookup(requests: ray.data.Dataset, store_path: str,
+           path_col: str = "path") -> ray.data.Dataset:
+    """Request paths ⋈ store. The store index (packed key -> row ordinal) is
+    broadcast once; matched blobs are read per batch and gunzipped. Missing
+    tiles get status='not_found' (mbtiles.cpp:188-192).
+
+    Scale note: for stores beyond worker memory, swap the broadcast frame
+    for stages.joins.shuffle_join on skey — the request-side parse/flip and
+    the gunzip stage are unchanged.
+    """
+    import pyarrow.parquet as pq
+
+    st = pq.read_table(store_path)
+    skey = pack_zxy(st["zoom"].to_numpy().astype(np.int64),
+                    st["col"].to_numpy().astype(np.int64),
+                    st["row"].to_numpy().astype(np.int64))
+    store_df = pd.DataFrame({"skey": skey,
+                             "tile_data": st["tile_data"].to_pylist()})
+    # last-write-wins on duplicate keys (primary key in the reference's
+    # sqlite schema); keep first occurrence deterministically
+    store_df = store_df.drop_duplicates("skey", keep="first")
+    sref = ray.put(store_df)
+
+    def join(batch: pa.Table) -> pa.Table:
+        b = parse_requests(batch, path_col)
+        s = ray.get(sref)
+        df = b.to_pandas()
+        m = df.merge(s, on="skey", how="left")
+        ok = m["status"] == "ok"
+        missing = ok & m["tile_data"].isna()
+        m.loc[missing, "status"] = "not_found"
+        m["tile_data"] = _gunzip_col(m["tile_data"].tolist())
+        out = pa.Table.from_pandas(m, preserve_index=False)
+        # normalize the blob column type
+        i = out.schema.get_field_index("tile_data")
+        return out.set_column(i, "tile_data",
+                              pa.array(m["tile_data"].tolist(), pa.large_binary()))
+
+    return requests.map_batches(join, batch_format="pyarrow")

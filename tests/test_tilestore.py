@@ -1,0 +1,70 @@
+"""Keyed tile-store lookup: strict key parse, TMS flip, gzip sniff, error
+rows (detail/mbtiles.cpp:63-224 semantics; FIXTURES.md F6)."""
+
+import gzip
+
+import pyarrow as pa
+import pytest
+
+from gdal_drivers_ray.sources import tilestore
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory):
+    p = tmp_path_factory.mktemp("store") / "tiles.parquet"
+    rows = []
+    for z in (2, 3):
+        for c in range(1 << z):
+            for r in range(1 << z):
+                rows.append((z, c, r, f"blob-{z}-{c}-{r}".encode()))
+    return tilestore.write_store(str(p), rows)
+
+
+def paths_ds(paths):
+    import ray.data
+    return ray.data.from_arrow(pa.table({"path": pa.array(paths)}))
+
+
+def test_lookup_hit_flip_and_gunzip(ray_session, store):
+    # request 2-1-0 (top-down) -> store row (2^2-1)-0 = 3 (TMS)
+    out = tilestore.lookup(paths_ds(["a.mbtiles/2-1-0"]), store).take_all()
+    r = out[0]
+    assert r["status"] == "ok"
+    assert bytes(r["tile_data"]) == b"blob-2-1-3"
+
+
+def test_lookup_all_statuses(ray_session, store):
+    out = tilestore.lookup(paths_ds([
+        "x/3-7-7",        # ok -> store row 0
+        "x/3-8-0",        # out of bounds (col > 7)
+        "x/3-07-1",       # leading zero -> bad key
+        "x/3--1-1",       # sign -> bad key
+        "x/2-3-3",        # ok
+        "x/5-1-1",        # zoom 5 not in store -> not_found
+    ]), store).take_all()
+    by_path = {r["path"]: r for r in out}
+    assert by_path["x/3-7-7"]["status"] == "ok"
+    assert bytes(by_path["x/3-7-7"]["tile_data"]) == b"blob-3-7-0"
+    assert by_path["x/3-8-0"]["status"] == "out_of_bounds"
+    assert by_path["x/3-07-1"]["status"] == "bad_key"
+    assert by_path["x/3--1-1"]["status"] == "bad_key"
+    assert by_path["x/2-3-3"]["status"] == "ok"
+    assert by_path["x/5-1-1"]["status"] == "not_found"
+
+
+def test_gzip_round_trip(ray_session, tmp_path):
+    # gzip_every=1 -> every blob wrapped; decode must sniff and unwrap
+    p = str(tmp_path / "gz.parquet")
+    tilestore.write_store(p, [(1, 0, 0, b"payload")], gzip_every=1)
+    import pyarrow.parquet as pq
+    raw = pq.read_table(p)["tile_data"][0].as_py()
+    assert raw[0] == 0x1F
+    out = tilestore.lookup(paths_ds(["t/1-0-1"]), p).take_all()
+    assert bytes(out[0]["tile_data"]) == b"payload"
+
+
+def test_zero_key_accepted(ray_session, store):
+    # '0' is a legal single-digit zero (parsePart minWidth=1)
+    out = tilestore.lookup(paths_ds(["t/2-0-0"]), store).take_all()
+    assert out[0]["status"] == "ok"
+    assert bytes(out[0]["tile_data"]) == b"blob-2-0-3"
