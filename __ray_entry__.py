@@ -23,6 +23,7 @@ from gdal_drivers_ray.pipelines import flagship as _flagship  # noqa: E402
 from gdal_drivers_ray.pipelines import queries as _q  # noqa: E402
 from gdal_drivers_ray.pipelines import raster_queries as _rq  # noqa: E402
 from gdal_drivers_ray.pipelines import vector_queries as _vq  # noqa: E402
+from gdal_drivers_ray.pipelines import blend_queries as _bq  # noqa: E402
 
 
 def entry() -> Any:
@@ -76,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vector path: store lookup -> MVT decode -> feature aggregates
         "mvt_pipeline": _vq.q_mvt_pipeline,
         "mvt_errors": _vq.q_mvt_errors,
+        # weighted mosaic (J1 + A1/A2/A3)
+        "blend_mosaic": _bq.q_blend_mosaic,
     }
 
 

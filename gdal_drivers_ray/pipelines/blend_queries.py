@@ -1,0 +1,53 @@
+"""Rows-only query entry for the blend mosaic pipeline (blender.cpp
+semantics; NumPy-oracle tested in tests/test_blend.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Sum
+
+from ..grid import Extents
+from ..stages import blend as bl
+
+
+def _fixture_mosaic() -> tuple[bl.BlendSpec, list[bl.BlendSource]]:
+    """Deterministic 3-source mosaic with touching valid extents and an
+    overlap ramp (FIXTURES.md F4)."""
+    rng = np.random.default_rng(42)
+    sources = []
+    for i, (ox, vx0, vx1) in enumerate([(0, 0, 280), (250, 280, 580),
+                                        (550, 580, 850)]):
+        px = rng.integers(0, 255, (512, 300)).astype(np.uint8)
+        gt = (float(ox), 1.0, 0.0, 512.0, 0.0, -1.0)
+        sources.append(bl.BlendSource(
+            gt=gt, pixels=px,
+            valid=Extents(float(vx0), 0.0, float(vx1), 512.0)))
+    spec = bl.BlendSpec(extents=Extents(0, 0, 850, 512), overlap=15.0,
+                        nodata=0.0)
+    return spec, sources
+
+
+def q_blend_mosaic(sf_dir: str) -> ray.data.Dataset:
+    """Distributed mosaic render -> per-tile-row checksums (exercises the
+    full J1 join + A1/A2 weighting + A3 mask path)."""
+    spec, sources = _fixture_mosaic()
+    tiles = bl.blend_dataset(spec, sources)
+
+    def stats(b: pa.Table) -> pa.Table:
+        sums, valid = [], []
+        for px, m, vw, vh in zip(b["px"].to_pylist(), b["mask"].to_pylist(),
+                                 b["valid_w"].to_numpy(), b["valid_h"].to_numpy()):
+            arr = np.frombuffer(px, np.uint8).reshape(256, 256)
+            msk = np.frombuffer(m, np.uint8).reshape(256, 256)
+            sums.append(int(arr[:vh, :vw].astype(np.int64).sum()))
+            valid.append(int((msk[:vh, :vw] == 255).sum()))
+        return pa.table({"tile_y": b["tile_y"],
+                         "px_sum": pa.array(sums, pa.int64()),
+                         "valid_px": pa.array(valid, pa.int64())})
+
+    return tiles.map_batches(stats, batch_format="pyarrow") \
+                .groupby("tile_y").aggregate(
+                    Sum("px_sum", alias_name="px_sum"),
+                    Sum("valid_px", alias_name="valid_px"))

@@ -1,0 +1,308 @@
+"""Blender: N aligned rasters -> weighted mosaic, one 256x256 block at a
+time (re-expression of /root/reference/gdal-drivers/blender.cpp).
+
+Plan (SURVEY.md §3.1): spec validation + per-source pixel placement happen
+driver-side on the tiny source list (blender.cpp:354-497); source pixel
+payloads are broadcast ONCE via ray.put; each Ray task renders a batch of
+output blocks — the reference's single-threaded IReadBlock pull loop
+becomes a distributed map over the output tile grid.
+
+Per-block math (blender.cpp:559-655), in fp64 regardless of storage type
+(blender.cpp:223):
+  for each source in CONFIG ORDER (fp-sum determinism, blender.cpp:570):
+    l = Locator(block, src.extents); skip if empty       (J1 / M12)
+    img  = src window at l.local                         (M13)
+    w    = (mask != 0) as 0/1                            (M14)
+    w   *= no-overlap: center-in-valid  |  overlap: kernel-area ramp (A2)
+    acc[view]  += img * w;  wacc[view] += w              (A1)
+  wacc[wacc == 0] = 1;  out = acc / wacc
+  out[invalid] = nodata (if set);  convertTo(dtype) saturating
+Validity mask block (blender.cpp:657-731): OR over sources of
+(mask != 0 AND inside-valid / kernel-area > 0)            (A3).
+
+At 10^12-tile scale the broadcast of whole sources is replaced by a
+flat_map of source tiles to covered output tile ids + groupby(tile_id)
+(SURVEY.md §2.4 J1) — the per-block kernel below is unchanged; only the
+data routing differs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..grid import (EPS, Extents, align_extents, blend_weights, gt_resolution,
+                    is_orthogonal, locate, num_tiles, pixel_rect, pixel_valid,
+                    raster_extents, round_half_away)
+
+TILE = 256  # blender.cpp:536-537
+
+
+@dataclass
+class BlendSource:
+    """One input raster: orthogonal north-up geotransform + pixel payload
+    (H, W) or (H, W, bands) + optional uint8 mask (None = all-valid,
+    GMF_ALL_VALID fast path of blender.cpp:274-277) + valid world extents."""
+
+    gt: tuple[float, ...]
+    pixels: np.ndarray
+    valid: Extents
+    mask: Optional[np.ndarray] = None
+
+    @property
+    def size(self) -> tuple[int, int]:
+        return (self.pixels.shape[1], self.pixels.shape[0])
+
+    @property
+    def bands(self) -> int:
+        return 1 if self.pixels.ndim == 2 else self.pixels.shape[2]
+
+
+@dataclass
+class BlendSpec:
+    extents: Extents
+    overlap: float = 0.0
+    srs: str = ""
+    dtype: Optional[str] = None       # numpy dtype name; default first source
+    resolution: Optional[tuple[float, float]] = None
+    nodata: Optional[float] = None
+
+
+class IncompatibleSources(ValueError):
+    pass
+
+
+def write_blend_config(spec: BlendSpec, datasets: list[tuple[str, Extents]]) -> str:
+    """Serialize the spec to the reference INI shape
+    (blender.cpp:60-102 writeConfig): `[blender]` extents/overlap/srs/type/
+    resolution/nodata + repeated `[dataset]` path/valid sections."""
+    import io
+    out = io.StringIO()
+    e = spec.extents
+    out.write("[blender]\n")
+    out.write(f"extents = {e.llx!r},{e.lly!r}:{e.urx!r},{e.ury!r}\n")
+    out.write(f"overlap = {spec.overlap!r}\n")
+    if spec.srs:
+        out.write(f"srs = {spec.srs}\n")
+    if spec.dtype:
+        out.write(f"type = {spec.dtype}\n")
+    if spec.resolution:
+        out.write(f"resolution = {spec.resolution[0]!r}x{spec.resolution[1]!r}\n")
+    if spec.nodata is not None:
+        out.write(f"nodata = {spec.nodata!r}\n")
+    for path, valid in datasets:
+        out.write(f"\n[dataset]\npath = {path}\n")
+        out.write(f"valid = {valid.llx!r},{valid.lly!r}:{valid.urx!r},{valid.ury!r}\n")
+    return out.getvalue()
+
+
+def parse_blend_config(text: str) -> tuple[BlendSpec, list[tuple[str, Extents]]]:
+    """Parse the INI shape (blender.cpp:733-833 loadConfig); required
+    extents/overlap missing -> ValueError (the probe-failure path)."""
+    import re
+    blender: dict[str, str] = {}
+    datasets: list[dict[str, str]] = []
+    cur = None
+    for raw in text.splitlines():
+        line = raw.strip()
+        if not line or line.startswith((";", "#")):
+            continue
+        m = re.fullmatch(r"\[(\w+)\]", line)
+        if m:
+            if m.group(1) == "blender":
+                cur = blender
+            elif m.group(1) == "dataset":
+                datasets.append({})
+                cur = datasets[-1]
+            else:
+                raise ValueError(f"unknown section [{m.group(1)}]")
+            continue
+        if cur is None or "=" not in line:
+            raise ValueError(f"stray line {line!r}")
+        k, v = line.split("=", 1)
+        cur[k.strip()] = v.strip()
+
+    def ext(s: str) -> Extents:
+        ll, ur = s.split(":")
+        llx, lly = map(float, ll.split(","))
+        urx, ury = map(float, ur.split(","))
+        return Extents(llx, lly, urx, ury)
+
+    if "extents" not in blender or "overlap" not in blender:
+        raise ValueError("missing required blender.extents/blender.overlap")
+    res = None
+    if "resolution" in blender:
+        w, h = blender["resolution"].split("x")
+        res = (float(w), float(h))
+    spec = BlendSpec(
+        extents=ext(blender["extents"]),
+        overlap=float(blender["overlap"]),
+        srs=blender.get("srs", ""),
+        dtype=blender.get("type"),
+        resolution=res,
+        nodata=float(blender["nodata"]) if "nodata" in blender else None,
+    )
+    ds = [(d["path"], ext(d["valid"])) for d in datasets]
+    return spec, ds
+
+
+@dataclass
+class BlendPlan:
+    """The reference's ImageReference list (blender.cpp:106-118) + grid."""
+
+    extents: Extents                  # aligned
+    resolution: tuple[float, float]
+    size: tuple[int, int]
+    overlap_px: tuple[int, int]
+    dtype: np.dtype
+    nodata: Optional[float]
+    bands: int
+    placements: list[tuple[int, int, int, int]]      # int pixel rects
+    valids: list[tuple[float, float, float, float]]  # float pixel rects
+
+
+def plan_blend(spec: BlendSpec, sources: list[BlendSource]) -> BlendPlan:
+    """Driver-side: compatibility checks (blender.cpp:120-185), first-source
+    precedence for resolution/origin/dtype (blender.cpp:391-414, 538-540),
+    extents alignment (M10) and per-source placement (blender.cpp:480-489)."""
+    if not sources:
+        raise IncompatibleSources("no sources")
+    first = sources[0]
+    res0 = gt_resolution(first.gt)
+    for i, s in enumerate(sources):
+        if not is_orthogonal(s.gt):
+            raise IncompatibleSources(f"source {i} is not orthogonal")
+        ri = gt_resolution(s.gt)
+        if abs(ri[0] - res0[0]) >= EPS or abs(ri[1] - res0[1]) >= EPS:
+            raise IncompatibleSources(f"source {i} resolution mismatch")
+        if s.bands != first.bands:
+            raise IncompatibleSources(f"source {i} band count mismatch")
+    resolution = spec.resolution or res0
+    origin = (first.gt[0], first.gt[3])       # first-source origin
+    extents = align_extents(spec.extents, origin, resolution)
+    nx = round_half_away(extents.width / resolution[0])
+    ny = round_half_away(extents.height / resolution[1])
+    overlap_px = (round_half_away(spec.overlap / resolution[0]),
+                  round_half_away(spec.overlap / resolution[1]))
+    ul = (extents.llx, extents.ury)
+    placements, valids = [], []
+    for s in sources:
+        se = raster_extents(s.gt, *s.size)
+        placements.append(pixel_rect(se, s.size, ul, resolution))
+        valids.append(pixel_valid(s.valid, ul, resolution))
+    dtype = np.dtype(spec.dtype) if spec.dtype else first.pixels.dtype
+    return BlendPlan(extents=extents, resolution=resolution, size=(nx, ny),
+                     overlap_px=overlap_px, dtype=dtype, nodata=spec.nodata,
+                     bands=first.bands, placements=placements, valids=valids)
+
+
+def _source_windows(plan: BlendPlan, sources: list[BlendSource],
+                    block: tuple[int, int, int, int]):
+    """Yield (locator, img fp64 (h,w,b), mask01 fp64, weights geometric)."""
+    for src, place, valid in zip(sources, plan.placements, plan.valids):
+        loc = locate(block, place)
+        if loc is None:
+            continue
+        lx, ly, lw, lh = loc.local
+        img = src.pixels[ly:ly + lh, lx:lx + lw].astype(np.float64)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        if src.mask is None:
+            m = np.ones((lh, lw), dtype=np.float64)
+        else:
+            m = (src.mask[ly:ly + lh, lx:lx + lw] != 0).astype(np.float64)
+        w = blend_weights(loc.roi, valid, plan.overlap_px)
+        yield loc, img, m, w
+
+
+def blend_block(plan: BlendPlan, sources: list[BlendSource],
+                bx: int, by: int) -> tuple[np.ndarray, np.ndarray]:
+    """Render one 256x256 block -> (pixels (256,256,bands) in plan.dtype,
+    validity mask uint8 0/255)."""
+    block = (bx * TILE, by * TILE, TILE, TILE)
+    acc = np.zeros((TILE, TILE, plan.bands), dtype=np.float64)
+    wacc = np.zeros((TILE, TILE), dtype=np.float64)
+    vmask = np.zeros((TILE, TILE), dtype=np.uint8)
+    for loc, img, m, w in _source_windows(plan, sources, block):
+        vx, vy, vw, vh = loc.view
+        mw = m * w
+        acc[vy:vy + vh, vx:vx + vw] += img * mw[:, :, None]
+        wacc[vy:vy + vh, vx:vx + vw] += mw
+        # validity: mask!=0 AND geometric weight > 0 (blender.cpp:688-723)
+        vmask[vy:vy + vh, vx:vx + vw] |= np.where((m != 0) & (w > 0), 255, 0).astype(np.uint8)
+    invalid = wacc == 0.0
+    wacc[invalid] = 1.0                       # div-by-0 guard (blender.cpp:638-641)
+    out = acc / wacc[:, :, None]
+    if plan.nodata is not None:
+        out[invalid] = plan.nodata            # blender.cpp:643-645
+    if np.issubdtype(plan.dtype, np.integer):  # convertTo saturates + rounds
+        info = np.iinfo(plan.dtype)
+        out = np.clip(np.rint(out), info.min, info.max)
+    return out.astype(plan.dtype), vmask
+
+
+def blend_dataset(spec: BlendSpec, sources: list[BlendSource],
+                  with_mask: bool = True) -> ray.data.Dataset:
+    """Distributed mosaic: `ray.data.range` over the output tile grid ->
+    map_batches rendering blocks; sources broadcast once (T3/T7 pattern)."""
+    plan = plan_blend(spec, sources)
+    ntx, nty = num_tiles(*plan.size, TILE, TILE)
+    sref = ray.put(sources)
+    pref = ray.put(plan)
+
+    def render(batch: dict) -> pa.Table:
+        srcs = ray.get(sref)
+        pl = ray.get(pref)
+        out = {"tile_x": [], "tile_y": [], "px": [], "mask": [],
+               "valid_w": [], "valid_h": []}
+        for rid in batch["id"]:
+            bx, by = int(rid) % ntx, int(rid) // ntx
+            px, vm = blend_block(pl, srcs, bx, by)
+            out["tile_x"].append(bx)
+            out["tile_y"].append(by)
+            out["px"].append(px.tobytes())
+            out["mask"].append(vm.tobytes() if with_mask else b"")
+            out["valid_w"].append(min(TILE, pl.size[0] - bx * TILE))
+            out["valid_h"].append(min(TILE, pl.size[1] - by * TILE))
+        return pa.table({
+            "tile_x": pa.array(out["tile_x"], pa.int32()),
+            "tile_y": pa.array(out["tile_y"], pa.int32()),
+            "valid_w": pa.array(out["valid_w"], pa.int32()),
+            "valid_h": pa.array(out["valid_h"], pa.int32()),
+            "px": pa.array(out["px"], pa.large_binary()),
+            "mask": pa.array(out["mask"], pa.large_binary()),
+        })
+
+    return ray.data.range(ntx * nty).map_batches(render, batch_format="numpy",
+                                                 batch_size=16)
+
+
+def blend_oracle(plan: BlendPlan, sources: list[BlendSource]) -> tuple[np.ndarray, np.ndarray]:
+    """Whole-raster oracle, INDEPENDENT of the block decomposition: each
+    source accumulates into full-size buffers in one shot (treating the
+    entire output as a single block). Comparing it against tiled rendering
+    proves the 256x256 decomposition is seamless."""
+    nx, ny = plan.size
+    acc = np.zeros((ny, nx, plan.bands), dtype=np.float64)
+    wacc = np.zeros((ny, nx), dtype=np.float64)
+    vmask = np.zeros((ny, nx), dtype=np.uint8)
+    for loc, img, m, w in _source_windows(plan, sources, (0, 0, nx, ny)):
+        vx, vy, vw, vh = loc.view
+        mw = m * w
+        acc[vy:vy + vh, vx:vx + vw] += img * mw[:, :, None]
+        wacc[vy:vy + vh, vx:vx + vw] += mw
+        vmask[vy:vy + vh, vx:vx + vw] |= np.where((m != 0) & (w > 0), 255, 0).astype(np.uint8)
+    invalid = wacc == 0.0
+    wacc[invalid] = 1.0
+    out = acc / wacc[:, :, None]
+    if plan.nodata is not None:
+        out[invalid] = plan.nodata
+    if np.issubdtype(plan.dtype, np.integer):
+        info = np.iinfo(plan.dtype)
+        out = np.clip(np.rint(out), info.min, info.max)
+    return out.astype(plan.dtype), vmask
