@@ -24,6 +24,7 @@ from gdal_drivers_ray.pipelines import queries as _q  # noqa: E402
 from gdal_drivers_ray.pipelines import raster_queries as _rq  # noqa: E402
 from gdal_drivers_ray.pipelines import vector_queries as _vq  # noqa: E402
 from gdal_drivers_ray.pipelines import blend_queries as _bq  # noqa: E402
+from gdal_drivers_ray.pipelines import dedup_queries as _dq  # noqa: E402
 
 
 def entry() -> Any:
@@ -79,6 +80,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mvt_errors": _vq.q_mvt_errors,
         # weighted mosaic (J1 + A1/A2/A3)
         "blend_mosaic": _bq.q_blend_mosaic,
+        # dedup suite + ANN
+        "minhash_dedup": _dq.q_minhash_dedup,
+        "simhash_dedup": _dq.q_simhash_dedup,
+        "embed_near_dup": _dq.q_embed_near_dup,
+        "ann_lsh": _dq.q_ann_lsh,
     }
 
 
@@ -96,4 +102,5 @@ def oracle_sql() -> dict[str, str]:
         "quality": _q.SQL_QUALITY,
         "events_window": _q.SQL_EVENTS_WINDOW,
         "knn_brute": _q.SQL_KNN_BRUTE,
+        "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
     }

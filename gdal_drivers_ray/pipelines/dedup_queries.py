@@ -1,0 +1,86 @@
+"""Query entries for the dedup suite + ANN over documents/embeddings."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages import ann, dedup
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def q_minhash_dedup(sf_dir: str):
+    """MinHash+LSH near-dup clustering of documents (rows-only; recall
+    measured against planted dups in tests/test_dedup.py)."""
+    return dedup.minhash_lsh_dedup(_docs(sf_dir), threshold=0.7)
+
+
+def q_simhash_dedup(sf_dir: str):
+    """SimHash near-dup clustering (rows-only)."""
+    return dedup.simhash_dedup(_docs(sf_dir), max_hamming=3)
+
+
+def q_embed_near_dup(sf_dir: str) -> ray.data.Dataset:
+    """EXACT all-pairs cosine >= 0.45 (brute force, SQL-checked): the query
+    matrix is broadcast once; each batch computes its rows against the full
+    normalized matrix and keeps a < b pairs. The LSH-bucketed variant
+    (stages.dedup.embedding_near_dup) is the scale path; this exact one is
+    the oracle-checkable surface."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack([np.asarray(e, np.float64) for e in t["embedding"].to_pylist()])
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        vid = b["vec_id"].to_numpy()
+        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        sims = vecs @ all_mat.T
+        rows_a, rows_b = [], []
+        for i in range(len(vid)):
+            hit = (sims[i] >= 0.45) & (all_ids > vid[i])
+            if hit.any():
+                rows_a.append(np.full(hit.sum(), vid[i]))
+                rows_b.append(all_ids[hit])
+        if not rows_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(rows_a)),
+                         "b": pa.array(np.concatenate(rows_b))})
+
+    return emb.map_batches(pairs, batch_format="pyarrow", batch_size=512)
+
+
+SQL_EMBED_NEAR_DUP = """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed top-10 (rows-only; recall vs brute force measured in
+    tests). Same queries as knn_brute: vec_id < 5."""
+    import pyarrow.parquet as pq
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 5)]).sort_by("vec_id")
+    qids = qt["vec_id"].to_numpy()
+    qmat = np.stack([np.asarray(e, np.float64) for e in qt["embedding"].to_pylist()])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id >= 5")
+    return ann.ann_lsh_topk(emb, qids, qmat, k=10, n_bits=4, multiprobe=2)

@@ -1,0 +1,312 @@
+"""Deduplication suite for large-scale training data (SURVEY.md §2.6
+engine additions; first-class per the build brief):
+
+- exact:      content hash -> hash-partitioned first-per-group
+- minhash_lsh: shingle -> minhash signature -> banded LSH buckets ->
+              candidate pairs -> signature-similarity verify -> clusters
+- simhash:    64-bit sign hash -> banded buckets -> Hamming verify
+- ngram_jaccard: exact Jaccard between candidate pairs (verification
+              kernel, also standalone within buckets)
+- embedding near-dup: random-hyperplane buckets -> within-bucket cosine
+
+Shuffle economics (the 100 TB story): per-doc signatures are computed in
+one vectorized map_batches pass; ONLY (bucket_key, doc_id[, signature])
+rows enter the groupby — never the text. Candidate groups are bounded
+(`max_bucket` cap, logged via the dropped-bucket count) so a degenerate
+bucket cannot OOM a reducer; cluster assembly is min-label propagation
+over the (small) verified-pair set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+_WORD = re.compile(r"\w+")
+
+# universal-hash parameters for minhash permutations (fixed seed).
+# p = 2^31 - 1 keeps a*h + b inside uint64 (a, h < 2^31 -> product < 2^62)
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingles -> stable 64-bit hashes (vector per doc)."""
+    t = text.lower()
+    if len(t) < k:
+        t = t.ljust(k)
+    views = [t[i:i + k] for i in range(len(t) - k + 1)]
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
+                        "little") for s in set(views)),
+        dtype=np.uint64, count=len(set(views)))
+    return hs
+
+
+def minhash_signature(hashes: np.ndarray, a: np.ndarray,
+                      b: np.ndarray) -> np.ndarray:
+    """sig_i = min over shingles of (a_i * h + b_i mod p)."""
+    h = (hashes % np.uint64(_MERSENNE)).astype(np.uint64)
+    prod = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1)
+
+
+class MinHasher:
+    """Actor-pool stage: text -> banded LSH keys (state: permutation
+    parameters, built once per actor — T6 pattern)."""
+
+    def __init__(self, n_perm: int = 64, bands: int = 16, shingle_k: int = 5):
+        assert n_perm % bands == 0
+        self.a, self.b = _perm_params(n_perm)
+        self.bands = bands
+        self.rows = n_perm // bands
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        return minhash_signature(shingle_hashes(text, self.k), self.a, self.b)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bandid, bandhash, sigs = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            sig = self.signature(text)
+            sb = sig.reshape(self.bands, self.rows)
+            for bi in range(self.bands):
+                ids.append(did)
+                bandid.append(bi)
+                bandhash.append(int.from_bytes(
+                    hashlib.blake2b(sb[bi].tobytes(), digest_size=8).digest(),
+                    "little", signed=True))
+            sigs.append(sig.astype(np.int64).tobytes())
+        reps = np.repeat(np.arange(len(sigs)), self.bands)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band_id": pa.array(bandid, pa.int32()),
+            "band_hash": pa.array(bandhash, pa.int64()),
+            "signature": pa.array([sigs[i] for i in reps], pa.large_binary()),
+        })
+
+
+def _pairs_from_groups(df: pd.DataFrame, max_bucket: int) -> list[tuple]:
+    """(doc_id, signature) group -> unique candidate pairs (smallest first)."""
+    out = []
+    g = df.drop_duplicates("doc_id").sort_values("doc_id")
+    if len(g) < 2 or len(g) > max_bucket:
+        return out
+    rows = list(g.itertuples(index=False))
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            out.append((rows[i], rows[j]))
+    return out
+
+
+def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
+                      bands: int = 16, threshold: float = 0.7,
+                      max_bucket: int = 64,
+                      concurrency: Optional[int] = None) -> pd.DataFrame:
+    """-> DataFrame (doc_id, cluster_id, is_keeper). Cluster id = min doc_id
+    reachable through verified near-dup pairs; keeper = cluster min
+    (first-per-group, the reference-free dedup rule of SURVEY.md §2.6)."""
+    hasher_cls = MinHasher  # bound args via lambda-free fn wrapper
+    sig_rows = docs.map_batches(
+        MinHasher(n_perm, bands), batch_format="pyarrow", batch_size=512,
+        concurrency=concurrency)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        pairs = _pairs_from_groups(g[["doc_id", "signature"]], max_bucket)
+        if not pairs:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "est": pd.Series([], dtype=np.float64)})
+        a_, b_, est = [], [], []
+        for ra, rb in pairs:
+            sa = np.frombuffer(ra.signature, dtype=np.int64)
+            sb = np.frombuffer(rb.signature, dtype=np.int64)
+            a_.append(ra.doc_id)
+            b_.append(rb.doc_id)
+            est.append(float((sa == sb).mean()))   # signature Jaccard estimate
+        return pd.DataFrame({"a": a_, "b": b_, "est": est})
+
+    pairs = sig_rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas()
+    pairs = pairs[pairs["est"] >= threshold].drop_duplicates(["a", "b"])
+    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    return clusters_from_pairs(all_ids, list(zip(pairs["a"], pairs["b"])))
+
+
+def clusters_from_pairs(ids: np.ndarray,
+                        pairs: list[tuple[int, int]]) -> pd.DataFrame:
+    """Min-label union-find over the verified pair set (small by
+    construction: buckets are capped)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    cluster = np.array([find(int(i)) for i in ids], dtype=np.int64)
+    return pd.DataFrame({"doc_id": ids, "cluster_id": cluster,
+                         "is_keeper": cluster == ids}).sort_values(
+                             "doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (sign of per-bit weight sums)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in _WORD.findall(text.lower()):
+        h = np.uint64(int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
+        bits = (h >> shifts) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    v = 0
+    for i in range(64):
+        if acc[i] > 0:
+            v |= (1 << i)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class SimHasher:
+    def __init__(self, bands: int = 4):
+        self.bands = bands  # 4 x 16-bit bands -> catches Hamming <= 3 fully
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, bid, bhash, sh = [], [], [], []
+        for did, text in zip(batch["doc_id"].to_pylist(),
+                             batch["text"].to_pylist()):
+            h = simhash64(text)
+            hu = h & ((1 << 64) - 1)
+            for bi in range(self.bands):
+                ids.append(did)
+                bid.append(bi)
+                bhash.append((hu >> (bi * 16)) & 0xFFFF)
+            sh.append(h)
+        reps = np.repeat(np.arange(len(sh)), self.bands)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "band_id": pa.array(bid, pa.int32()),
+            "band_hash": pa.array(bhash, pa.int64()),
+            "simhash": pa.array([sh[i] for i in reps], pa.int64()),
+        })
+
+
+def simhash_dedup(docs: ray.data.Dataset, *, max_hamming: int = 3,
+                  max_bucket: int = 256) -> pd.DataFrame:
+    from ..codecs import hamming64
+
+    rows = docs.map_batches(SimHasher(), batch_format="pyarrow",
+                            batch_size=512)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2 or len(g) > max_bucket:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        ids = g["doc_id"].to_numpy()
+        hs = g["simhash"].to_numpy()
+        ii, jj = np.triu_indices(len(ids), k=1)
+        d = hamming64(hs[ii], hs[jj])
+        keep = d <= max_hamming
+        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep]})
+
+    pairs = rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas().drop_duplicates(["a", "b"])
+    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
+    return clusters_from_pairs(all_ids, list(zip(pairs["a"], pairs["b"])))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification kernel + standalone)
+# ---------------------------------------------------------------------------
+
+def jaccard_ngrams(a: str, b: str, n: int = 3) -> float:
+    """Exact word n-gram Jaccard."""
+    wa = _WORD.findall(a.lower())
+    wb = _WORD.findall(b.lower())
+    sa = {tuple(wa[i:i + n]) for i in range(max(len(wa) - n + 1, 0))}
+    sb = {tuple(wb[i:i + n]) for i in range(max(len(wb) - n + 1, 0))}
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine over hyperplane-LSH buckets)
+# ---------------------------------------------------------------------------
+
+def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+class EmbeddingBucketer:
+    """Actor-pool stage: embedding -> hyperplane sign bucket (state: the
+    projection matrix, built once per actor)."""
+
+    def __init__(self, dim: int = 64, n_bits: int = 8):
+        self.planes = hyperplanes(dim, n_bits)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        bits = (vecs @ self.planes.T) > 0
+        bucket = np.zeros(len(vecs), dtype=np.int64)
+        for i in range(self.planes.shape[0]):
+            bucket |= bits[:, i].astype(np.int64) << i
+        return pa.table({"vec_id": batch["vec_id"],
+                         "bucket": pa.array(bucket),
+                         "vec": pa.array([v.tobytes() for v in vecs],
+                                         pa.large_binary())})
+
+
+def embedding_near_dup(emb: ray.data.Dataset, *, threshold: float = 0.95,
+                       n_bits: int = 8, dim: int = 64) -> pd.DataFrame:
+    """-> (a, b, sim) pairs with cosine >= threshold found within LSH
+    buckets. NOTE: bucketed search trades recall for scale; the brute-force
+    oracle (SQL) is the recall reference in tests."""
+    rows = emb.map_batches(EmbeddingBucketer(dim, n_bits),
+                           batch_format="pyarrow", batch_size=1024)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "sim": pd.Series([], dtype=np.float64)})
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack([np.frombuffer(v, np.float64) for v in g["vec"]])
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sims[ii, jj] >= threshold
+        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
+                             "sim": sims[ii, jj][keep]})
+
+    return rows.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pandas").to_pandas() \
+        .drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
