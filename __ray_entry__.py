@@ -25,6 +25,7 @@ from gdal_drivers_ray.pipelines import raster_queries as _rq  # noqa: E402
 from gdal_drivers_ray.pipelines import vector_queries as _vq  # noqa: E402
 from gdal_drivers_ray.pipelines import blend_queries as _bq  # noqa: E402
 from gdal_drivers_ray.pipelines import dedup_queries as _dq  # noqa: E402
+from gdal_drivers_ray.pipelines import spatial_queries as _sq  # noqa: E402
 
 
 def entry() -> Any:
@@ -85,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _dq.q_simhash_dedup,
         "embed_near_dup": _dq.q_embed_near_dup,
         "ann_lsh": _dq.q_ann_lsh,
+        # spatial joins: k-ring kNN (SQL-checked), polygon PIP
+        "knn_kring": _sq.q_knn_kring,
+        "pip_poly": _sq.q_pip_poly,
     }
 
 
@@ -103,4 +107,5 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _q.SQL_EVENTS_WINDOW,
         "knn_brute": _q.SQL_KNN_BRUTE,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
+        "knn_kring": _sq.SQL_KNN_KRING,
     }

@@ -1,0 +1,93 @@
+"""Query entries for the spatial join operators (PIP, k-ring kNN).
+
+kNN is SQL-checked: coordinates are INTEGERS so squared distances are
+exact in both engines and the (dist, neighbor_id) ordering cannot diverge
+on float rounding; the output carries rank, not the float distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from ..grid import Extents
+from ..stages import spatial
+
+WORLD = Extents(0.0, 0.0, 1024.0, 1024.0)
+
+
+def _points(sf_dir: str) -> ray.data.Dataset:
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def f(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        return pa.table({"point_id": pa.array(ck),
+                         "x": pa.array(((ck * 13) % 1000).astype(np.float64)),
+                         "y": pa.array(((ck * 29) % 900).astype(np.float64))})
+
+    return cust.map_batches(f, batch_format="pyarrow")
+
+
+def q_knn_kring(sf_dir: str) -> pd.DataFrame:
+    """k=5 nearest customer-points per supplier-query via k-ring cell
+    expansion (sorted-cell kNN of the north rule)."""
+    import pyarrow.parquet as pq
+    st = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey"])
+    sk = st["s_suppkey"].to_numpy()
+    queries = pd.DataFrame({"query_id": sk.astype(np.int64),
+                            "x": ((sk * 37) % 1000).astype(np.float64),
+                            "y": ((sk * 53) % 900).astype(np.float64)})
+    out = spatial.knn_kring(_points(sf_dir), queries, k=5, world=WORLD, lod=5)
+    return out[["query_id", "neighbor_id", "rank"]]
+
+
+SQL_KNN_KRING = """
+WITH pts AS (
+  SELECT c_custkey AS point_id,
+         CAST((c_custkey * 13) % 1000 AS DOUBLE) AS x,
+         CAST((c_custkey * 29) % 900 AS DOUBLE) AS y
+  FROM customer
+), q AS (
+  SELECT s_suppkey AS query_id,
+         CAST((s_suppkey * 37) % 1000 AS DOUBLE) AS x,
+         CAST((s_suppkey * 53) % 900 AS DOUBLE) AS y
+  FROM supplier
+), d AS (
+  SELECT q.query_id, pts.point_id AS neighbor_id,
+         (pts.x - q.x) * (pts.x - q.x) + (pts.y - q.y) * (pts.y - q.y) AS d2
+  FROM q CROSS JOIN pts
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY d2, neighbor_id) AS rank
+  FROM d
+)
+SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5
+"""
+
+
+def _star_polygons(n: int = 8) -> list[tuple[int, list[np.ndarray]]]:
+    rng = np.random.default_rng(42)
+    out = []
+    for pid in range(n):
+        cx = float(rng.uniform(150, 900))
+        cy = float(rng.uniform(150, 750))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 10))
+        rad = rng.uniform(40, 120, 10)
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        out.append((pid, [ring]))
+    return out
+
+
+def q_pip_poly(sf_dir: str) -> ray.data.Dataset:
+    """General-polygon PIP with cell prefilter: customer points vs 8 seeded
+    star polygons -> match count per polygon (rows-only; ray-cast oracle
+    tested in tests/test_spatial.py; the rect fast path is SQL-checked as
+    pip_rect)."""
+    from ray.data.aggregate import Count
+
+    matches = spatial.pip_join(_points(sf_dir), _star_polygons(), WORLD, lod=4)
+    return matches.groupby("poly_id").aggregate(Count(alias_name="n_points"))

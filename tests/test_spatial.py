@@ -1,0 +1,126 @@
+"""PIP (ray-cast + cell prefilter) and k-ring kNN vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from gdal_drivers_ray.grid import Extents
+from gdal_drivers_ray.stages import spatial
+
+WORLD = Extents(0.0, 0.0, 100.0, 100.0)
+
+
+def winding_inside(x, y, ring):
+    """Independent oracle: nonzero winding number (differs from the engine's
+    even-odd only for self-intersecting rings, which we don't generate)."""
+    rx, ry = ring[:, 0], ring[:, 1]
+    if rx[0] == rx[-1] and ry[0] == ry[-1]:
+        rx, ry = rx[:-1], ry[:-1]
+    wn = 0
+    for i in range(len(rx)):
+        x1, y1 = rx[i], ry[i]
+        x2, y2 = rx[(i + 1) % len(rx)], ry[(i + 1) % len(rx)]
+        if y1 <= y < y2 and (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1) > 0:
+            wn += 1
+        elif y2 <= y < y1 and (x2 - x1) * (y - y1) - (x - x1) * (y2 - y1) < 0:
+            wn -= 1
+    return wn != 0
+
+
+def test_ray_cast_triangle_analytic():
+    tri = np.array([(0, 0), (10, 0), (0, 10)], dtype=float)
+    rng = np.random.default_rng(0)
+    xs = rng.uniform(-2, 12, 500)
+    ys = rng.uniform(-2, 12, 500)
+    got = spatial.points_in_ring(xs, ys, tri)
+    want = (xs > 0) & (ys > 0) & (xs + ys < 10)
+    # skip points ON the boundary (edge conventions differ)
+    off_edge = (np.abs(xs) > 1e-9) & (np.abs(ys) > 1e-9) & \
+               (np.abs(xs + ys - 10) > 1e-9)
+    assert (got[off_edge] == want[off_edge]).all()
+
+
+def test_polygon_with_hole():
+    outer = np.array([(0, 0), (20, 0), (20, 20), (0, 20)], dtype=float)
+    hole = np.array([(5, 5), (15, 5), (15, 15), (5, 15)], dtype=float)
+    xs = np.array([1.0, 10.0, 7.0, 25.0])
+    ys = np.array([1.0, 10.0, 4.0, 10.0])
+    got = spatial.point_in_polygon(xs, ys, [outer, hole])
+    assert list(got) == [True, False, True, False]
+
+
+def test_ray_cast_vs_winding_random_polygon():
+    rng = np.random.default_rng(5)
+    # star-shaped (non-convex, non-self-intersecting) polygon around (50,50)
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 12))
+    rad = rng.uniform(10, 40, 12)
+    ring = np.stack([50 + rad * np.cos(ang), 50 + rad * np.sin(ang)], axis=1)
+    xs = rng.uniform(0, 100, 1000)
+    ys = rng.uniform(0, 100, 1000)
+    got = spatial.points_in_ring(xs, ys, ring)
+    want = np.array([winding_inside(x, y, ring) for x, y in zip(xs, ys)])
+    assert (got == want).mean() > 0.999   # boundary-epsilon disagreements only
+
+
+def test_pip_join_with_prefilter(ray_session):
+    import ray.data
+    rng = np.random.default_rng(7)
+    polys = []
+    for pid in range(6):
+        cx, cy = rng.uniform(15, 85, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 8))
+        rad = rng.uniform(4, 12, 8)
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)], axis=1)
+        polys.append((pid, [ring]))
+    n = 2000
+    xs = rng.uniform(0, 100, n)
+    ys = rng.uniform(0, 100, n)
+    pts = ray.data.from_arrow(pa.table({
+        "point_id": pa.array(range(n), pa.int64()),
+        "x": pa.array(xs), "y": pa.array(ys)}))
+    got = spatial.pip_join(pts, polys, WORLD, lod=4).take_all()
+    got_set = {(r["point_id"], r["poly_id"]) for r in got}
+    want = set()
+    for pid, rings in polys:
+        hit = spatial.point_in_polygon(xs, ys, rings)
+        want |= {(int(i), pid) for i in np.where(hit)[0]}
+    assert got_set == want
+    assert len(want) > 50
+
+
+def test_knn_kring_matches_bruteforce(ray_session):
+    import ray.data
+    rng = np.random.default_rng(11)
+    n = 3000
+    xs = rng.uniform(0, 100, n)
+    ys = rng.uniform(0, 100, n)
+    pts = ray.data.from_arrow(pa.table({
+        "point_id": pa.array(range(n), pa.int64()),
+        "x": pa.array(xs), "y": pa.array(ys)}))
+    queries = pd.DataFrame({"query_id": np.arange(8, dtype=np.int64),
+                            "x": rng.uniform(0, 100, 8),
+                            "y": rng.uniform(0, 100, 8)})
+    k = 7
+    got = spatial.knn_kring(pts, queries, k=k, world=WORLD, lod=5)
+    for _, q in queries.iterrows():
+        d = np.hypot(xs - q.x, ys - q.y)
+        order = np.lexsort((np.arange(n), d))[:k]
+        want = list(order)
+        g = got[got["query_id"] == q.query_id].sort_values("rank")
+        assert list(g["neighbor_id"]) == want, q.query_id
+        np.testing.assert_allclose(np.sort(g["dist"]), np.sort(d[order]))
+
+
+def test_knn_kring_query_outside_cloud(ray_session):
+    import ray.data
+    # all points clustered in one corner; query far away must still find k
+    xs = np.linspace(1, 5, 50)
+    ys = np.linspace(1, 5, 50)
+    pts = ray.data.from_arrow(pa.table({
+        "point_id": pa.array(range(50), pa.int64()),
+        "x": pa.array(xs), "y": pa.array(ys)}))
+    queries = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                            "x": [95.0], "y": [95.0]})
+    got = spatial.knn_kring(pts, queries, k=3, world=WORLD, lod=5)
+    assert list(got["neighbor_id"]) == [49, 48, 47]
