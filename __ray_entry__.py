@@ -26,6 +26,8 @@ from gdal_drivers_ray.pipelines import vector_queries as _vq  # noqa: E402
 from gdal_drivers_ray.pipelines import blend_queries as _bq  # noqa: E402
 from gdal_drivers_ray.pipelines import dedup_queries as _dq  # noqa: E402
 from gdal_drivers_ray.pipelines import spatial_queries as _sq  # noqa: E402
+from gdal_drivers_ray.pipelines import text_queries as _tq  # noqa: E402
+from gdal_drivers_ray.pipelines import warp_queries as _wq  # noqa: E402
 
 
 def entry() -> Any:
@@ -89,6 +91,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial joins: k-ring kNN (SQL-checked), polygon PIP
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
+        # text analysis (SQL-checked)
+        "lang_id": _tq.q_lang_id,
+        "fingerprint": _tq.q_fingerprint,
+        "jaccard_pairs": _tq.q_jaccard_pairs,
+        # warp / reprojection (S16/T6): SQL-checked transform kernel +
+        # rows-only full tile warp (pixel parity in tests/test_warp.py)
+        "merc_transform": _wq.q_merc_transform,
+        "warp_tiles": _wq.q_warp_tiles,
     }
 
 
@@ -108,4 +118,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _q.SQL_KNN_BRUTE,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
         "knn_kring": _sq.SQL_KNN_KRING,
+        "lang_id": _tq.SQL_LANG_ID,
+        "fingerprint": _tq.SQL_FINGERPRINT,
+        "jaccard_pairs": _tq.SQL_JACCARD_PAIRS,
+        "merc_transform": _wq.SQL_MERC_TRANSFORM,
     }

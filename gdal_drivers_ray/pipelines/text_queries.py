@@ -1,0 +1,154 @@
+"""Text-analysis queries over the documents table (SQL-checked).
+
+Engine-side additions for training-data pipelines (no reference counterpart
+— the reference has no text ops): language ID, document fingerprinting,
+exact n-gram Jaccard. Each Ray pipeline has a DuckDB twin computing the
+identical deterministic kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..stages import text as T
+
+
+def _docs(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def q_lang_id(sf_dir: str) -> ray.data.Dataset:
+    """Stopword-marker language ID per document: score each language's
+    marker-word occurrence count, predict argmax (tie -> smallest code)."""
+    return _docs(sf_dir).map_batches(T.lang_id_batch, batch_format="pandas")
+
+
+def _sql_count(lang: str, w: str) -> str:
+    n = f"' {w} '"
+    return (f"CAST((length(p) - length(replace(p, {n}, ''))) "
+            f"/ length({n}) AS BIGINT)")
+
+
+def _sql_lang_score(lang: str) -> str:
+    return " + ".join(_sql_count(lang, w) for w in T.LANG_MARKERS[lang])
+
+
+SQL_LANG_ID = f"""
+WITH norm AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))
+             || ' ' AS p
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang, score FROM (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, '{lang}' AS lang, {_sql_lang_score(lang)} AS score "
+        "FROM norm"
+        for lang in sorted(T.LANG_MARKERS))}
+  )
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT doc_id, lang AS pred_lang, score
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_fingerprint(sf_dir: str) -> ray.data.Dataset:
+    """Polynomial rolling-hash fingerprint of each document's raw text."""
+    return _docs(sf_dir).map_batches(T.fingerprint_batch,
+                                     batch_format="pandas")
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       CASE WHEN length(text) = 0 THEN 0
+            ELSE list_reduce(
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ord(c) AS BIGINT)),
+                   (a, b) -> (a * {T.FP_BASE} + b) % {T.FP_MOD})
+       END AS fp
+FROM documents
+"""
+
+
+def q_jaccard_pairs(sf_dir: str) -> ray.data.Dataset:
+    """Exact word-3-gram Jaccard on the deterministic candidate pair set
+    (doc_id, doc_id+1) — the verification kernel the LSH dedup paths use
+    (stages/dedup.py), surfaced SQL-checkably. Similarity in integer 1e-6
+    units so the hash compare is exact."""
+    docs = _docs(sf_dir)
+
+    def grams(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "grams": [sorted(T.word_ngrams(t, 3)) for t in df["text"]],
+        })
+
+    g = docs.map_batches(grams, batch_format="pandas")
+
+    # self-join on consecutive ids: key each row to its pair id (a = even
+    # anchor: pair (a, a+1) keyed by a). Every doc participates as left of
+    # (id, id+1) and right of (id-1, id).
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy()
+        out_key = np.concatenate([ids, ids - 1])
+        out_side = np.concatenate([np.zeros(len(ids), dtype=np.int8),
+                                   np.ones(len(ids), dtype=np.int8)])
+        out_grams = list(df["grams"]) * 2
+        keep = out_key >= 0
+        return pd.DataFrame({"pair_id": out_key[keep],
+                             "side": out_side[keep],
+                             "grams": [g for g, k in zip(out_grams, keep) if k]})
+
+    def pair_jaccard(gr: pd.DataFrame) -> pd.DataFrame:
+        if len(gr) != 2:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64),
+                                 "sim_micro": pd.Series([], dtype=np.int64)})
+        gr = gr.sort_values("side")
+        sa = set(gr["grams"].iloc[0])
+        sb = set(gr["grams"].iloc[1])
+        inter = len(sa & sb)
+        union = len(sa) + len(sb) - inter
+        sim = 1.0 if union == 0 else inter / union
+        pid = int(gr["pair_id"].iloc[0])
+        return pd.DataFrame({"a": [pid], "b": [pid + 1],
+                             "sim_micro": [int(np.floor(sim * 1_000_000))]})
+
+    return g.map_batches(explode, batch_format="pandas") \
+            .groupby("pair_id") \
+            .map_groups(pair_jaccard, batch_format="pandas")
+
+
+SQL_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN length(w) < 3 THEN []
+              ELSE list_distinct(list_transform(
+                     range(1, length(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+         END AS g
+  FROM toks
+)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(floor(CASE
+         WHEN length(a.g) = 0 AND length(b.g) = 0 THEN 1.0
+         ELSE CAST(length(list_intersect(a.g, b.g)) AS DOUBLE)
+              / (length(a.g) + length(b.g)
+                 - length(list_intersect(a.g, b.g)))
+       END * 1000000) AS BIGINT) AS sim_micro
+FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
+"""

@@ -1,0 +1,91 @@
+"""Warp / reprojection queries.
+
+`merc_transform` is the SQL-checked surface for the SRS point-transform math
+(the kernel inside the warp stage's transformer, public spherical-Mercator
+formulas); `warp_tiles` runs the full tile-keyed warp shuffle (binary pixels
+-> rows-only check; pixel parity is covered by tests/test_warp.py against
+the NumPy oracle).
+
+Reference: python warp sink gdaldriversmodule.cpp:182-204; SRS holder
+detail/srsholder.hpp:54-61.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..grid import TILE, Extents
+from ..sources import solid
+from ..stages import warp as W
+
+
+def q_merc_transform(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic lon/lat derived from customer keys -> EPSG:3857 meters
+    (integer-rounded so the value-hash compare is exact)."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def tx(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        lon = ((ck * 17) % 360).astype(np.float64) - 180.0 + 0.5
+        lat = ((ck * 23) % 160).astype(np.float64) - 80.0 + 0.25
+        mx, my = W.transform_points(lon, lat, "EPSG:4326", "EPSG:3857")
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "merc_x_m": pa.array(np.floor(mx).astype(np.int64)),
+            "merc_y_m": pa.array(np.floor(my).astype(np.int64)),
+        })
+
+    return cust.map_batches(tx, batch_format="pyarrow")
+
+
+SQL_MERC_TRANSFORM = """
+WITH pts AS (
+  SELECT c_custkey,
+         CAST((c_custkey * 17) % 360 AS DOUBLE) - 180.0 + 0.5 AS lon,
+         CAST((c_custkey * 23) % 160 AS DOUBLE) - 80.0 + 0.25 AS lat
+  FROM customer
+)
+SELECT c_custkey,
+       CAST(floor(6378137.0 * radians(lon)) AS BIGINT) AS merc_x_m,
+       CAST(floor(6378137.0 * ln(tan(pi() / 4.0 + radians(lat) / 2.0)))
+            AS BIGINT) AS merc_y_m
+FROM pts
+"""
+
+
+def q_warp_tiles(sf_dir: str) -> ray.data.Dataset:
+    """Full warp pipeline: a deterministic lat/lon solid raster (2 bands
+    collapsed to 1) reprojected to Web Mercator; per-tile valid counts +
+    integer pixel checksum. Rows-only check (binary pixels); exact pixel
+    parity vs the NumPy oracle is tested in tests/test_warp.py."""
+    sg_extents = Extents(-180.0, -80.0, 180.0, 80.0)
+    sg = W.RasterGrid(sg_extents, "EPSG:4326", 1024, 512)
+    spec = solid.SolidSpec(srs="EPSG:4326", size=(1024, 512),
+                           extents=sg_extents,
+                           bands=[solid.Band(37.0, "Byte")])
+    tiles = solid.solid_dataset(spec, include_overviews=False)
+
+    my0, my1 = W.transform_points(np.array([0.0, 0.0]),
+                                  np.array([-80.0, 80.0]),
+                                  "EPSG:4326", "EPSG:3857")[1]
+    m = np.pi * 6378137.0
+    dg = W.RasterGrid(Extents(-m, float(my0), m, float(my1)), "EPSG:3857",
+                      768, 768)
+    out = W.warp_tiles(tiles, sg, dg, resampling="nearest", nodata=-1.0)
+
+    def stats(b: pa.Table) -> pa.Table:
+        sums, valid = [], []
+        for px in b["px"].to_pylist():
+            a = np.frombuffer(px, dtype=np.float64).reshape(TILE, TILE)
+            ok = a >= 0
+            valid.append(int(ok.sum()))
+            sums.append(int(a[ok].sum()))
+        return pa.table({"tile_x": b["tile_x"], "tile_y": b["tile_y"],
+                         "valid_n": pa.array(valid, type=pa.int64()),
+                         "px_sum": pa.array(sums, type=pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow")

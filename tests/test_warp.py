@@ -1,0 +1,111 @@
+"""Warp/reproject stage vs the pure-NumPy full-raster oracle.
+
+Reference semantics: python/gdaldriversmodule.cpp:182-204 (warp sink),
+detail/srsholder.hpp:54-61 (once-parsed SRS state)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from gdal_drivers_ray.grid import TILE, Extents
+from gdal_drivers_ray.stages import warp as W
+
+
+def _tiles_from_array(arr: np.ndarray, dtype="float64") -> ray.data.Dataset:
+    ny, nx = arr.shape
+    rows = []
+    for ty in range(-(-ny // TILE)):
+        for tx in range(-(-nx // TILE)):
+            vw = min(TILE, nx - tx * TILE)
+            vh = min(TILE, ny - ty * TILE)
+            block = np.zeros((TILE, TILE), dtype=np.dtype(dtype))
+            block[:vh, :vw] = arr[ty * TILE:ty * TILE + vh,
+                                  tx * TILE:tx * TILE + vw]
+            rows.append({"lod": 0, "band": 0, "tile_x": tx, "tile_y": ty,
+                         "valid_w": vw, "valid_h": vh, "dtype": dtype,
+                         "px": block.tobytes()})
+    return ray.data.from_items(rows)
+
+
+def _assemble(ds: ray.data.Dataset, grid: W.RasterGrid,
+              nodata: float) -> np.ndarray:
+    out = np.full((grid.ny, grid.nx), nodata, dtype=np.float64)
+    for r in ds.take_all():
+        a = np.frombuffer(r["px"], dtype=np.float64).reshape(TILE, TILE)
+        tx, ty, vw, vh = r["tile_x"], r["tile_y"], r["valid_w"], r["valid_h"]
+        out[ty * TILE:ty * TILE + vh, tx * TILE:tx * TILE + vw] = a[:vh, :vw]
+    return out
+
+
+def _src(ny=520, nx=770, seed=7):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0, 255, size=(ny, nx)).round(3)
+
+
+def test_transformer_roundtrip():
+    rng = np.random.default_rng(0)
+    lon = rng.uniform(-179, 179, 1000)
+    lat = rng.uniform(-84, 84, 1000)
+    mx, my = W.transform_points(lon, lat, "EPSG:4326", "EPSG:3857")
+    lon2, lat2 = W.transform_points(mx, my, "EPSG:3857", "EPSG:4326")
+    np.testing.assert_allclose(lon2, lon, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
+    # known anchor: (0,0) -> (0,0); 180 deg -> pi*R
+    x, y = W.transform_points([180.0], [0.0], "EPSG:4326", "EPSG:3857")
+    np.testing.assert_allclose(x[0], np.pi * 6378137.0)
+    np.testing.assert_allclose(y[0], 0.0, atol=1e-9)
+
+
+def test_local_pair_only():
+    with pytest.raises(ValueError):
+        W.get_transformer("local", "EPSG:3857")
+    with pytest.raises(ValueError):
+        W.get_transformer("EPSG:32633", "EPSG:4326")
+
+
+def test_identity_warp_exact(ray_session):
+    src = _src()
+    g = W.RasterGrid(Extents(0.0, 0.0, 770.0, 520.0), "local", 770, 520)
+    out = W.warp_tiles(_tiles_from_array(src), g, g, "nearest", nodata=-1.0)
+    res = _assemble(out, g, -1.0)
+    np.testing.assert_array_equal(res, src)
+
+
+def test_same_srs_resample_matches_oracle(ray_session):
+    """Downscale + shift on the same SRS, bilinear: pipeline == oracle."""
+    src = _src()
+    sg = W.RasterGrid(Extents(10.0, 20.0, 780.0, 540.0), "local", 770, 520)
+    dg = W.RasterGrid(Extents(-25.0, 0.0, 800.0, 560.0), "local", 300, 280)
+    for resampling in ("nearest", "bilinear"):
+        want = W.warp_oracle(src, sg, dg, resampling, nodata=-5.0)
+        out = W.warp_tiles(_tiles_from_array(src), sg, dg, resampling,
+                           nodata=-5.0)
+        got = _assemble(out, dg, -5.0)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+def test_reproject_4326_to_3857_matches_oracle(ray_session):
+    src = _src(ny=400, nx=800)
+    sg = W.RasterGrid(Extents(-180.0, -85.0, 180.0, 85.0), "EPSG:4326",
+                      800, 400)
+    m = np.pi * 6378137.0
+    my0, my1 = W.transform_points([0.0, 0.0], [-85.0, 85.0],
+                                  "EPSG:4326", "EPSG:3857")[1]
+    dg = W.RasterGrid(Extents(-m, float(my0), m, float(my1)), "EPSG:3857",
+                      512, 512)
+    for resampling in ("nearest", "bilinear"):
+        want = W.warp_oracle(src, sg, dg, resampling, nodata=0.0)
+        out = W.warp_tiles(_tiles_from_array(src), sg, dg, resampling)
+        got = _assemble(out, dg, 0.0)
+        np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+        assert (got != 0.0).any()
+
+
+def test_warp_preserves_float32_source(ray_session):
+    src = _src(ny=300, nx=300).astype(np.float32)
+    g = W.RasterGrid(Extents(0.0, 0.0, 300.0, 300.0), "local", 300, 300)
+    out = W.warp_tiles(_tiles_from_array(src, dtype="float32"), g, g,
+                       "nearest", nodata=-1.0)
+    res = _assemble(out, g, -1.0)
+    np.testing.assert_array_equal(res, src.astype(np.float64))
