@@ -28,6 +28,8 @@ from gdal_drivers_ray.pipelines import dedup_queries as _dq  # noqa: E402
 from gdal_drivers_ray.pipelines import spatial_queries as _sq  # noqa: E402
 from gdal_drivers_ray.pipelines import text_queries as _tq  # noqa: E402
 from gdal_drivers_ray.pipelines import warp_queries as _wq  # noqa: E402
+from gdal_drivers_ray.pipelines import skew_queries as _kq  # noqa: E402
+from gdal_drivers_ray.pipelines import multimodal_queries as _mq  # noqa: E402
 
 
 def entry() -> Any:
@@ -99,6 +101,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only full tile warp (pixel parity in tests/test_warp.py)
         "merc_transform": _wq.q_merc_transform,
         "warp_tiles": _wq.q_warp_tiles,
+        # skew: salted two-phase aggregation (SQL-checked vs plain GROUP BY)
+        "salted_agg": _kq.q_salted_agg,
+        # multimodal actor-pool stages (stub decode, real plumbing;
+        # rows-only checks — features are codec-defined, not SQL)
+        "audio_features": _mq.q_audio_features,
+        "video_frames": _mq.q_video_frames,
+        "image_resize": _mq.q_image_resize,
     }
 
 
@@ -122,4 +131,5 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _tq.SQL_FINGERPRINT,
         "jaccard_pairs": _tq.SQL_JACCARD_PAIRS,
         "merc_transform": _wq.SQL_MERC_TRANSFORM,
+        "salted_agg": _kq.SQL_SALTED_AGG,
     }
