@@ -70,14 +70,29 @@ def filter_done(ds: "ray.data.Dataset", out_dir: str,
 def write_partitioned(ds: "ray.data.Dataset", out_dir: str,
                       part_col: str = "part") -> list[dict]:
     """Write `ds` partitioned by `part_col`, then record one manifest entry
-    per partition with row-count lineage. Partition counts come from a cheap
-    narrow aggregate, not a re-read."""
-    counts = {r[part_col]: r["count()"] for r in
-              ds.groupby(part_col).count().take_all()}
+    per partition with row-count lineage.
+
+    Single pipeline execution: row counts come from the written parquet
+    FOOTERS (metadata-only, no data re-read, no second pass), so the 100 TB
+    stream is consumed exactly once. Only partitions without an existing
+    manifest entry are (re)counted and marked."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    already = done_partitions(out_dir)
     ds.write_parquet(out_dir, partition_cols=[part_col])
     entries = []
-    for p, c in sorted(counts.items()):
-        meta = {"rows": int(c)}
-        mark_done(out_dir, int(p), meta)
-        entries.append({"part": int(p), **meta})
+    for d in sorted(glob.glob(os.path.join(out_dir, f"{part_col}=*"))):
+        try:
+            p = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if p in already:
+            continue
+        rows = sum(pq.read_metadata(f).num_rows
+                   for f in glob.glob(os.path.join(d, "*.parquet")))
+        meta = {"rows": rows}
+        mark_done(out_dir, p, meta)
+        entries.append({"part": p, **meta})
     return entries
