@@ -1,0 +1,73 @@
+"""Driver registry + probing open (register.cpp:37-47, mvt.cpp:821-829)."""
+
+import numpy as np
+import pytest
+import ray.data
+
+from gdal_drivers_ray import registry as R
+from gdal_drivers_ray.grid import Extents
+from gdal_drivers_ray.sources import mask as mask_mod
+from gdal_drivers_ray.sources import mvt as mvt_mod
+from gdal_drivers_ray.sources import solid as solid_mod
+from gdal_drivers_ray.sources import tilestore
+
+
+def test_builtin_order_and_replace_semantics():
+    names = [d.name for d in R.drivers()]
+    assert names[:4] == ["solid", "mask", "blender", "mvt"]
+    with pytest.raises(ValueError):
+        R.register_driver("solid", lambda s: False, lambda s: None)
+    # replace=True swaps (mvt.cpp:821-829), deregister restores builtins
+    R.register_driver("solid", lambda s: False, lambda s: None, replace=True)
+    assert R._DRIVERS["solid"].description == ""
+    R.deregister_driver("solid")
+    R.register_builtins()
+    assert [d.name for d in R.drivers()][-1] == "solid"  # re-added at end
+
+
+def test_probe_unknown_raises():
+    with pytest.raises(R.UnknownFormat):
+        R.open_dataset("no driver claims this string")
+    with pytest.raises(R.UnknownFormat):
+        R.open_dataset("x", driver="nope")
+
+
+def test_open_solid_by_probe(ray_session):
+    spec = solid_mod.SolidSpec(srs="local", size=(512, 512),
+                               extents=Extents(0, 0, 512, 512),
+                               bands=[solid_mod.Band(7.0, "Byte")])
+    conf = solid_mod.write_config(spec)
+    ds = R.open_dataset(conf, include_overviews=False)
+    rows = ds.take_all()
+    assert len(rows) == 4  # 2x2 tiles of 256
+    a = np.frombuffer(rows[0]["px"], dtype=np.uint8)
+    assert (a == 7).all()
+
+
+def test_open_mask_by_magic(ray_session):
+    arr = np.zeros((512, 512), dtype=bool)
+    arr[:128, :300] = True
+    m = mask_mod.mask_from_array(arr, "local", Extents(0, 0, 512, 512))
+    buf = mask_mod.serialize(m)
+    ds = R.open_dataset(buf)
+    assert ds.count() > 0
+
+
+def test_open_mvt_router(ray_session, tmp_path):
+    # point feature: MoveTo x1 -> [cmd(1,1)=9, zz(10)=20, zz(20)=40]
+    tile = mvt_mod.encode_tile([{
+        "name": "roads", "extent": 4096,
+        "keys": ["k"], "values": [(1, "v")],
+        "features": [{"id": 1, "type": 1, "tags": [0, 0],
+                      "geometry": [9, 20, 40]}],
+    }])
+    store = str(tmp_path / "store.parquet")
+    # store rows are (zoom, col, row) with TMS row addressing: the lookup
+    # flips the request row (mbtiles.cpp:155): request 3-2-1 -> store row 6
+    tilestore.write_store(store, [(3, 2, (1 << 3) - 1 - 1, tile)])
+    ds = R.open_dataset(f"mvt:{store}/3-2-1")
+    rows = ds.take_all()
+    assert len(rows) == 1
+    assert rows[0]["layer"] == "roads"
+    with pytest.raises(ValueError):
+        R.open_dataset("mvt:/tmp/x.parquet/bad-key-xx")
