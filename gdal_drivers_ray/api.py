@@ -1,0 +1,58 @@
+"""Public batch API — the engine's counterpart of the reference's Python
+bindings (python/gdaldriversmodule.cpp:249-276: BlendingDataset(config)
+.read(type, withMask) / .warp(extents, srs, size, ...)).
+
+`read_raster` is the S15 sink (gdaldriversmodule.cpp:126-158 readDataset):
+materialize a (small) tile Dataset into one ndarray (+validity mask). It is
+deliberately a SINK for small results — e.g. one warped region, a test
+golden — not a pipeline stage; 100 TB rasters stay as tile Datasets.
+
+`warp` re-exports the S16 stage (stages/warp.py) so the common flow reads:
+
+    tiles = open_dataset(conf)                      # registry probe
+    out = warp(tiles, src_grid, dst_grid, "bilinear")
+    arr, mask = read_raster(out, dst_grid, nodata=0.0)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray.data
+
+from .grid import TILE
+from .registry import open_dataset  # noqa: F401  (re-export)
+from .stages.warp import RasterGrid, transform_points, warp_tiles  # noqa: F401
+
+warp = warp_tiles
+
+
+def read_raster(tiles: ray.data.Dataset, grid: RasterGrid, *,
+                band: int = 0, nodata: float = 0.0,
+                with_mask: bool = False):
+    """Assemble a TILE_SCHEMA Dataset into a full (ny, nx) float64 ndarray.
+
+    Tiles absent from the dataset read as `nodata` (mask 0). Only rows of
+    `band` at lod 0 are read; the pull is column-pruned before take."""
+    from .stages.warp import _np_dtype
+
+    out = np.full((grid.ny, grid.nx), nodata, dtype=np.float64)
+    mask = np.zeros((grid.ny, grid.nx), dtype=np.uint8)
+
+    cols = [c for c in ("lod", "band", "tile_x", "tile_y", "valid_w",
+                        "valid_h", "dtype", "px")
+            if c in tiles.schema().names]
+    for r in tiles.select_columns(cols).take_all():
+        if r.get("band", 0) != band or r.get("lod", 0) != 0:
+            continue
+        a = np.frombuffer(r["px"], dtype=_np_dtype(r["dtype"]))
+        a = a.reshape(TILE, TILE).astype(np.float64)
+        tx, ty = r["tile_x"], r["tile_y"]
+        vw = min(r.get("valid_w", TILE), grid.nx - tx * TILE)
+        vh = min(r.get("valid_h", TILE), grid.ny - ty * TILE)
+        if vw <= 0 or vh <= 0:
+            continue
+        out[ty * TILE:ty * TILE + vh, tx * TILE:tx * TILE + vw] = a[:vh, :vw]
+        mask[ty * TILE:ty * TILE + vh, tx * TILE:tx * TILE + vw] = 1
+    if with_mask:
+        return out, mask
+    return out

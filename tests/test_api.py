@@ -1,0 +1,42 @@
+"""Public API facade: open -> warp -> read (S15/S16 parity surface)."""
+
+import numpy as np
+
+from gdal_drivers_ray import api
+from gdal_drivers_ray.grid import Extents
+from gdal_drivers_ray.sources import solid
+
+
+def test_open_warp_read_flow(ray_session):
+    spec = solid.SolidSpec(srs="EPSG:4326", size=(512, 512),
+                           extents=Extents(-60.0, -30.0, 60.0, 30.0),
+                           bands=[solid.Band(9.0, "Byte")])
+    tiles = api.open_dataset(solid.write_config(spec),
+                             include_overviews=False)
+    sg = api.RasterGrid(spec.extents, "EPSG:4326", 512, 512)
+
+    mx0, mx1 = api.transform_points([-60.0, 60.0], [0.0, 0.0],
+                                    "EPSG:4326", "EPSG:3857")[0]
+    my0, my1 = api.transform_points([0.0, 0.0], [-30.0, 30.0],
+                                    "EPSG:4326", "EPSG:3857")[1]
+    dg = api.RasterGrid(Extents(float(mx0), float(my0),
+                                float(mx1), float(my1)),
+                        "EPSG:3857", 300, 300)
+    out = api.warp(tiles, sg, dg, resampling="nearest", nodata=-1.0)
+    arr, mask = api.read_raster(out, dg, nodata=-1.0, with_mask=True)
+    # the whole target grid lies inside the source: fully valid, constant 9
+    assert mask.all()
+    np.testing.assert_array_equal(arr, np.full((300, 300), 9.0))
+
+
+def test_read_raster_fills_missing_with_nodata(ray_session):
+    spec = solid.SolidSpec(srs="local", size=(512, 256),
+                           extents=Extents(0, 0, 512, 256),
+                           bands=[solid.Band(5.0, "Byte")])
+    tiles = api.open_dataset(solid.write_config(spec),
+                             include_overviews=False)
+    # grid larger than the data: right half missing -> nodata, mask 0
+    g = api.RasterGrid(Extents(0, 0, 1024, 256), "local", 1024, 256)
+    arr, mask = api.read_raster(tiles, g, nodata=-9.0, with_mask=True)
+    assert (arr[:, :512] == 5.0).all() and mask[:, :512].all()
+    assert (arr[:, 512:] == -9.0).all() and not mask[:, 512:].any()
