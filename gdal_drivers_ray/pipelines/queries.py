@@ -179,6 +179,10 @@ def q_tms_join(sf_dir: str) -> ray.data.Dataset:
     import pandas as pd
     store_df = pd.DataFrame({"skey": z * PACK_Z + row_tms * PACK_Y + col,
                              "payload": ot["o_orderkey"].to_numpy()})
+    # the store is PRIMARY-KEYED on (zoom,col,row) like the reference's
+    # sqlite tiles table (mbtiles.cpp:166-197): deterministic first-wins =
+    # min payload per key. Also kills the n_req x n_store join blowup.
+    store_df = store_df.groupby("skey", as_index=False)["payload"].min()
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
 
@@ -195,21 +199,36 @@ def q_tms_join(sf_dir: str) -> ray.data.Dataset:
     from ..stages.joins import broadcast_join
     r = li.map_batches(requests, batch_format="pyarrow")
     joined = broadcast_join(r, store_df, left_on="rkey", right_on="skey")
-    agg = joined.groupby("rkey").aggregate(
-        Count(alias_name="n_hits"),
-        Min("payload", alias_name="min_payload"),
-        Max("req_order", alias_name="max_req"),
+
+    # combiner: collapse each batch to one row per key BEFORE the shuffle —
+    # the exchange then carries ~n_keys rows per batch instead of every
+    # joined row (the partial-aggregate pattern of SURVEY §4)
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("rkey", as_index=False).agg(
+            n_hits=("rkey", "size"), min_payload=("payload", "min"),
+            max_req=("req_order", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("rkey").aggregate(
+            Sum("n_hits", alias_name="n_hits"),
+            Min("min_payload", alias_name="min_payload"),
+            Max("max_req", alias_name="max_req"),
     )
     return agg.rename_columns({"rkey": "key"})
 
 
 SQL_TMS_JOIN = """
 WITH store AS (
-  SELECT (3 + (o_orderkey % 3)) * 288230376151711744
-         + (CAST(floor(o_totalprice) AS BIGINT) % (1 << (3 + (o_orderkey % 3)))) * 536870912
-         + (o_custkey % (1 << (3 + (o_orderkey % 3)))) AS skey,
-         o_orderkey AS payload
-  FROM orders
+  -- primary-keyed store: first-wins (= min payload) per (zoom,col,row) key
+  SELECT skey, min(payload) AS payload FROM (
+    SELECT (3 + (o_orderkey % 3)) * 288230376151711744
+           + (CAST(floor(o_totalprice) AS BIGINT) % (1 << (3 + (o_orderkey % 3)))) * 536870912
+           + (o_custkey % (1 << (3 + (o_orderkey % 3)))) AS skey,
+           o_orderkey AS payload
+    FROM orders
+  ) GROUP BY skey
 ), req AS (
   SELECT (3 + (l_orderkey % 3)) * 288230376151711744
          + (((1 << (3 + (l_orderkey % 3))) - 1) - (l_suppkey % (1 << (3 + (l_orderkey % 3))))) * 536870912

@@ -99,6 +99,51 @@ class MinHasher:
         })
 
 
+def filter_collision_buckets(rows: ray.data.Dataset,
+                             keys: list[str]) -> ray.data.Dataset:
+    """Keep only rows whose bucket key occurs >= 2 times.
+
+    LSH bucket keys are mostly singletons (measured ~94% at sf0.1), and
+    `groupby(...).map_groups` pays one Python call PER GROUP — ~75k calls
+    of which ~70k return empty. A narrow count aggregate (keys only, no
+    signatures) finds the collision keys first; the collision set is tiny
+    and broadcast, and the expensive map_groups then runs over only real
+    buckets."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _combined(b: pa.Table) -> np.ndarray:
+        # fold to one int64 key; numpy wrap-around on overflow is fine (and
+        # identical in both passes) — it only needs to be a stable hash
+        combo = b[keys[0]].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            for k in keys[1:]:
+                combo = combo * np.int64(1_000_003) + \
+                    b[k].to_numpy().astype(np.int64)
+        return combo
+
+    def key_counts(b: pa.Table) -> pa.Table:
+        vals, cnts = np.unique(_combined(b), return_counts=True)
+        return pa.table({"ck": pa.array(vals),
+                         "n": pa.array(cnts.astype(np.int64))})
+
+    counts = (rows.select_columns(keys)
+                  .map_batches(key_counts, batch_format="pyarrow")
+                  .groupby("ck").aggregate(Sum("n", alias_name="n")))
+    hot = counts.map_batches(
+        lambda b: b.filter(pc.greater(b["n"], 1)).select(["ck"]),
+        batch_format="pyarrow").to_pandas()["ck"].to_numpy()
+    ref = ray.put(np.sort(hot))
+
+    def keep_hot(b: pa.Table) -> pa.Table:
+        hot_keys = ray.get(ref)
+        return b.filter(pa.array(
+            np.isin(_combined(b), hot_keys, assume_unique=False)))
+
+    return rows.map_batches(keep_hot, batch_format="pyarrow")
+
+
 def _pairs_from_groups(df: pd.DataFrame, max_bucket: int) -> list[tuple]:
     """(doc_id, signature) group -> unique candidate pairs (smallest first)."""
     out = []
@@ -119,10 +164,13 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
     """-> DataFrame (doc_id, cluster_id, is_keeper). Cluster id = min doc_id
     reachable through verified near-dup pairs; keeper = cluster min
     (first-per-group, the reference-free dedup rule of SURVEY.md §2.6)."""
-    hasher_cls = MinHasher  # bound args via lambda-free fn wrapper
+    # materialized: the collision filter consumes these rows twice (count
+    # pass + filter pass); without pinning, the whole hash stage re-executes.
+    # Signatures are ~1-2% of the text payload — a deliberate, bounded
+    # checkpoint, not a full-data materialization.
     sig_rows = docs.map_batches(
         MinHasher(n_perm, bands), batch_format="pyarrow", batch_size=512,
-        concurrency=concurrency)
+        concurrency=concurrency).materialize()
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         pairs = _pairs_from_groups(g[["doc_id", "signature"]], max_bucket)
@@ -139,7 +187,8 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
             est.append(float((sa == sb).mean()))   # signature Jaccard estimate
         return pd.DataFrame({"a": a_, "b": b_, "est": est})
 
-    pairs = sig_rows.groupby(["band_id", "band_hash"]).map_groups(
+    cand = filter_collision_buckets(sig_rows, ["band_id", "band_hash"])
+    pairs = cand.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas").to_pandas()
     pairs = pairs[pairs["est"] >= threshold].drop_duplicates(["a", "b"])
     all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
@@ -220,7 +269,7 @@ def simhash_dedup(docs: ray.data.Dataset, *, max_hamming: int = 3,
     from ..codecs import hamming64
 
     rows = docs.map_batches(SimHasher(), batch_format="pyarrow",
-                            batch_size=512)
+                            batch_size=512).materialize()  # consumed twice
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("doc_id").sort_values("doc_id")
@@ -234,7 +283,8 @@ def simhash_dedup(docs: ray.data.Dataset, *, max_hamming: int = 3,
         keep = d <= max_hamming
         return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep]})
 
-    pairs = rows.groupby(["band_id", "band_hash"]).map_groups(
+    cand = filter_collision_buckets(rows, ["band_id", "band_hash"])
+    pairs = cand.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas").to_pandas().drop_duplicates(["a", "b"])
     all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
     return clusters_from_pairs(all_ids, list(zip(pairs["a"], pairs["b"])))

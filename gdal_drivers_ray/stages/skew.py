@@ -20,6 +20,8 @@ correctness is uniform.
 
 from __future__ import annotations
 
+import sys
+from functools import partial as _partial
 from typing import Callable
 
 import numpy as np
@@ -27,6 +29,10 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+
+# size accounting goes to stderr: stdout is reserved for result contracts
+# (bench.py prints exactly one JSON line)
+_log_stderr = _partial(print, file=sys.stderr)
 
 
 def partition_sizes(ds: ray.data.Dataset, key: str) -> pd.DataFrame:
@@ -58,7 +64,7 @@ def salted_map_groups(
     n_salts: int = 16,
     hot_threshold: int = 100_000,
     sizes: pd.DataFrame | None = None,
-    log: Callable[[str], None] = print,
+    log: Callable[[str], None] = _log_stderr,
 ) -> ray.data.Dataset:
     """Two-phase salted groupby. `partial` maps one (key, salt) group of raw
     rows to partial-aggregate rows (must include `key`); `combine` reduces
