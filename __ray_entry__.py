@@ -37,23 +37,19 @@ def entry() -> Any:
     actor stage -> tile/cell assignment -> per-row invariant columns."""
     sf_dir = "/root/testdata/sf0.001"
     path = fixtures.images_path_for(sf_dir)
-    import pyarrow.parquet as pq
-    n = pq.read_metadata(path).num_rows
-    lod = fixtures.lod_for_count(n)
+    lod = fixtures.lod_for_count(fixtures.count_rows(path))
     return _flagship.flagship(path, lod)
 
 
 def _images_flagship(sf_dir: str) -> Any:
     path = fixtures.images_path_for(sf_dir)
-    import pyarrow.parquet as pq
-    lod = fixtures.lod_for_count(pq.read_metadata(path).num_rows)
+    lod = fixtures.lod_for_count(fixtures.count_rows(path))
     return _flagship.flagship(path, lod)
 
 
 def _images_lod_rollup(sf_dir: str) -> Any:
     path = fixtures.images_path_for(sf_dir)
-    import pyarrow.parquet as pq
-    lod = fixtures.lod_for_count(pq.read_metadata(path).num_rows)
+    lod = fixtures.lod_for_count(fixtures.count_rows(path))
     return _flagship.lod_rollup(_flagship.tile_index(path, lod))
 
 

@@ -88,19 +88,36 @@ def make_images_table(n: int, lod: int | None = None) -> pa.Table:
     })
 
 
+def count_rows(path: str) -> int:
+    """Row count of a parquet file OR multi-file directory (footers only)."""
+    if os.path.isdir(path):
+        return sum(pq.read_metadata(os.path.join(path, f)).num_rows
+                   for f in os.listdir(path) if f.endswith(".parquet"))
+    return pq.read_metadata(path).num_rows
+
+
 def write_images_parquet(path: str, n: int, lod: int | None = None,
-                         rows_per_group: int = 2048) -> str:
-    """Write (and cache) the fixture table; returns the path. Idempotent:
-    an existing file with the right row count is reused."""
+                         rows_per_file: int = 2048) -> str:
+    """Write (and cache) the fixture as a DIRECTORY of ~2048-row parquet
+    files — the many-fragments layout a real 100 TB input has, and what
+    lets ray.data.read_parquet fan the read out across tasks (a single
+    file is read by ONE task regardless of row groups; measured 2.7s
+    serial at 64k rows). Idempotent on matching row count."""
     if os.path.exists(path):
         try:
-            if pq.read_metadata(path).num_rows == n:
+            if count_rows(path) == n:
                 return path
         except Exception:
             pass
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+        if os.path.isfile(path):
+            os.unlink(path)
+    os.makedirs(path, exist_ok=True)
     t = make_images_table(n, lod)
-    pq.write_table(t, path, row_group_size=rows_per_group)
+    for fi, start in enumerate(range(0, n, rows_per_file)):
+        pq.write_table(t.slice(start, rows_per_file),
+                       os.path.join(path, f"part-{fi:05d}.parquet"))
     return path
 
 
@@ -110,5 +127,5 @@ def images_path_for(sf_dir: str, n: int | None = None) -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     if n is None:
         n = {"sf0.001": 1000, "sf0.01": 4000, "sf0.1": 16000}.get(tag, 1000)
-    path = f"/tmp/graft_fixtures/{tag}/images_{n}.parquet"
+    path = f"/tmp/graft_fixtures/{tag}/images_{n}"
     return write_images_parquet(path, n)

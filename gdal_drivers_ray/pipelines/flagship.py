@@ -26,19 +26,11 @@ def tile_index(images_path: str, lod: int, *, concurrency=None,
                batch_size: int = 512, keep_pixels: bool = False) -> ray.data.Dataset:
     """images parquet -> per-tile feature Dataset (narrow unless keep_pixels).
 
-    The read fans out at ROW-GROUP granularity: a single big file would
-    otherwise be one read task that serializes the whole pipeline behind
-    it (measured 4.1s of a 5.7s wall at sf0.1). At real scale inputs are
-    many files/fragments and this is automatic; override_num_blocks makes
-    the single-file bench behave the same way."""
-    try:
-        import pyarrow.parquet as pq
-        n_rg = pq.read_metadata(images_path).num_row_groups
-    except Exception:
-        n_rg = 1
-    ds = ray.data.read_parquet(
-        images_path,
-        override_num_blocks=n_rg if n_rg > 1 else None)
+    Read parallelism comes from the input being MANY FILES (one read task
+    per fragment) — a single big file is read by one task regardless of
+    row groups (measured 2.7s serial at 64k rows). Fixtures and outputs
+    are multi-file directories for this reason; so is any real input."""
+    ds = ray.data.read_parquet(images_path)
     return ds.map_batches(
         DecodeImages(lod=lod, keep_pixels=keep_pixels),
         batch_format="pyarrow",
@@ -158,12 +150,6 @@ class IngestTiles:
 def ingest(images_path: str, lod: int, *, batch_size: int = 256,
            concurrency=None) -> ray.data.Dataset:
     """read -> IngestTiles actor pool -> narrow features + child tiles."""
-    try:
-        import pyarrow.parquet as pq
-        n_rg = pq.read_metadata(images_path).num_row_groups
-    except Exception:
-        n_rg = 1
-    ds = ray.data.read_parquet(
-        images_path, override_num_blocks=n_rg if n_rg > 1 else None)
+    ds = ray.data.read_parquet(images_path)
     return ds.map_batches(IngestTiles(lod), batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)

@@ -54,6 +54,8 @@ def q_image_resize(sf_dir: str) -> ray.data.Dataset:
     path = fixtures.images_path_for(sf_dir)
     ds = ray.data.read_parquet(path,
                                columns=["image_id", "bytes", "w", "h", "fmt"])
-    return ds.map_batches(MM.ResizeImages(factor=2), concurrency=2,
-                          batch_size=64, batch_format="pyarrow") \
+    return ds.map_batches(MM.ResizeImages,
+                          fn_constructor_kwargs={"factor": 2},
+                          concurrency=(2, 16), batch_size=64,
+                          batch_format="pyarrow") \
              .select_columns(["image_id", "w", "h", "fmt"])

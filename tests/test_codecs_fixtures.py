@@ -65,4 +65,4 @@ def test_images_table_schema_and_dups(tmp_path):
     p = str(tmp_path / "img.parquet")
     fixtures.write_images_parquet(p, 200)
     fixtures.write_images_parquet(p, 200)
-    assert pq.read_metadata(p).num_rows == 200
+    assert fixtures.count_rows(p) == 200

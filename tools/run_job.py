@@ -65,7 +65,7 @@ def main() -> int:
 
     lod = args.lod
     if lod is None:
-        lod = fixtures.lod_for_count(pq.read_metadata(args.input).num_rows)
+        lod = fixtures.lod_for_count(fixtures.count_rows(args.input))
 
     from gdal_drivers_ray.grid import cell_id
     from gdal_drivers_ray.stages.decode import DecodeImages
