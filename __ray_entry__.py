@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # raster generator sources (binary tiles, NumPy-oracle tested)
         "solid_tiles": _rq.q_solid_tiles,
         "mask_tiles": _rq.q_mask_tiles,
+        "lod_pyramid": _rq.q_lod_pyramid,
         # vector path: store lookup -> MVT decode -> feature aggregates
         "mvt_pipeline": _vq.q_mvt_pipeline,
         "mvt_errors": _vq.q_mvt_errors,

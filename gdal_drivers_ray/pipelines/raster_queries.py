@@ -76,3 +76,42 @@ def q_mask_tiles(sf_dir: str) -> ray.data.Dataset:
              .groupby("lod").aggregate(
                  Sum("white_px", alias_name="white_px"),
                  Sum("gray_px", alias_name="gray_px"))
+
+
+def q_lod_pyramid(sf_dir: str) -> ray.data.Dataset:
+    """Full-pixel LOD pyramid from a deterministic mask raster: per-level
+    tile counts + pixel checksum (rows-only; pixel parity vs the NumPy
+    oracle in tests/test_pyramid.py). M2 as groupby(parent).map_groups."""
+    from ..stages import pyramid as P
+
+    base = _fixed_mask_tiles_lod2()
+    ds = P.build_pyramid(base, 2, top_lod=0)
+
+    def stats(b: pa.Table) -> pa.Table:
+        sums = []
+        for px, dt in zip(b["px"].to_pylist(), b["dtype"].to_pylist()):
+            arr = np.frombuffer(px, dtype=np.dtype(dt))
+            sums.append(int(arr.astype(np.int64).sum()))
+        return pa.table({"lod": b["lod"],
+                         "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                         "px_sum": pa.array(sums, type=pa.int64())})
+
+    return ds.map_batches(stats, batch_format="pyarrow") \
+             .groupby("lod").aggregate(Sum("n", alias_name="n_tiles"),
+                                       Sum("px_sum", alias_name="px_sum"))
+
+
+def _fixed_mask_tiles_lod2() -> ray.data.Dataset:
+    """Deterministic 1024x1024 uint8 raster as 16 tiles at lod 2."""
+    import ray
+
+    rng = np.random.default_rng(77)
+    arr = rng.integers(0, 255, (1024, 1024), dtype=np.uint8)
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            block = arr[ty * 256:(ty + 1) * 256, tx * 256:(tx + 1) * 256]
+            rows.append({"lod": 2, "band": 0, "tile_x": tx, "tile_y": ty,
+                         "valid_w": 256, "valid_h": 256, "dtype": "uint8",
+                         "px": block.tobytes()})
+    return ray.data.from_items(rows)
