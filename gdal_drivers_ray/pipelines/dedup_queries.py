@@ -84,3 +84,18 @@ def q_ann_lsh(sf_dir: str):
                                 columns=["vec_id", "embedding"]) \
         .filter(expr="vec_id >= 5")
     return ann.ann_lsh_topk(emb, qids, qmat, k=10, n_bits=4, multiprobe=2)
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF ANN top-10 (rows-only; recall + probe-all exactness vs brute
+    force in tests/test_ann.py). Same query set as knn_brute/ann_lsh."""
+    import pyarrow.parquet as pq
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 5)]).sort_by("vec_id")
+    qids = qt["vec_id"].to_numpy()
+    qmat = np.stack([np.asarray(e, np.float64) for e in qt["embedding"].to_pylist()])
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id >= 5")
+    return ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=8, n_probe=4)

@@ -111,3 +111,111 @@ def ann_lsh_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
     return partials.groupby("query_id").map_groups(
         finalize, batch_format="pandas").to_pandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) variant — coarse k-means cells + probed exact refine
+# ---------------------------------------------------------------------------
+
+def train_centroids(sample: np.ndarray, n_cells: int, n_iter: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Deterministic Lloyd k-means on a (normalized) sample.
+
+    At 100 TB the sample is a tiny `ds.random_sample` pulled to the driver;
+    the trained centroid matrix is the broadcast state — standard IVF
+    (Jégou et al., "Product quantization for nearest neighbor search",
+    TPAMI 2011, public method)."""
+    rng = np.random.default_rng(seed)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    cent = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(n_iter):
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+class IvfAssign:
+    """Actor-pool stage: embedding -> nearest-centroid cell id + normalized
+    vector bytes. Centroids live in actor state (broadcast once via the
+    object store, not re-shipped per batch)."""
+
+    def __init__(self, cent_ref):
+        self.cent = ray.get(cent_ref) if hasattr(cent_ref, "hex") \
+            else np.asarray(cent_ref)
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        vecs = np.stack(b["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        cell = np.argmax(vecs @ self.cent.T, axis=1).astype(np.int32)
+        return pa.table({
+            "vec_id": b["vec_id"],
+            "cell": pa.array(cell),
+            "vec": pa.array([v.tobytes() for v in vecs], pa.large_binary()),
+        })
+
+
+def ann_ivf_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
+                 qmat: np.ndarray, k: int = 10, n_cells: int = 16,
+                 n_probe: int = 4, sample_n: int = 2048) -> pd.DataFrame:
+    """IVF ANN: train coarse cells on a sample, assign every vector to its
+    cell, then for each query search only the `n_probe` nearest cells with
+    exact cosine; per-batch partial top-k, tiny driver-side finalize.
+
+    -> DataFrame (query_id, neighbor_id, sim) with per-query top-k
+    (self excluded), ties broken by neighbor_id.
+    """
+    # 1. sample -> centroids (driver-side; tiny)
+    samp = emb.limit(sample_n).to_pandas()
+    mat = np.stack([np.asarray(e, np.float64)
+                    for e in samp["embedding"]])
+    cent = train_centroids(mat, n_cells)
+    cent_ref = ray.put(cent)
+
+    # 2. assign cells (actor pool holding centroids)
+    assigned = emb.map_batches(IvfAssign, fn_constructor_args=(cent_ref,),
+                               batch_format="pyarrow", batch_size=1024,
+                               concurrency=(1, 8))
+
+    # 3. queries -> probed cells (driver-side: query set is small)
+    qmat = np.asarray(qmat, dtype=np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
+                             1e-12)
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, probe))
+
+    # 4. per-batch exact refine within probed cells + partial top-k
+    def refine(b: pa.Table) -> pa.Table:
+        qids, qm, pr = ray.get(qref)
+        cells = b["cell"].to_numpy()
+        vids = b["vec_id"].to_numpy()
+        vecs = np.stack([np.frombuffer(v, dtype=np.float64)
+                         for v in b["vec"].to_pylist()])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            m = np.isin(cells, pr[qi]) & (vids != qids[qi])
+            if not m.any():
+                continue
+            sims = vecs[m] @ qm[qi]
+            ids = vids[m]
+            take = np.argsort(-sims, kind="stable")[:k]
+            out_q.extend([qids[qi]] * len(take))
+            out_n.extend(ids[take].tolist())
+            out_s.extend(sims[take].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = assigned.map_batches(refine, batch_format="pyarrow") \
+        .to_pandas()
+    # 5. finalize: global top-k per query (tiny: nq * k * n_batches rows)
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"],
+        ascending=[True, False, True], kind="stable")
+    return partials.groupby("query_id", as_index=False).head(k) \
+        .reset_index(drop=True)

@@ -66,3 +66,47 @@ def test_ann_lsh_exact_when_one_bucket(ray_session, emb_data):
     for qi in qids:
         g = list(got[got["query_id"] == qi].sort_values("rank")["neighbor_id"])
         assert g == want[int(qi)]
+
+
+def test_ann_ivf_recall(ray_session, emb_data):
+    import ray.data
+
+    ids, mat = emb_data
+    qids = ids[:5]
+    qmat = mat[:5]
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id >= 5")
+    got = ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=8, n_probe=4)
+    want = brute_topk(ids, mat, qids, qmat)
+    recalls = []
+    for qi in qids:
+        g = set(got[got["query_id"] == qi]["neighbor_id"])
+        recalls.append(len(g & set(want[int(qi)])) / 10)
+    # probing half the cells on uniform-random vectors: decent recall
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_ann_ivf_exact_when_probing_all_cells(ray_session, emb_data):
+    import ray.data
+
+    ids, mat = emb_data
+    qids = ids[:3]
+    qmat = mat[:3]
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"]) \
+        .filter(expr="vec_id >= 5")
+    got = ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=4, n_probe=4)
+    want = brute_topk(ids, mat, qids, qmat)
+    for qi in qids:
+        g = list(got[got["query_id"] == qi]["neighbor_id"])
+        assert set(g) == set(want[int(qi)]), qi
+
+
+def test_train_centroids_deterministic_and_normalized():
+    rng = np.random.default_rng(1)
+    s = rng.standard_normal((256, 16))
+    c1 = ann.train_centroids(s, 8)
+    c2 = ann.train_centroids(s, 8)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
