@@ -42,17 +42,26 @@ def _perm_params(n_perm: int, seed: int = 42):
     return a, b
 
 
+_SHINGLE_BASE = np.uint64(1099511628211)  # FNV prime; mod 2^64 wraparound
+
+
 def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingles -> stable 64-bit hashes (vector per doc)."""
+    """Character k-shingles -> stable 64-bit hashes (vector per doc).
+
+    Vectorized polynomial rolling hash over codepoints (k fused vector ops
+    per doc instead of one blake2b call per shingle — the former dominated
+    the minhash stage profile). Distinct shingles only."""
     t = text.lower()
     if len(t) < k:
         t = t.ljust(k)
-    views = [t[i:i + k] for i in range(len(t) - k + 1)]
-    hs = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(),
-                        "little") for s in set(views)),
-        dtype=np.uint64, count=len(set(views)))
-    return hs
+    c = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    n = len(c) - k + 1
+    hs = np.zeros(n, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            hs = hs * _SHINGLE_BASE + c[i:i + n]
+    return np.unique(hs)
 
 
 def minhash_signature(hashes: np.ndarray, a: np.ndarray,
@@ -99,9 +108,10 @@ class MinHasher:
         })
 
 
-def filter_collision_buckets(rows: ray.data.Dataset,
-                             keys: list[str]) -> ray.data.Dataset:
-    """Keep only rows whose bucket key occurs >= 2 times.
+def filter_collision_buckets(rows: ray.data.Dataset, keys: list[str],
+                             max_count: int | None = None) -> ray.data.Dataset:
+    """Keep only rows whose bucket key occurs >= 2 times (and, with
+    `max_count`, at most that many — the degenerate-bucket cap).
 
     LSH bucket keys are mostly singletons (measured ~94% at sf0.1), and
     `groupby(...).map_groups` pays one Python call PER GROUP — ~75k calls
@@ -131,9 +141,14 @@ def filter_collision_buckets(rows: ray.data.Dataset,
     counts = (rows.select_columns(keys)
                   .map_batches(key_counts, batch_format="pyarrow")
                   .groupby("ck").aggregate(Sum("n", alias_name="n")))
+    def keep_keys(b: pa.Table) -> pa.Table:
+        m = pc.greater(b["n"], 1)
+        if max_count is not None:
+            m = pc.and_(m, pc.less_equal(b["n"], max_count))
+        return b.filter(m).select(["ck"])
+
     hot = counts.map_batches(
-        lambda b: b.filter(pc.greater(b["n"], 1)).select(["ck"]),
-        batch_format="pyarrow").to_pandas()["ck"].to_numpy()
+        keep_keys, batch_format="pyarrow").to_pandas()["ck"].to_numpy()
     ref = ray.put(np.sort(hot))
 
     def keep_hot(b: pa.Table) -> pa.Table:
@@ -172,22 +187,26 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
         MinHasher(n_perm, bands), batch_format="pyarrow", batch_size=512,
         concurrency=concurrency).materialize()
 
+    # NOTE: a native Dataset.join self-join was tried here and DEADLOCKS on
+    # small clusters (HashShuffleAggregator actors starve the map tasks at
+    # num_cpus=4) — groupby().map_groups over collision-only buckets is the
+    # portable plan; the collision filter caps buckets at max_bucket so no
+    # reducer sees a degenerate group.
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        pairs = _pairs_from_groups(g[["doc_id", "signature"]], max_bucket)
-        if not pairs:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        if len(g) < 2:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64),
                                  "est": pd.Series([], dtype=np.float64)})
-        a_, b_, est = [], [], []
-        for ra, rb in pairs:
-            sa = np.frombuffer(ra.signature, dtype=np.int64)
-            sb = np.frombuffer(rb.signature, dtype=np.int64)
-            a_.append(ra.doc_id)
-            b_.append(rb.doc_id)
-            est.append(float((sa == sb).mean()))   # signature Jaccard estimate
-        return pd.DataFrame({"a": a_, "b": b_, "est": est})
+        ids = g["doc_id"].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.int64)
+                         for s in g["signature"]])     # (m, n_perm), once
+        ii, jj = np.triu_indices(len(ids), k=1)
+        est = (sigs[ii] == sigs[jj]).mean(axis=1)      # all pairs vectorized
+        return pd.DataFrame({"a": ids[ii], "b": ids[jj], "est": est})
 
-    cand = filter_collision_buckets(sig_rows, ["band_id", "band_hash"])
+    cand = filter_collision_buckets(sig_rows, ["band_id", "band_hash"],
+                                    max_count=max_bucket)
     pairs = cand.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas").to_pandas()
     pairs = pairs[pairs["est"] >= threshold].drop_duplicates(["a", "b"])
