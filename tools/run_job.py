@@ -107,10 +107,19 @@ def main() -> int:
     wall = time.perf_counter() - t0
     rows = sum(e["rows"] for e in entries)
 
+    # explicit partition-size accounting (north-rule): skew is visible in
+    # the summary; a salted re-split (stages/skew.py) is warranted when
+    # max/mean diverges
+    sizes = sorted((e["rows"] for e in entries), reverse=True)
     summary = {
         "input": args.input,
         "out": args.out,
         "lod": lod,
+        "partition_rows": {"max": sizes[0] if sizes else 0,
+                           "min": sizes[-1] if sizes else 0,
+                           "mean": round(sum(sizes) / len(sizes), 1)
+                                   if sizes else 0,
+                           "top8": sizes[:8]},
         "code_version": code_version(),
         "resumed": bool(args.resume),
         "parts_done_before": done_before,
