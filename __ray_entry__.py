@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": _q.q_token_count,
         "quality": _q.q_quality,
         "events_window": _q.q_events_window,
+        "asof_join": _q.q_asof_join,
         "knn_brute": _q.q_knn_brute,
         # image pipelines over the deterministic input_hint fixture
         # (binary decode is not SQL-expressible -> rows-only checks)
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _q.SQL_TOKEN_COUNT,
         "quality": _q.SQL_QUALITY,
         "events_window": _q.SQL_EVENTS_WINDOW,
+        "asof_join": _q.SQL_ASOF_JOIN,
         "knn_brute": _q.SQL_KNN_BRUTE,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
         "knn_kring": _sq.SQL_KNN_KRING,

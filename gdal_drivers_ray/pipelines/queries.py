@@ -556,3 +556,50 @@ SELECT rect_id, count(*) AS n_points
 FROM rects JOIN pts ON x >= x0 AND x < x1 AND y >= y0 AND y < y1
 GROUP BY rect_id
 """
+
+
+def q_asof_join(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF join (engine custom op): each purchase event matched to the
+    latest click <= its timestamp by the same user; gap reported in integer
+    microseconds. DuckDB twin uses a windowed join."""
+    from ..stages.joins import asof_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "user_id",
+                                        "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'") \
+                  .select_columns(["event_id", "ts", "user_id"])
+    clicks = ev.filter(expr="event_type == 'click'") \
+               .select_columns(["event_id", "ts", "user_id"])
+    j = asof_join(purchases, clicks, key="user_id", time_col="ts",
+                  tie_col="event_id")
+
+    def finish(b: pa.Table) -> pa.Table:
+        gap = pc.cast(pc.subtract(pc.cast(b["ts"], pa.int64()),
+                                  pc.cast(b["ts_r"], pa.int64())), pa.int64())
+        return pa.table({
+            "purchase_id": b["event_id"],
+            "user_id": b["user_id"],
+            "click_id": b["event_id_r"],
+            "gap_us": gap,
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ASOF_JOIN = """
+WITH p AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id, ts, user_id FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS pts,
+         c.event_id AS click_id, c.ts AS cts,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT purchase_id, user_id, click_id,
+       CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS gap_us
+FROM j WHERE rn = 1
+"""

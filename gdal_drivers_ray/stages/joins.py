@@ -46,3 +46,52 @@ def shuffle_join(left: ray.data.Dataset, right: ray.data.Dataset,
     """Both-sides-large hash join (all-to-all exchange)."""
     return left.join(right, join_type=how, num_partitions=num_partitions,
                      on=on, right_on=right_on)
+
+
+def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
+              key: str, time_col: str, *, tie_col: str,
+              suffix: str = "_r") -> ray.data.Dataset:
+    """AS-OF join: each left row matches the latest right row with
+    right.time <= left.time within the same key (inner: unmatched left rows
+    drop). A custom operator Ray Data lacks; composed as
+    union(tagged sides) -> groupby(key).map_groups(vectorized searchsorted).
+
+    PARTITIONING ASSUMPTION: one key's full history must fit one reducer
+    (the match needs the whole right-side timeline of that key). For keys
+    too hot for that, pre-split by coarse time bucket and carry the last
+    right row of bucket i into bucket i+1 — not needed at current scales.
+
+    Ties on time resolve to the largest `tie_col` (deterministic).
+    Output = left columns + right's time/tie columns suffixed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    lcols = left.schema().names
+    l = left.map_batches(
+        lambda b: b.append_column("_side", pa.array([0] * b.num_rows,
+                                                    pa.int8())),
+        batch_format="pyarrow")
+    r = right.map_batches(
+        lambda b: b.append_column("_side", pa.array([1] * b.num_rows,
+                                                    pa.int8())),
+        batch_format="pyarrow")
+
+    def match(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0]
+        rg = g[g["_side"] == 1].sort_values([time_col, tie_col],
+                                           kind="stable")
+        if lg.empty or rg.empty:
+            cols = {c: pd.Series([], dtype=g[c].dtype) for c in lcols}
+            cols[time_col + suffix] = pd.Series([], dtype=g[time_col].dtype)
+            cols[tie_col + suffix] = pd.Series([], dtype=g[tie_col].dtype)
+            return pd.DataFrame(cols)
+        rt = rg[time_col].to_numpy()
+        pos = np.searchsorted(rt, lg[time_col].to_numpy(), side="right") - 1
+        ok = pos >= 0
+        out = lg.loc[ok, lcols].reset_index(drop=True)
+        out[time_col + suffix] = rg[time_col].to_numpy()[pos[ok]]
+        out[tie_col + suffix] = rg[tie_col].to_numpy()[pos[ok]]
+        return out
+
+    return l.union(r).groupby(key).map_groups(match, batch_format="pandas")

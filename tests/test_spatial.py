@@ -124,3 +124,31 @@ def test_knn_kring_query_outside_cloud(ray_session):
                             "x": [95.0], "y": [95.0]})
     got = spatial.knn_kring(pts, queries, k=3, world=WORLD, lod=5)
     assert list(got["neighbor_id"]) == [49, 48, 47]
+
+
+def test_asof_join_semantics(ray_session):
+    """AS-OF: latest right <= left time per key; ties -> max tie_col;
+    unmatched left drops (stages/joins.asof_join)."""
+    import pandas as pd
+    import ray.data
+
+    from gdal_drivers_ray.stages.joins import asof_join
+
+    left = ray.data.from_items([
+        {"event_id": 100, "ts": 50, "user_id": 1},
+        {"event_id": 101, "ts": 5, "user_id": 1},   # before any right -> drop
+        {"event_id": 102, "ts": 30, "user_id": 2},
+        {"event_id": 103, "ts": 10, "user_id": 3},  # user 3 has no rights
+    ])
+    right = ray.data.from_items([
+        {"event_id": 1, "ts": 10, "user_id": 1},
+        {"event_id": 2, "ts": 50, "user_id": 1},   # equal ts -> matches
+        {"event_id": 3, "ts": 50, "user_id": 1},   # tie: higher id wins
+        {"event_id": 4, "ts": 30, "user_id": 2},
+    ])
+    out = asof_join(left, right, key="user_id", time_col="ts",
+                    tie_col="event_id").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["event_id"].tolist() == [100, 102]
+    assert out["event_id_r"].tolist() == [3, 4]    # tie broke to id 3
+    assert out["ts_r"].tolist() == [50, 30]
