@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q.q_quality,
         "events_window": _q.q_events_window,
         "asof_join": _q.q_asof_join,
+        "range_join": _q.q_range_join,
         "knn_brute": _q.q_knn_brute,
         # image pipelines over the deterministic input_hint fixture
         # (binary decode is not SQL-expressible -> rows-only checks)
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": _q.SQL_QUALITY,
         "events_window": _q.SQL_EVENTS_WINDOW,
         "asof_join": _q.SQL_ASOF_JOIN,
+        "range_join": _q.SQL_RANGE_JOIN,
         "knn_brute": _q.SQL_KNN_BRUTE,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
         "knn_kring": _sq.SQL_KNN_KRING,

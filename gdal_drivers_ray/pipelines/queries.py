@@ -603,3 +603,49 @@ SELECT purchase_id, user_id, click_id,
        CAST(epoch_us(pts) - epoch_us(cts) AS BIGINT) AS gap_us
 FROM j WHERE rn = 1
 """
+
+
+def q_range_join(sf_dir: str) -> ray.data.Dataset:
+    """RANGE join (engine custom op): lineitem extendedprice against price
+    bands derived from region keys [1000*r^2, 1000*(r+1)^2); count + integer
+    cent-sum per band. Bands broadcast; containment refined vectorized."""
+    import pandas as pd
+
+    from ..stages.joins import range_join
+
+    bands = pd.DataFrame({
+        "band_id": np.arange(8, dtype=np.int64),
+        "lo": (1000.0 * np.arange(8) ** 2),
+        "hi": (1000.0 * (np.arange(8) + 1) ** 2),
+    })
+    li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    j = range_join(li, bands, "l_extendedprice", "lo", "hi",
+                   bucket_width=1000.0)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        cents = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        g = pd.DataFrame({"band_id": df["band_id"], "c": cents}) \
+            .groupby("band_id", as_index=False) \
+            .agg(n=("c", "size"), sum_cents=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return j.map_batches(partial, batch_format="pyarrow") \
+        .groupby("band_id").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"))
+
+
+SQL_RANGE_JOIN = """
+WITH bands AS (
+  SELECT CAST(r AS BIGINT) AS band_id,
+         1000.0 * r * r AS lo, 1000.0 * (r + 1) * (r + 1) AS hi
+  FROM (SELECT unnest(range(0, 8)) AS r)
+)
+SELECT band_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM lineitem JOIN bands
+  ON l_extendedprice >= lo AND l_extendedprice < hi
+GROUP BY band_id
+"""

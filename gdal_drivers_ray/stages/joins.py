@@ -95,3 +95,69 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return out
 
     return l.union(r).groupby(key).map_groups(match, batch_format="pandas")
+
+
+def range_join(points: ray.data.Dataset, intervals,
+               value_col: str, lo_col: str, hi_col: str,
+               bucket_width: float) -> ray.data.Dataset:
+    """RANGE join: point row x interval row where lo <= value < hi.
+
+    The interval side (small) is bucketed by `bucket_width` on the driver:
+    each interval lands in every bucket it overlaps, and the bucket table is
+    broadcast once via ray.put. Point batches compute their bucket and
+    refine the containment vectorized — the 1-D version of the PIP
+    cell-prefilter (quad constraint, mask.cpp:229-233).
+
+    PARTITIONING ASSUMPTION: the interval side fits in one broadcast object
+    (typical dimension-table case). For two large sides, flat_map BOTH to
+    bucket keys and use a shuffle join on the bucket instead.
+
+    `intervals` is a pandas DataFrame with lo_col/hi_col (+payload cols).
+    Output = point columns + the matched interval's columns.
+    """
+    import collections
+
+    import numpy as np
+    import pandas as pd
+
+    buckets: dict[int, list[int]] = collections.defaultdict(list)
+    lo = intervals[lo_col].to_numpy()
+    hi = intervals[hi_col].to_numpy()
+    for i in range(len(intervals)):
+        b0 = int(np.floor(lo[i] / bucket_width))
+        b1 = int(np.ceil(hi[i] / bucket_width))
+        for b in range(b0, max(b1, b0 + 1)):
+            buckets[b].append(i)
+    ref = ray.put((dict(buckets), intervals))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bks, iv = ray.get(ref)
+        df = batch.to_pandas()
+        v = df[value_col].to_numpy()
+        pb = np.floor(v / bucket_width).astype(np.int64)
+        ilo = iv[lo_col].to_numpy()
+        ihi = iv[hi_col].to_numpy()
+        # candidate intervals = union over buckets present in this batch;
+        # then one vectorized containment mask per candidate interval
+        cand = sorted({i for b in np.unique(pb) for i in bks.get(int(b), ())})
+        out_p: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        for i in cand:
+            m = (v >= ilo[i]) & (v < ihi[i])
+            if m.any():
+                idx = np.nonzero(m)[0]
+                out_p.append(idx)
+                out_i.append(np.full(len(idx), i, dtype=np.int64))
+        if not out_p:
+            return pa.Table.from_pandas(
+                pd.concat([df.iloc[:0].reset_index(drop=True),
+                           iv.iloc[:0].reset_index(drop=True)], axis=1),
+                preserve_index=False)
+        pi = np.concatenate(out_p)
+        ii = np.concatenate(out_i)
+        left = df.iloc[pi].reset_index(drop=True)
+        right = iv.iloc[ii].reset_index(drop=True)
+        return pa.Table.from_pandas(pd.concat([left, right], axis=1),
+                                    preserve_index=False)
+
+    return points.map_batches(probe, batch_format="pyarrow")

@@ -152,3 +152,24 @@ def test_asof_join_semantics(ray_session):
     assert out["event_id"].tolist() == [100, 102]
     assert out["event_id_r"].tolist() == [3, 4]    # tie broke to id 3
     assert out["ts_r"].tolist() == [50, 30]
+
+
+def test_range_join_semantics(ray_session):
+    """Half-open [lo, hi) containment; intervals spanning many buckets;
+    points matching multiple overlapping intervals."""
+    import pandas as pd
+    import ray.data
+
+    from gdal_drivers_ray.stages.joins import range_join
+
+    pts = ray.data.from_items([{"pid": i, "v": float(x)}
+                               for i, x in enumerate([0.0, 5.0, 10.0, 99.0,
+                                                      150.0, 250.0])])
+    iv = pd.DataFrame({"iid": [0, 1, 2],
+                       "lo": [0.0, 5.0, 100.0],
+                       "hi": [10.0, 200.0, 200.0]})  # 1 spans many buckets
+    out = range_join(pts, iv, "v", "lo", "hi", bucket_width=10.0) \
+        .to_pandas().sort_values(["pid", "iid"]).reset_index(drop=True)
+    got = set(zip(out["pid"], out["iid"]))
+    assert got == {(0, 0), (1, 0), (1, 1), (2, 1), (3, 1), (4, 1), (4, 2)}
+    # hi is exclusive: v=10 not in [0,10); v=250 matches nothing
