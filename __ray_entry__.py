@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial joins: k-ring kNN (SQL-checked), polygon PIP
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
+        "zonal_stats": _sq.q_zonal_stats,
         # text analysis (SQL-checked)
         "lang_id": _tq.q_lang_id,
         "fingerprint": _tq.q_fingerprint,

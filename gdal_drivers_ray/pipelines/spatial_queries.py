@@ -91,3 +91,33 @@ def q_pip_poly(sf_dir: str) -> ray.data.Dataset:
 
     matches = spatial.pip_join(_points(sf_dir), _star_polygons(), WORLD, lod=4)
     return matches.groupby("poly_id").aggregate(Count(alias_name="n_points"))
+
+
+def q_zonal_stats(sf_dir: str):
+    """Raster<->vector join: per-polygon pixel stats over a deterministic
+    4x4-tile raster (rows-only; exact parity vs the NumPy full-raster
+    oracle in tests/test_spatial.py)."""
+    import ray.data
+
+    from ..grid import Extents
+    from ..stages.spatial import zonal_stats
+
+    rng = np.random.default_rng(13)
+    world = Extents(0.0, 0.0, 1024.0, 1024.0)
+    full = rng.uniform(0, 100, (1024, 1024))
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            block = full[ty*256:(ty+1)*256, tx*256:(tx+1)*256]
+            rows.append({"lod": 2, "band": 0, "tile_x": tx, "tile_y": ty,
+                         "valid_w": 256, "valid_h": 256, "dtype": "float64",
+                         "px": block.tobytes()})
+    tiles = ray.data.from_items(rows)
+    polys = [
+        (1, [np.array([[100.0, 100.0], [700.0, 150.0], [300.0, 800.0]])]),
+        (2, [np.array([[500.0, 500.0], [1000.0, 500.0],
+                       [1000.0, 1000.0], [500.0, 1000.0]]),
+             np.array([[600.0, 600.0], [800.0, 600.0],
+                       [800.0, 800.0], [600.0, 800.0]])]),
+    ]
+    return zonal_stats(tiles, polys, world, 2)

@@ -198,3 +198,89 @@ def knn_kring(points: ray.data.Dataset, queries: pd.DataFrame, *, k: int,
 
     return qds.map_batches(solve, batch_format="pyarrow").to_pandas() \
         .sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# zonal statistics — the raster<->vector join (north_star: "raster<->vector
+# joins as groupby-aggregate-sort shuffles keyed on cell id")
+# ---------------------------------------------------------------------------
+
+def zonal_stats(tiles: ray.data.Dataset,
+                polygons: list[tuple[int, list[np.ndarray]]],
+                world: Extents, lod: int) -> ray.data.Dataset:
+    """Per-polygon statistics of raster pixels inside the polygon.
+
+    tiles: TILE_SCHEMA rows at `lod` over `world` (tile (x,y) grid of
+    2^lod). polygons: [(poly_id, rings)] in world coordinates (small side —
+    broadcast once via ray.put; the reference's T7 pattern).
+
+    Shape: each tile batch tests ONLY the polygons whose bbox covers that
+    tile (the quad-constraint prefilter, mask.cpp:229-233), ray-casts the
+    tile's pixel centers, emits per-(poly, tile) partial (n, sum, min, max)
+    -> groupby(poly_id) reduce. Pixels never shuffle; partials are 4
+    numbers per polygon-tile pair.
+    """
+    import ray
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    # poly -> covering cells at lod, inverted to cell -> [poly ids]
+    cell_polys: dict[tuple[int, int], list[int]] = {}
+    for pid, rings in polygons:
+        for cell in polygon_cells(rings, world, lod):
+            cell_polys.setdefault(cell, []).append(pid)
+    pref = ray.put((cell_polys, dict(polygons)))
+
+    side = 1 << lod
+    rx = world.width / (side * 256)
+    ry = world.height / (side * 256)
+
+    def partial(b) -> "pa.Table":
+        import pyarrow as pa
+        cp, polys = ray.get(pref)
+        out = {"poly_id": [], "n": [], "s": [], "mn": [], "mx": []}
+        for i in range(b.num_rows):
+            tx = int(b["tile_x"][i].as_py())
+            ty = int(b["tile_y"][i].as_py())
+            pids = cp.get((tx, ty))
+            if not pids:
+                continue
+            vw = int(b["valid_w"][i].as_py())
+            vh = int(b["valid_h"][i].as_py())
+            dt = b["dtype"][i].as_py()
+            import numpy as _np
+            arr = _np.frombuffer(b["px"][i].as_py(),
+                                 dtype=_np.dtype(dt) if dt in
+                                 ("uint8", "uint16", "int16", "uint32",
+                                  "int32", "float32", "float64")
+                                 else _np.uint8).reshape(256, 256)[:vh, :vw]
+            # pixel-center world coordinates of this tile
+            jy, jx = _np.mgrid[0:vh, 0:vw]
+            wx = world.llx + ((tx * 256 + jx) + 0.5) * rx
+            wy = world.ury - ((ty * 256 + jy) + 0.5) * ry
+            wxf = wx.ravel()
+            wyf = wy.ravel()
+            vals = arr.astype(_np.float64).ravel()
+            for pid in pids:
+                m = point_in_polygon(wxf, wyf, polys[pid])
+                if not m.any():
+                    continue
+                v = vals[m]
+                out["poly_id"].append(pid)
+                out["n"].append(int(m.sum()))
+                out["s"].append(float(v.sum()))
+                out["mn"].append(float(v.min()))
+                out["mx"].append(float(v.max()))
+        import pyarrow as pa
+        return pa.table({"poly_id": pa.array(out["poly_id"], pa.int64()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "s": pa.array(out["s"], pa.float64()),
+                         "mn": pa.array(out["mn"], pa.float64()),
+                         "mx": pa.array(out["mx"], pa.float64())})
+
+    partials = tiles.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("poly_id").aggregate(
+        Sum("n", alias_name="n_px"),
+        Sum("s", alias_name="px_sum"),
+        Min("mn", alias_name="px_min"),
+        Max("mx", alias_name="px_max"))

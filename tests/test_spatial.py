@@ -173,3 +173,48 @@ def test_range_join_semantics(ray_session):
     got = set(zip(out["pid"], out["iid"]))
     assert got == {(0, 0), (1, 0), (1, 1), (2, 1), (3, 1), (4, 1), (4, 2)}
     # hi is exclusive: v=10 not in [0,10); v=250 matches nothing
+
+
+def test_zonal_stats_vs_numpy_oracle(ray_session):
+    """Raster<->vector join: per-polygon pixel stats match a full-raster
+    NumPy computation exactly."""
+    import ray.data
+
+    from gdal_drivers_ray.grid import Extents
+    from gdal_drivers_ray.stages.spatial import point_in_polygon, zonal_stats
+
+    rng = np.random.default_rng(9)
+    world = Extents(0.0, 0.0, 1024.0, 1024.0)
+    lod = 2  # 4x4 tiles over 1024 px (1 unit/px)
+    full = rng.uniform(0, 100, (1024, 1024))
+    rows = []
+    for ty in range(4):
+        for tx in range(4):
+            block = full[ty*256:(ty+1)*256, tx*256:(tx+1)*256]
+            rows.append({"lod": lod, "band": 0, "tile_x": tx, "tile_y": ty,
+                         "valid_w": 256, "valid_h": 256, "dtype": "float64",
+                         "px": block.tobytes()})
+    tiles = ray.data.from_items(rows)
+
+    tri = [np.array([[100.0, 100.0], [700.0, 150.0], [300.0, 800.0]])]
+    hole_poly = [np.array([[500.0, 500.0], [1000.0, 500.0],
+                           [1000.0, 1000.0], [500.0, 1000.0]]),
+                 np.array([[600.0, 600.0], [800.0, 600.0],
+                           [800.0, 800.0], [600.0, 800.0]])]
+    polys = [(1, tri), (2, hole_poly)]
+
+    got = zonal_stats(tiles, polys, world, lod).to_pandas() \
+        .set_index("poly_id").sort_index()
+
+    # oracle: pixel centers of the full raster (note y axis: row 0 = top)
+    jy, jx = np.mgrid[0:1024, 0:1024]
+    wx = (jx + 0.5).ravel()
+    wy = (1024.0 - (jy + 0.5)).ravel()
+    vals = full.ravel()
+    for pid, rings in polys:
+        m = point_in_polygon(wx, wy, rings)
+        assert int(got.loc[pid, "n_px"]) == int(m.sum())
+        np.testing.assert_allclose(got.loc[pid, "px_sum"], vals[m].sum(),
+                                   rtol=1e-12)
+        assert got.loc[pid, "px_min"] == vals[m].min()
+        assert got.loc[pid, "px_max"] == vals[m].max()
