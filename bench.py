@@ -137,7 +137,8 @@ def main() -> None:
 
     import ray
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)  # keep stdout = exactly one JSON line
     from ray.data import DataContext
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
