@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q.q_events_window,
         "asof_join": _q.q_asof_join,
         "range_join": _q.q_range_join,
+        "sessionize": _q.q_sessionize,
+        "topk_orders": _q.q_topk_orders,
         "knn_brute": _q.q_knn_brute,
         # image pipelines over the deterministic input_hint fixture
         # (binary decode is not SQL-expressible -> rows-only checks)
@@ -127,6 +129,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _q.SQL_EVENTS_WINDOW,
         "asof_join": _q.SQL_ASOF_JOIN,
         "range_join": _q.SQL_RANGE_JOIN,
+        "sessionize": _q.SQL_SESSIONIZE,
+        "topk_orders": _q.SQL_TOPK_ORDERS,
         "knn_brute": _q.SQL_KNN_BRUTE,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -649,3 +649,83 @@ FROM lineitem JOIN bands
   ON l_extendedprice >= lo AND l_extendedprice < hi
 GROUP BY band_id
 """
+
+
+def q_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Session windows: per-user event runs split where the gap to the
+    previous event exceeds 30 minutes (classic log sessionization — the
+    gap-window streaming op, computed batch-style). Integer-µs arithmetic
+    throughout so the hash compare is exact."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    GAP_US = 1_800_000_000  # 30 min
+
+    def to_us(b: pa.Table) -> pa.Table:
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        return pa.table({"user_id": b["user_id"], "us": pa.array(us)})
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        us = np.sort(g["us"].to_numpy())
+        new_s = np.ones(len(us), dtype=np.int64)
+        new_s[1:] = (np.diff(us) > GAP_US).astype(np.int64)
+        sid = np.cumsum(new_s)
+        df = pd.DataFrame({"us": us, "session_id": sid})
+        out = df.groupby("session_id", as_index=False).agg(
+            n_events=("us", "size"), start_us=("us", "min"),
+            end_us=("us", "max"))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    return ev.map_batches(to_us, batch_format="pyarrow") \
+             .groupby("user_id") \
+             .map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), d AS (
+  SELECT user_id, us,
+         CASE WHEN lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+), s AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM d
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       count(*) AS n_events,
+       CAST(min(us) AS BIGINT) AS start_us,
+       CAST(max(us) AS BIGINT) AS end_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_topk_orders(sf_dir: str) -> ray.data.Dataset:
+    """Global sort + limit (engine-side §2.6: the reference has no sort —
+    this is the distributed top-k surface): top 100 orders by totalprice,
+    ties broken by orderkey so the result set is deterministic. Price in
+    integer cents for exact compare."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "price_cents": pa.array(c)})
+
+    return o.map_batches(cents, batch_format="pyarrow") \
+            .sort(["price_cents", "o_orderkey"], descending=[True, False]) \
+            .limit(100)
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+FROM orders
+ORDER BY price_cents DESC, o_orderkey ASC
+LIMIT 100
+"""
