@@ -50,9 +50,24 @@ class DecodeImages:
         means = np.empty(n, dtype=np.float64)
         stds = np.empty(n, dtype=np.float64)
         phash = np.empty(n, dtype=np.int64)
+        status: list[str] = []
         pxs: list[bytes] = []
         for i, b in enumerate(bufs):
-            px = codecs.decode_image(b)
+            # poison-row quarantine (SURVEY §4): a corrupt payload becomes a
+            # dead-letter ROW (status='decode_error', zeroed features), not
+            # a task failure — at 10^12 rows a single bad blob must never
+            # kill a whole block's work or poison retries.
+            try:
+                px = codecs.decode_image(b)
+            except Exception:
+                status.append("decode_error")
+                means[i] = 0.0
+                stds[i] = 0.0
+                phash[i] = 0
+                if self.keep_pixels:
+                    pxs.append(b"")
+                continue
+            status.append("ok")
             means[i] = px.mean()
             stds[i] = px.std()
             phash[i] = codecs.phash64(px)
@@ -77,6 +92,7 @@ class DecodeImages:
             "mean_px": pa.array(means),
             "std_px": pa.array(stds),
             "phash": pa.array(phash),
+            "status": pa.array(status),
         }
         if self.keep_pixels:
             out["px"] = pa.array(pxs, pa.large_binary())

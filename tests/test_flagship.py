@@ -80,3 +80,29 @@ def test_checkpoint_write_resume(ray_session, images_path, tmp_path):
     # written data is readable and complete
     back = ray.data.read_parquet(out_dir)
     assert back.count() == N
+
+
+def test_decode_poison_row_quarantine(ray_session):
+    """Corrupt payloads become dead-letter rows, not task failures."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray import codecs, fixtures
+    from gdal_drivers_ray.stages.decode import DecodeImages
+
+    good = fixtures.image_row(3, 5)
+    t = pa.table({
+        "image_id": ["img-00000003", "img-00000004"],
+        "bytes": pa.array([good["bytes"], b"\x00garbage"], pa.binary()),
+        "w": pa.array([256, 256], pa.int32()),
+        "h": pa.array([256, 256], pa.int32()),
+        "fmt": ["png", "png"],
+        "caption": [good["caption"], "tile 5/4/0 broken row"],
+        "phash": pa.array([good["phash"], 0], pa.int64()),
+    })
+    out = ray.data.from_arrow(t).map_batches(
+        DecodeImages(lod=5), batch_format="pyarrow").to_pandas() \
+        .sort_values("image_id").reset_index(drop=True)
+    assert out["status"].tolist() == ["ok", "decode_error"]
+    assert out.loc[0, "phash"] == good["phash"]
+    assert out.loc[1, "phash"] == 0  # zeroed features on the dead-letter row
