@@ -243,19 +243,32 @@ def clusters_from_pairs(ids: np.ndarray,
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
+_WORD_BITS_CACHE: dict[str, np.ndarray] = {}
+
+
+def _word_signs(w: str) -> np.ndarray:
+    """(64,) +1/-1 vector for a word; cached per worker process (natural
+    language repeats words heavily — the T6 warm-state pattern applied to
+    a hash table)."""
+    v = _WORD_BITS_CACHE.get(w)
+    if v is None:
+        h = np.uint64(int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
+        v = np.where((h >> _SHIFTS64) & np.uint64(1) == 1, 1, -1) \
+            .astype(np.int64)
+        if len(_WORD_BITS_CACHE) < 1_000_000:  # bound worker memory
+            _WORD_BITS_CACHE[w] = v
+    return v
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over word tokens (sign of per-bit weight sums)."""
     acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
     for w in _WORD.findall(text.lower()):
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
-        bits = (h >> shifts) & np.uint64(1)
-        acc += np.where(bits == 1, 1, -1)
-    v = 0
-    for i in range(64):
-        if acc[i] > 0:
-            v |= (1 << i)
+        acc += _word_signs(w)
+    v = int(np.bitwise_or.reduce(
+        (np.uint64(1) << _SHIFTS64)[acc > 0]).item()) if (acc > 0).any() else 0
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
