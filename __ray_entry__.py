@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vector path: store lookup -> MVT decode -> feature aggregates
         "mvt_pipeline": _vq.q_mvt_pipeline,
         "mvt_errors": _vq.q_mvt_errors,
+        "vector_tiling": _vq.q_vector_tiling,
         # weighted mosaic (J1 + A1/A2/A3)
         "blend_mosaic": _bq.q_blend_mosaic,
         # dedup suite + ANN

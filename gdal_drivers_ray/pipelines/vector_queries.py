@@ -83,3 +83,62 @@ def q_mvt_errors(sf_dir: str) -> ray.data.Dataset:
     paths += ["a.store/3-9-0", "a.store/3-01-2", "a.store/4-1-1"]
     reqs = ray.data.from_arrow(pa.table({"path": pa.array(paths)}))
     return tilestore.lookup(reqs, store).groupby("status").count()
+
+
+def q_vector_tiling(sf_dir: str):
+    """Inverse vector path: deterministic features -> MVT tiles
+    (flat_map cover -> groupby(tile) encode) -> decode back -> per-tile
+    per-layer feature counts (rows-only; geometry round-trip parity in
+    tests/test_vectortile.py)."""
+    import pandas as pd
+
+    from ..grid import Extents
+    from ..stages import vectortile as VT
+
+    world = Extents(0.0, 0.0, 1024.0, 1024.0)
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(200):
+        x, y = rng.uniform(0, 1024, 2)
+        if i % 3 == 0:
+            geom = [[{"x": x, "y": y}]]
+            gt = 1
+        elif i % 3 == 1:
+            geom = [[{"x": x, "y": y},
+                     {"x": min(x + 50, 1023), "y": min(y + 30, 1023)}]]
+            gt = 2
+        else:
+            s = 40.0
+            geom = [[{"x": x, "y": y}, {"x": min(x+s, 1023), "y": y},
+                     {"x": min(x+s, 1023), "y": min(y+s, 1023)},
+                     {"x": x, "y": min(y+s, 1023)}, {"x": x, "y": y}]]
+            gt = 3
+        rows.append({"fid": i, "layer": ["pts", "lines", "polys"][i % 3],
+                     "geom_type": gt, "geometry": geom, "attrs": f"i={i}"})
+    feats = ray.data.from_items(rows)
+    store = VT.build_tiles(feats, world, lod=2)
+
+    def decode_counts(b: pa.Table) -> pa.Table:
+        out = {"zoom": [], "col": [], "row": [], "layer": [], "n": []}
+        for i in range(b.num_rows):
+            z = int(b["zoom"][i].as_py())
+            tx = int(b["col"][i].as_py())
+            trow = int(b["row"][i].as_py())
+            ty = (1 << z) - 1 - trow
+            te = VT.tile_world_extents(world, z, tx, ty)
+            rows_ = mvt.decode_tile(b["tile_data"][i].as_py(), extents=te)
+            import collections
+            c = collections.Counter(r["layer"] for r in rows_)
+            for lname, n in sorted(c.items()):
+                out["zoom"].append(z)
+                out["col"].append(tx)
+                out["row"].append(trow)
+                out["layer"].append(lname)
+                out["n"].append(n)
+        return pa.table({"zoom": pa.array(out["zoom"], pa.int32()),
+                         "col": pa.array(out["col"], pa.int32()),
+                         "row": pa.array(out["row"], pa.int32()),
+                         "layer": pa.array(out["layer"]),
+                         "n": pa.array(out["n"], pa.int64())})
+
+    return store.map_batches(decode_counts, batch_format="pyarrow")

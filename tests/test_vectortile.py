@@ -1,0 +1,74 @@
+"""Vector tiling round trip: features -> MVT tiles -> store lookup ->
+decode -> world coords within quantization error."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from gdal_drivers_ray.grid import Extents, tms_flip
+from gdal_drivers_ray.sources import mvt, tilestore
+from gdal_drivers_ray.stages import vectortile as VT
+
+WORLD = Extents(0.0, 0.0, 1024.0, 1024.0)
+
+
+def _features():
+    rows = [
+        {"fid": 1, "layer": "pts", "geom_type": 1,
+         "geometry": [[{"x": 100.0, "y": 200.0}]], "attrs": "a=1"},
+        {"fid": 2, "layer": "lines", "geom_type": 2,
+         "geometry": [[{"x": 10.0, "y": 10.0}, {"x": 300.0, "y": 480.0}]],
+         "attrs": "b=2"},
+        # CCW-in-world square crossing tile boundaries at lod 1
+        {"fid": 3, "layer": "polys", "geom_type": 3,
+         "geometry": [[{"x": 400.0, "y": 400.0}, {"x": 700.0, "y": 400.0},
+                       {"x": 700.0, "y": 700.0}, {"x": 400.0, "y": 700.0},
+                       {"x": 400.0, "y": 400.0}]], "attrs": "c=3"},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_build_decode_roundtrip(ray_session, tmp_path):
+    lod = 1
+    store = VT.build_tiles(_features(), WORLD, lod).to_pandas()
+    # polygon spans all 4 tiles at lod 1; others 1 tile each
+    assert len(store) == 4
+    q = WORLD.width / (1 << lod) / 4096  # quantization step
+
+    for _, r in store.iterrows():
+        tx = int(r["col"])
+        ty = (1 << lod) - 1 - int(r["row"])  # un-flip TMS
+        te = VT.tile_world_extents(WORLD, lod, tx, ty)
+        rows = mvt.decode_tile(bytes(r["tile_data"]), extents=te)
+        assert rows, (tx, ty)
+        for f in rows:
+            orig = {1: [[(100.0, 200.0)]],
+                    2: [[(10.0, 10.0), (300.0, 480.0)]],
+                    3: [[(400.0, 400.0), (700.0, 400.0), (700.0, 700.0),
+                         (400.0, 700.0), (400.0, 400.0)]]}[f["fid"]]
+            got = f["geometry"]
+            assert len(got) == len(orig)
+            for gp, op in zip(got, orig):
+                assert len(gp) == len(op)
+                for (gx, gy), (ox, oy) in zip(gp, op):
+                    assert abs(gx - ox) <= q and abs(gy - oy) <= q
+            import json
+            assert json.loads(f["attrs"])["attrs"].endswith(str(f["fid"]))
+
+
+def test_built_tiles_feed_tilestore_lookup(ray_session, tmp_path):
+    lod = 1
+    store = VT.build_tiles(_features(), WORLD, lod).to_pandas()
+    path = str(tmp_path / "built.parquet")
+    tilestore.write_store(
+        path, [(int(r["zoom"]), int(r["col"]), int(r["row"]),
+                bytes(r["tile_data"])) for _, r in store.iterrows()],
+        gzip_every=2)
+    # request the tile containing the point feature: world (100,200) at
+    # lod 1 -> tile (0, 1) -> request key z-x-y with y in XYZ addressing
+    reqs = ray.data.from_items([{"path": "1-0-1"}])
+    out = tilestore.lookup(reqs, path).to_pandas()
+    assert out["status"].iloc[0] == "ok"
+    rows = mvt.decode_tile(bytes(out["tile_data"].iloc[0]),
+                           extents=VT.tile_world_extents(WORLD, 1, 0, 1))
+    assert any(f["fid"] == 1 for f in rows)
