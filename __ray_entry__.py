@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q.q_range_join,
         "sessionize": _q.q_sessionize,
         "topk_orders": _q.q_topk_orders,
+        "distinct_sketch": _q.q_distinct_sketch,
         "knn_brute": _q.q_knn_brute,
         # image pipelines over the deterministic input_hint fixture
         # (binary decode is not SQL-expressible -> rows-only checks)
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _q.SQL_RANGE_JOIN,
         "sessionize": _q.SQL_SESSIONIZE,
         "topk_orders": _q.SQL_TOPK_ORDERS,
+        "distinct_sketch": _q.SQL_DISTINCT_SKETCH,
         "knn_brute": _q.SQL_KNN_BRUTE,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -729,3 +729,49 @@ FROM orders
 ORDER BY price_cents DESC, o_orderkey ASC
 LIMIT 100
 """
+
+
+# KMV (k-minimum-values) distinct sketch: deterministic universal hash ->
+# keep the k smallest distinct hashes -> estimate = (k-1) * M / h_k.
+# The sketch union (merge partials, keep k smallest) is associative and
+# commutative, so per-batch partials reduce without a key shuffle.
+_KMV_A = 6364136223846793005 % 2147483647
+_KMV_B = 1442695040888963407 % 2147483647
+_KMV_M = 2147483647
+_KMV_K = 256
+
+
+def q_distinct_sketch(sf_dir: str) -> ray.data.Dataset:
+    """Approximate COUNT DISTINCT of lineitem part keys via a KMV sketch
+    with an integer hash the SQL twin reproduces exactly: row = (k, h_k,
+    estimate). Exact-deterministic, so fully oracle-checked."""
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b["l_partkey"].to_numpy().astype(np.int64)
+        h = (_KMV_A * v + _KMV_B) % _KMV_M
+        h = np.unique(h)[:_KMV_K]
+        return pa.table({"h": pa.array(h)})
+
+    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hs = np.unique(parts["h"].to_numpy())[:_KMV_K]
+    k = len(hs)
+    hk = int(hs[-1])
+    est = int((k - 1) * _KMV_M // hk) if hk > 0 else 0
+    return pa.table({"k": pa.array([k], pa.int64()),
+                     "h_k": pa.array([hk], pa.int64()),
+                     "estimate": pa.array([est], pa.int64())})
+
+
+SQL_DISTINCT_SKETCH = f"""
+WITH h AS (
+  SELECT DISTINCT ({_KMV_A} * l_partkey + {_KMV_B}) % {_KMV_M} AS h
+  FROM lineitem
+), kmv_top AS (
+  SELECT h FROM h ORDER BY h LIMIT {_KMV_K}
+)
+SELECT CAST(count(*) AS BIGINT) AS k,
+       CAST(max(h) AS BIGINT) AS h_k,
+       CAST((count(*) - 1) * {_KMV_M} // max(h) AS BIGINT) AS estimate
+FROM kmv_top
+"""

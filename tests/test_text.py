@@ -54,3 +54,18 @@ def test_lang_id_batch_shape():
     assert list(out.columns) == ["doc_id", "pred_lang", "score"]
     assert out["pred_lang"].tolist() == ["en", "de"]
     assert out["score"].dtype == np.int64
+
+
+def test_kmv_sketch_estimate_accuracy(ray_session):
+    """KMV distinct estimate within ~15% of truth at k=256."""
+    import duckdb
+
+    from gdal_drivers_ray.pipelines.queries import q_distinct_sketch
+
+    sf = "/root/testdata/sf0.01"
+    t = q_distinct_sketch(sf)
+    est = t["estimate"][0].as_py()
+    true = duckdb.connect().execute(
+        f"SELECT count(DISTINCT l_partkey) FROM "
+        f"read_parquet('{sf}/lineitem.parquet')").fetchone()[0]
+    assert abs(est - true) / true < 0.15, (est, true)
