@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q.q_sessionize,
         "topk_orders": _q.q_topk_orders,
         "distinct_sketch": _q.q_distinct_sketch,
+        "sample_mod": _q.q_sample_mod,
+        "set_ops": _q.q_set_ops,
+        "group_quantile": _q.q_group_quantile,
         "knn_brute": _q.q_knn_brute,
         # image pipelines over the deterministic input_hint fixture
         # (binary decode is not SQL-expressible -> rows-only checks)
@@ -134,6 +137,9 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _q.SQL_SESSIONIZE,
         "topk_orders": _q.SQL_TOPK_ORDERS,
         "distinct_sketch": _q.SQL_DISTINCT_SKETCH,
+        "sample_mod": _q.SQL_SAMPLE_MOD,
+        "set_ops": _q.SQL_SET_OPS,
+        "group_quantile": _q.SQL_GROUP_QUANTILE,
         "knn_brute": _q.SQL_KNN_BRUTE,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -775,3 +775,112 @@ SELECT CAST(count(*) AS BIGINT) AS k,
        CAST((count(*) - 1) * {_KMV_M} // max(h) AS BIGINT) AS estimate
 FROM kmv_top
 """
+
+
+def q_sample_mod(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 10% sample (hash-mod on the key — reproducible across
+    runs and engines, unlike RNG sampling): count + integer sum of the
+    sampled orders."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        k = b["o_orderkey"].to_numpy()
+        keep = ((k * 2654435761) % 10) == 0
+        c = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(keep.sum())]),
+            "sum_cents": pa.array([np.int64(c[keep].sum())]),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+    agg = o.map_batches(f, batch_format="pyarrow")
+    out = agg.groupby(None).aggregate(_Sum("n", alias_name="n"),
+                                      _Sum("sum_cents",
+                                           alias_name="sum_cents"))
+    return out
+
+
+SQL_SAMPLE_MOD = """
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents
+FROM orders WHERE (o_orderkey * 2654435761) % 10 = 0
+"""
+
+
+def q_set_ops(sf_dir: str) -> ray.data.Dataset:
+    """Set operations over customer keys: customers with orders but no
+    lineitem-supplying nation match is contrived — instead: per-key
+    classification into {order_only, both} via distinct-key EXCEPT /
+    INTERSECT, counted. The small distinct sets reduce per batch first."""
+    o = _read(sf_dir, "orders", ["o_custkey"])
+    c = _read(sf_dir, "customer", ["c_custkey"])
+
+    def dk(col):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({"k": pa.array(np.unique(b[col].to_numpy()))})
+        return f
+
+    ok = o.map_batches(dk("o_custkey"), batch_format="pyarrow").to_pandas()
+    ck = c.map_batches(dk("c_custkey"), batch_format="pyarrow").to_pandas()
+    os_ = np.unique(ok["k"].to_numpy())
+    cs = np.unique(ck["k"].to_numpy())
+    inter = np.intersect1d(os_, cs, assume_unique=True)
+    cust_only = np.setdiff1d(cs, os_, assume_unique=True)
+    return pa.table({
+        "n_with_orders": pa.array([np.int64(len(inter))]),
+        "n_without_orders": pa.array([np.int64(len(cust_only))]),
+        "n_union": pa.array([np.int64(len(np.union1d(os_, cs)))]),
+    })
+
+
+SQL_SET_OPS = """
+SELECT
+  (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                         INTERSECT SELECT DISTINCT o_custkey FROM orders))
+      AS n_with_orders,
+  (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                         EXCEPT SELECT DISTINCT o_custkey FROM orders))
+      AS n_without_orders,
+  (SELECT count(*) FROM (SELECT DISTINCT c_custkey FROM customer
+                         UNION SELECT DISTINCT o_custkey FROM orders))
+      AS n_union
+"""
+
+
+def q_group_quantile(sf_dir: str) -> ray.data.Dataset:
+    """Exact discrete per-group quantiles (p50/p90 of quantity in cents per
+    returnflag) — lower-nearest rule, reproduced by DuckDB quantile_disc."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        c = np.round(b["l_quantity"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"l_returnflag": b["l_returnflag"],
+                         "qty_c": pa.array(c)})
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["qty_c"].to_numpy())
+        n = len(v)
+        # quantile_disc: value at ceil(p*n)-1 (1-based ceil rank)
+        def qd(p: float) -> int:
+            return int(v[max(int(np.ceil(p * n)) - 1, 0)])
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "p50": [qd(0.5)], "p90": [qd(0.9)],
+                             "n": [np.int64(n)]})
+
+    return li.map_batches(to_cents, batch_format="pyarrow") \
+             .groupby("l_returnflag") \
+             .map_groups(quant, batch_format="pandas")
+
+
+SQL_GROUP_QUANTILE = """
+SELECT l_returnflag,
+       CAST(quantile_disc(CAST(round(l_quantity * 100) AS BIGINT), 0.5)
+            AS BIGINT) AS p50,
+       CAST(quantile_disc(CAST(round(l_quantity * 100) AS BIGINT), 0.9)
+            AS BIGINT) AS p90,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
