@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": _dq.q_embed_near_dup,
         "ann_lsh": _dq.q_ann_lsh,
         "ann_ivf": _dq.q_ann_ivf,
+        "phash_dedup": _dq.q_phash_dedup,
         # spatial joins: k-ring kNN (SQL-checked), polygon PIP
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,

@@ -99,3 +99,30 @@ def q_ann_ivf(sf_dir: str):
                                 columns=["vec_id", "embedding"]) \
         .filter(expr="vec_id >= 5")
     return ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=8, n_probe=4)
+
+
+def q_phash_dedup(sf_dir: str):
+    """Exact dedup on the image phash column (the north-star rule: exact
+    dedup by phash = hash-partition + first-per-group over the input_hint
+    table). Narrow: only (image_id, phash) is read and shuffled; the fixture
+    plants a duplicate every 97th row. Rows-only (the fixture is built, not
+    a preregistered view)."""
+    from ray.data.aggregate import Count, Min
+
+    from .. import fixtures
+
+    path = fixtures.images_path_for(sf_dir)
+    ds = ray.data.read_parquet(path, columns=["image_id", "phash"])
+
+    def key(b: pa.Table) -> pa.Table:
+        idx = np.asarray([int(s.rsplit("-", 1)[1])
+                          for s in b["image_id"].to_pylist()], dtype=np.int64)
+        return pa.table({"phash": b["phash"], "idx": pa.array(idx)})
+
+    agg = ds.map_batches(key, batch_format="pyarrow") \
+            .groupby("phash").aggregate(Min("idx", alias_name="keeper_idx"),
+                                        Count(alias_name="n_copies"))
+    import pyarrow.compute as pc
+    return agg.map_batches(
+        lambda b: b.filter(pc.greater(b["n_copies"], 1)),
+        batch_format="pyarrow")

@@ -133,3 +133,16 @@ def test_clusters_from_pairs_transitive():
     assert c[3] == 3
     assert c[4] == c[5] == 4
     assert list(out[out["is_keeper"]]["doc_id"]) == [0, 3, 4]
+
+
+def test_phash_dedup_finds_planted_duplicates(ray_session):
+    """The fixture plants pixel duplicates every 97th row; exact phash
+    dedup must group each with its source and keep the smaller index."""
+    from gdal_drivers_ray.pipelines.dedup_queries import q_phash_dedup
+
+    out = q_phash_dedup("/root/testdata/sf0.001").to_pandas()
+    assert (out["n_copies"] > 1).all()
+    # planted: img-97 duplicates img-0's pixels -> keeper idx 0 group holds
+    # at least 2 copies
+    keepers = set(out["keeper_idx"])
+    assert 0 in keepers

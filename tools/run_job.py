@@ -107,6 +107,17 @@ def main() -> int:
     wall = time.perf_counter() - t0
     rows = sum(e["rows"] for e in entries)
 
+    # per-stage throughput metrics (north-rule: lineage + throughput):
+    # operator wall/cpu totals from Ray Data's own stats
+    stage_stats = []
+    try:
+        for line in tiles.stats().splitlines():
+            line = line.strip()
+            if line.startswith("Operator ") and " in " in line:
+                stage_stats.append(line[:200])
+    except Exception:
+        pass
+
     # explicit partition-size accounting (north-rule): skew is visible in
     # the summary; a salted re-split (stages/skew.py) is warranted when
     # max/mean diverges
@@ -127,6 +138,7 @@ def main() -> int:
         "rows_written": rows,
         "wall_s": round(wall, 3),
         "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+        "stage_stats": stage_stats,
         "ts": time.time(),
     }
     os.makedirs(args.out, exist_ok=True)
