@@ -123,8 +123,18 @@ class IngestTiles:
         phash = np.empty(n, dtype=np.int64)
         means = np.empty(n, dtype=np.float64)
         small_bytes: list[bytes] = []
+        status: list[str] = []
         for i, b in enumerate(bufs):
-            px = codecs.decode_image(b)
+            try:
+                px = codecs.decode_image(b)
+            except Exception:
+                # poison-row quarantine: dead-letter row, not task failure
+                status.append("decode_error")
+                phash[i] = 0
+                means[i] = 0.0
+                small_bytes.append(b"")
+                continue
+            status.append("ok")
             phash[i] = codecs.phash64(px)
             means[i] = px.mean()
             h, w = px.shape[:2]
@@ -143,6 +153,7 @@ class IngestTiles:
             "parent_cell": pa.array(_parent(cell)),
             "phash": pa.array(phash),
             "mean_px": pa.array(means),
+            "status": pa.array(status),
             "child_bytes": pa.array(small_bytes, type=pa.large_binary()),
         })
 

@@ -173,6 +173,38 @@ def _mvt_open(src: Any, **opts):
     return blobs.map_batches(decode, batch_format="pyarrow")
 
 
+def _images_identify(src: Any) -> bool:
+    """input_hint table path (parquet file or multi-file directory with the
+    image schema)."""
+    import os
+
+    if not isinstance(src, str) or not os.path.exists(src):
+        return False
+    import pyarrow.parquet as pq
+    try:
+        if os.path.isdir(src):
+            parts = [f for f in os.listdir(src) if f.endswith(".parquet")]
+            if not parts:
+                return False
+            names = pq.read_schema(os.path.join(src, parts[0])).names
+        else:
+            names = pq.read_schema(src).names
+    except Exception:
+        return False
+    return {"image_id", "bytes", "fmt", "caption", "phash"} <= set(names)
+
+
+def _images_open(src: Any, **opts):
+    """input_hint table -> decoded tile-index Dataset (the flagship read)."""
+    from . import fixtures
+    from .pipelines import flagship
+
+    lod = opts.pop("lod", None)
+    if lod is None:
+        lod = fixtures.lod_for_count(fixtures.count_rows(src))
+    return flagship.tile_index(src, lod, **opts)
+
+
 def register_builtins() -> None:
     """Idempotent registration of the four reference drivers
     (register.cpp:37-47 registerAll)."""
@@ -185,6 +217,8 @@ def register_builtins() -> None:
          "weighted mosaic from INI config + in-process sources (blender.cpp)"),
         ("mvt", _mvt_identify, _mvt_open,
          "vector tile via keyed store lookup (mvt.cpp + mbtiles.cpp)"),
+        ("images", _images_identify, _images_open,
+         "input_hint image+caption table -> decoded tile index"),
     ]:
         if name not in _DRIVERS:
             register_driver(name, ident, op, desc)

@@ -71,3 +71,12 @@ def test_open_mvt_router(ray_session, tmp_path):
     assert rows[0]["layer"] == "roads"
     with pytest.raises(ValueError):
         R.open_dataset("mvt:/tmp/x.parquet/bad-key-xx")
+
+
+def test_open_images_table_by_probe(ray_session):
+    from gdal_drivers_ray import fixtures
+
+    path = fixtures.images_path_for("/root/testdata/sf0.001")
+    ds = R.open_dataset(path)
+    rows = ds.take(3)
+    assert {"cell", "phash", "mean_px"} <= set(rows[0].keys())
