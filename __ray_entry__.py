@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "solid_tiles": _rq.q_solid_tiles,
         "mask_tiles": _rq.q_mask_tiles,
         "lod_pyramid": _rq.q_lod_pyramid,
+        "solid_copy": _rq.q_solid_copy,
         # vector path: store lookup -> MVT decode -> feature aggregates
         "mvt_pipeline": _vq.q_mvt_pipeline,
         "mvt_errors": _vq.q_mvt_errors,

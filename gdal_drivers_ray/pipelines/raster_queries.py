@@ -115,3 +115,27 @@ def _fixed_mask_tiles_lod2() -> ray.data.Dataset:
                          "valid_w": 256, "valid_h": 256, "dtype": "uint8",
                          "px": block.tobytes()})
     return ray.data.from_items(rows)
+
+
+def q_solid_copy(sf_dir: str) -> ray.data.Dataset:
+    """CreateCopy (S3, solid.cpp:276-328): derive a constant dataset from
+    an existing tile source — same grid/schema, constant per band — then
+    verify per-lod: every tile constant, the source grid preserved.
+    Rows-only; the schema-preservation contract is what the aggregate
+    checks."""
+    src = solid.solid_dataset(_fixed_solid_spec())
+    const = solid.create_copy(src, values=[7.0, 7.0, 7.0])
+
+    def stats(b: pa.Table) -> pa.Table:
+        ok = []
+        for px, dt in zip(b["px"].to_pylist(), b["dtype"].to_pylist()):
+            arr = np.frombuffer(px, dtype=solid.DTYPES[dt])
+            ok.append(bool((arr == 7).all()))
+        return pa.table({"lod": b["lod"],
+                         "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+                         "all_const": pa.array(ok)})
+
+    from ray.data.aggregate import Min as _Min
+    return const.map_batches(stats, batch_format="pyarrow") \
+        .groupby("lod").aggregate(Sum("n", alias_name="n_tiles"),
+                                  _Min("all_const", alias_name="all_const"))
