@@ -121,83 +121,167 @@ def pip_join(points: ray.data.Dataset, polygons: list[tuple[int, list[np.ndarray
 
 
 # ---------------------------------------------------------------------------
-# kNN via k-ring expansion over grid cells
+# kNN via k-ring expansion over grid cells — distributed plan
 # ---------------------------------------------------------------------------
+
+def _csr_expand(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flat gather indices for CSR ranges: concat(arange(s, s+l))."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    shift = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])),
+                      lens)
+    return shift + np.arange(total, dtype=np.int64)
+
 
 def knn_kring(points: ray.data.Dataset, queries: pd.DataFrame, *, k: int,
               world: Extents, lod: int = 5,
               x_col: str = "x", y_col: str = "y", id_col: str = "point_id",
               qx_col: str = "x", qy_col: str = "y",
               qid_col: str = "query_id") -> pd.DataFrame:
-    """-> (query_id, neighbor_id, rank, dist). The point set is bucketed by
-    grid cell ONCE (the sorted-cell layout of the north rule — here a dict
-    because the test corpus fits; at scale the buckets are a cell-sorted
-    dataset and a ring lookup is a range scan per cell). Ring expansion
-    stops when the k-th best distance <= the minimum possible distance of
-    the next unexplored ring. Ties break on neighbor id."""
-    buckets: dict[tuple[int, int], list[tuple[float, float, int]]] = {}
-    for b in points.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        xs = b[x_col].to_numpy()
-        ys = b[y_col].to_numpy()
-        ids = b[id_col].to_numpy()
-        tx, ty = tile_of_points(xs, ys, world, lod)
-        for x, y, i, cx, cy in zip(xs, ys, ids, tx.tolist(), ty.tolist()):
-            buckets.setdefault((cx, cy), []).append((float(x), float(y), int(i)))
-    bref = ray.put(buckets)
+    """-> (query_id, neighbor_id, rank, dist). Exact kNN, distributed.
+
+    The point payload NEVER lands on the driver (the sorted-key range-scan
+    shape of the reference quadtree, mask.cpp:229-258, re-expressed as two
+    Dataset passes):
+
+    1. cell-count pass: groupby(cell).count over the points — the only
+       shuffle, and it moves one (cell, n) row per NON-EMPTY cell (<= 4^lod
+       rows, metadata-scale: the same compression a quadtree index gives
+       the reference). The count table is the broadcast index.
+    2. per query (vectorized over the count table): find the smallest
+       Chebyshev ring radius r0 whose cells already hold >= k points. Any
+       point in those cells is within D = hypot((r0+1)·cw, (r0+1)·ch) of
+       the query (both endpoints inside cells <= r0 apart), so the true
+       k-th distance <= D (+ the query's clamp offset if it lies outside
+       the world). Every cell whose nearest corner could be <= D away is
+       accepted: r_max = ceil(D / min(cw, ch)) + 1 — a PROVEN superset of
+       the k nearest.
+    3. streaming refine: one map_batches over the points; each batch looks
+       up its cells in the broadcast (cell -> queries) CSR index, computes
+       all candidate distances vectorized, and emits a per-batch partial
+       top-k per query (k rows per query per batch, never the batch).
+    4. finalize: tiny (n_queries × k × n_blocks) partial table -> global
+       top-k, ties on (dist, neighbor_id).
+    """
+    from ray.data.aggregate import Sum
+
     side = 1 << lod
-    cell_w = world.width / side
-    cell_h = world.height / side
+    cw = world.width / side
+    ch = world.height / side
+    min_cell = min(cw, ch)
 
-    qds = ray.data.from_pandas(queries)
+    # -- pass 1: per-cell point counts (narrow: key column only) ----------
+    def cell_counts(b: pa.Table) -> pa.Table:
+        tx, ty = tile_of_points(b[x_col].to_numpy(), b[y_col].to_numpy(),
+                                world, lod)
+        key, cnt = np.unique(tx * side + ty, return_counts=True)
+        return pa.table({"cell": pa.array(key),
+                         "n": pa.array(cnt.astype(np.int64))})
 
-    def solve(batch: pa.Table) -> pa.Table:
-        bk = ray.get(bref)
-        out_q, out_n, out_r, out_d = [], [], [], []
-        qx = batch[qx_col].to_numpy().astype(np.float64)
-        qy = batch[qy_col].to_numpy().astype(np.float64)
-        qid = batch[qid_col].to_numpy()
-        tx, ty = tile_of_points(qx, qy, world, lod)
-        for x, y, qi, cx, cy in zip(qx, qy, qid, tx.tolist(), ty.tolist()):
-            best: list[tuple[float, int]] = []
-            r = 0
-            while True:
-                # cells at Chebyshev ring r around (cx, cy)
-                cells = []
-                if r == 0:
-                    cells = [(cx, cy)]
-                else:
-                    for dx in range(-r, r + 1):
-                        cells.append((cx + dx, cy - r))
-                        cells.append((cx + dx, cy + r))
-                    for dy in range(-r + 1, r):
-                        cells.append((cx - r, cy + dy))
-                        cells.append((cx + r, cy + dy))
-                for c in cells:
-                    for (px, py, pid) in bk.get(c, ()):
-                        d = float(np.hypot(px - x, py - y))
-                        best.append((d, pid))
-                best.sort()
-                best = best[:k]
-                # minimum possible distance from the NEXT ring's cells
-                ring_min = r * min(cell_w, cell_h)
-                if len(best) >= k and best[k - 1][0] <= ring_min:
-                    break
-                if r > side:          # searched everything
-                    break
-                r += 1
-            for rank, (d, pid) in enumerate(
-                    sorted(best, key=lambda t: (t[0], t[1]))[:k], 1):
-                out_q.append(qi)
-                out_n.append(pid)
-                out_r.append(rank)
-                out_d.append(d)
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64()),
-                         "rank": pa.array(out_r, pa.int64()),
-                         "dist": pa.array(out_d, pa.float64())})
+    counts = (points.map_batches(cell_counts, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    ckey = counts["cell"].to_numpy().astype(np.int64)
+    cn = counts["n"].to_numpy().astype(np.int64)
+    ccx, ccy = ckey // side, ckey % side
 
-    return qds.map_batches(solve, batch_format="pyarrow").to_pandas() \
-        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    # -- pass 2: per-query radius bound + accept index (driver; O(n_cells)
+    #    vectorized per query — the index table, not the data) ------------
+    qx = queries[qx_col].to_numpy().astype(np.float64)
+    qy = queries[qy_col].to_numpy().astype(np.float64)
+    qid = queries[qid_col].to_numpy().astype(np.int64)
+    qtx, qty = tile_of_points(qx, qy, world, lod)
+    # clamp offset: distance from the query point to its (clamped) cell
+    cell_x0 = world.llx + qtx * cw
+    cell_y1 = world.ury - qty * ch
+    dxc = np.maximum.reduce([cell_x0 - qx, qx - (cell_x0 + cw),
+                             np.zeros(len(qx))])
+    dyc = np.maximum.reduce([(cell_y1 - ch) - qy, qy - cell_y1,
+                             np.zeros(len(qy))])
+    clamp_off = np.hypot(dxc, dyc)
+
+    acc_cells: list[np.ndarray] = []
+    acc_qidx: list[np.ndarray] = []
+    dmax = np.zeros(len(qx), dtype=np.float64)
+    for qi in range(len(qx)):
+        if len(ckey) == 0:
+            continue
+        cheb = np.maximum(np.abs(ccx - qtx[qi]), np.abs(ccy - qty[qi]))
+        order = np.argsort(cheb, kind="stable")
+        cum = np.cumsum(cn[order])
+        pos = int(np.searchsorted(cum, k))
+        r0 = int(cheb[order[min(pos, len(order) - 1)]])
+        d = np.hypot((r0 + 1) * cw, (r0 + 1) * ch) + clamp_off[qi]
+        dmax[qi] = d
+        r_max = int(np.ceil(d / min_cell)) + 1
+        sel = cheb <= r_max
+        acc_cells.append(ckey[sel])
+        acc_qidx.append(np.full(int(sel.sum()), qi, dtype=np.int64))
+
+    if not acc_cells:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "dist": pd.Series([], dtype=np.float64)})
+
+    flat_cells = np.concatenate(acc_cells)
+    flat_qidx = np.concatenate(acc_qidx)
+    order = np.argsort(flat_cells, kind="stable")
+    flat_cells = flat_cells[order]
+    flat_qidx = flat_qidx[order]
+    uc, ustart = np.unique(flat_cells, return_index=True)
+    ulen = np.diff(np.concatenate((ustart, [len(flat_cells)])))
+    iref = ray.put((uc, ustart.astype(np.int64), ulen.astype(np.int64),
+                    flat_qidx, qx, qy, qid, dmax))
+
+    # -- pass 3: stream points once, vectorized candidate refine ----------
+    def partial(b: pa.Table) -> pa.Table:
+        cells, starts, lens, qof, qxs, qys, qids, dm = ray.get(iref)
+        xs = b[x_col].to_numpy().astype(np.float64)
+        ys = b[y_col].to_numpy().astype(np.float64)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        tx, ty = tile_of_points(xs, ys, world, lod)
+        keys = tx * side + ty
+        pos = np.searchsorted(cells, keys)
+        ok = (pos < len(cells))
+        pos_c = np.where(ok, pos, 0)
+        ok &= cells[pos_c] == keys
+        rows = np.nonzero(ok)[0]
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.float64())})
+        if len(rows) == 0:
+            return empty
+        st = starts[pos[rows]]
+        ln = lens[pos[rows]]
+        pi = np.repeat(rows, ln)                       # point row per pair
+        qi = qof[_csr_expand(st, ln)]                  # query idx per pair
+        d = np.hypot(xs[pi] - qxs[qi], ys[pi] - qys[qi])
+        keep = d <= dm[qi] + 1e-9
+        if not keep.any():
+            return empty
+        qi, pi, d = qi[keep], pi[keep], d[keep]
+        # partial top-k per query within this batch
+        o = np.lexsort((ids[pi], d, qi))
+        qi, pi, d = qi[o], pi[o], d[o]
+        _, gstart, gcnt = np.unique(qi, return_index=True,
+                                    return_counts=True)
+        rank_in = np.arange(len(qi)) - np.repeat(gstart, gcnt)
+        sel = rank_in < k
+        return pa.table({"query_id": pa.array(qids[qi[sel]]),
+                         "neighbor_id": pa.array(ids[pi[sel]]),
+                         "dist": pa.array(d[sel])})
+
+    parts = points.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    # -- pass 4: finalize (tiny) ------------------------------------------
+    parts = parts.sort_values(["query_id", "dist", "neighbor_id"],
+                              kind="stable")
+    parts = parts.groupby("query_id", as_index=False).head(k)
+    parts["rank"] = parts.groupby("query_id").cumcount() + 1
+    return parts[["query_id", "neighbor_id", "rank", "dist"]] \
+        .reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

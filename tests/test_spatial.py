@@ -126,6 +126,31 @@ def test_knn_kring_query_outside_cloud(ray_session):
     assert list(got["neighbor_id"]) == [49, 48, 47]
 
 
+def test_knn_kring_large_pointset(ray_session):
+    """Distributed-plan stress: 200k points across many blocks. The point
+    payload must stream (only the per-cell count table and the tiny partial
+    top-k rows ever leave the tasks) and still match brute force exactly."""
+    import ray.data
+    rng = np.random.default_rng(23)
+    n = 200_000
+    xs = rng.uniform(0, 100, n)
+    ys = rng.uniform(0, 100, n)
+    pts = ray.data.from_arrow(pa.table({
+        "point_id": pa.array(range(n), pa.int64()),
+        "x": pa.array(xs), "y": pa.array(ys)})).repartition(16)
+    queries = pd.DataFrame({"query_id": np.arange(5, dtype=np.int64),
+                            "x": rng.uniform(0, 100, 5),
+                            "y": rng.uniform(0, 100, 5)})
+    k = 9
+    got = spatial.knn_kring(pts, queries, k=k, world=WORLD, lod=6)
+    assert len(got) == 5 * k
+    for _, q in queries.iterrows():
+        d = np.hypot(xs - q.x, ys - q.y)
+        want = list(np.lexsort((np.arange(n), d))[:k])
+        g = got[got["query_id"] == q.query_id].sort_values("rank")
+        assert list(g["neighbor_id"]) == want, q.query_id
+
+
 def test_asof_join_semantics(ray_session):
     """AS-OF: latest right <= left time per key; ties -> max tie_col;
     unmatched left drops (stages/joins.asof_join)."""
