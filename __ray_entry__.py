@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _dq.q_ann_lsh,
         "ann_ivf": _dq.q_ann_ivf,
         "phash_dedup": _dq.q_phash_dedup,
+        "cluster_labels": _dq.q_cluster_labels,
         # spatial joins: k-ring kNN (SQL-checked), polygon PIP
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
@@ -144,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "group_quantile": _q.SQL_GROUP_QUANTILE,
         "knn_brute": _q.SQL_KNN_BRUTE,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
+        "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "knn_kring": _sq.SQL_KNN_KRING,
         "lang_id": _tq.SQL_LANG_ID,
         "fingerprint": _tq.SQL_FINGERPRINT,

@@ -101,6 +101,36 @@ def q_ann_ivf(sf_dir: str):
     return ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=8, n_probe=4)
 
 
+def q_cluster_labels(sf_dir: str) -> ray.data.Dataset:
+    """Distributed min-label propagation (the dedup cluster-assembly
+    engine) on a deterministic chain graph over documents: edge
+    (doc_id, doc_id - 1) whenever doc_id % 8 != 0 -> chains of 8, so the
+    transitive closure has the closed form cluster_id = doc_id - doc_id % 8
+    (SQL-checkable) while the Ray side must actually propagate labels
+    through multiple groupby/join rounds to reach it."""
+    from ..stages.dedup import cluster_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def chain_edges(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy().astype(np.int64)
+        keep = (d % 8 != 0) & (d > 0)
+        return pa.table({"a": pa.array(d[keep]),
+                         "b": pa.array(d[keep] - 1)})
+
+    edges = docs.map_batches(chain_edges, batch_format="pyarrow")
+    return cluster_assign(docs, edges)
+
+
+SQL_CLUSTER_LABELS = """
+SELECT doc_id,
+       doc_id - (doc_id % 8) AS cluster_id,
+       (doc_id % 8 = 0) AS is_keeper
+FROM documents
+"""
+
+
 def q_phash_dedup(sf_dir: str):
     """Exact dedup on the image phash column (the north-star rule: exact
     dedup by phash = hash-partition + first-per-group over the input_hint

@@ -159,26 +159,117 @@ def filter_collision_buckets(rows: ray.data.Dataset, keys: list[str],
     return rows.map_batches(keep_hot, batch_format="pyarrow")
 
 
-def _pairs_from_groups(df: pd.DataFrame, max_bucket: int) -> list[tuple]:
-    """(doc_id, signature) group -> unique candidate pairs (smallest first)."""
-    out = []
-    g = df.drop_duplicates("doc_id").sort_values("doc_id")
-    if len(g) < 2 or len(g) > max_bucket:
-        return out
-    rows = list(g.itertuples(index=False))
-    for i in range(len(rows)):
-        for j in range(i + 1, len(rows)):
-            out.append((rows[i], rows[j]))
-    return out
+# ---------------------------------------------------------------------------
+# distributed cluster assembly: min-label propagation as Dataset ops
+# ---------------------------------------------------------------------------
+
+def propagate_min_labels(edges: ray.data.Dataset,
+                         max_rounds: int = 64,
+                         num_partitions: int = 16) -> Optional[ray.data.Dataset]:
+    """(a, b) edge Dataset -> (node, lab) Dataset where lab = min node id
+    reachable in the pair graph. Fully distributed: per round, each edge
+    endpoint's label is pushed to the other endpoint (two cogroup joins)
+    plus one pointer-jumping step lab <- lab(lab) (path halving, so long
+    chains converge in O(log diameter) rounds — the standard MapReduce
+    connected-components recipe, e.g. Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014).
+
+    Driver memory is O(1): convergence is detected by the label SUM (labels
+    only ever decrease, so the sum is strictly decreasing until fixpoint).
+    Returns None for an empty edge set."""
+    from ray.data.aggregate import Min
+
+    from .joins import cogroup_join
+
+    # static bidirectional orientation table: one row per edge endpoint
+    def orient_batch(b: pa.Table) -> pa.Table:
+        a = b["a"].to_numpy().astype(np.int64)
+        bb = b["b"].to_numpy().astype(np.int64)
+        return pa.table({"node": pa.array(np.concatenate([a, bb])),
+                         "nbr": pa.array(np.concatenate([bb, a]))})
+
+    orient = edges.map_batches(orient_batch, batch_format="pyarrow") \
+        .materialize()
+    if orient.count() == 0:
+        return None
+
+    labels = orient.map_batches(
+        lambda b: pa.table({"node": b["node"], "lab": b["node"]}),
+        batch_format="pyarrow") \
+        .groupby("node").aggregate(Min("lab", alias_name="lab")).materialize()
+    prev = int(labels.sum("lab"))
+
+    # Each round's intermediates are materialized: they are label/message
+    # tables over EDGE NODES only (object-store resident, spillable, far
+    # smaller than the corpus), and Ray Data's streaming executor re-executes
+    # lazy branches consumed by a union — composing the lazy cogroup joins
+    # into one union stalls at small CPU counts (measured), while the
+    # materialized round runs in seconds.
+    for _ in range(max_rounds):
+        # push lab(node) across every edge orientation: nbr receives lab
+        push = cogroup_join(orient, labels, on="node",
+                            num_partitions=num_partitions) \
+            .map_batches(lambda t: pa.table({"node": t["nbr"],
+                                             "lab": t["lab"]}),
+                         batch_format="pyarrow").materialize()
+        # pointer jump: lab <- lab(lab) (path halving)
+        l2 = labels.map_batches(
+            lambda t: pa.table({"node2": t["node"], "lab2": t["lab"]}),
+            batch_format="pyarrow")
+        jump = cogroup_join(labels, l2, on="lab", right_on="node2",
+                            num_partitions=num_partitions) \
+            .map_batches(lambda t: pa.table({"node": t["node"],
+                                             "lab": t["lab2"]}),
+                         batch_format="pyarrow").materialize()
+        # repartition bounds the label block count: without it the union's
+        # block count compounds ~5x per round (measured 1->937 in 4 rounds)
+        # and task overhead, not data, dominates
+        labels = labels.union(push).union(jump) \
+            .groupby("node").aggregate(Min("lab", alias_name="lab")) \
+            .repartition(num_partitions).materialize()
+        cur = int(labels.sum("lab"))
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def cluster_assign(docs: ray.data.Dataset, edges: ray.data.Dataset,
+                   id_col: str = "doc_id",
+                   num_partitions: int = 16) -> ray.data.Dataset:
+    """docs (id column) + verified near-dup pairs -> Dataset
+    (doc_id, cluster_id, is_keeper). cluster_id = min reachable doc id;
+    keeper = cluster min (first-per-group, SURVEY.md §2.6). No driver-side
+    id or pair materialization: isolated docs get their own id via a
+    union + Min aggregate, not a broadcast membership check."""
+    from ray.data.aggregate import Min
+
+    base = docs.map_batches(
+        lambda b: pa.table({"node": b[id_col].cast(pa.int64()),
+                            "lab": b[id_col].cast(pa.int64())}),
+        batch_format="pyarrow")
+    labels = propagate_min_labels(edges, num_partitions=num_partitions)
+    allr = base if labels is None else base.union(labels)
+    full = allr.groupby("node").aggregate(Min("lab", alias_name="cluster_id"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({"doc_id": b["node"],
+                         "cluster_id": b["cluster_id"],
+                         "is_keeper": pc.equal(b["node"], b["cluster_id"])})
+
+    return full.map_batches(finish, batch_format="pyarrow")
 
 
 def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
                       bands: int = 16, threshold: float = 0.7,
                       max_bucket: int = 64,
-                      concurrency: Optional[int] = None) -> pd.DataFrame:
-    """-> DataFrame (doc_id, cluster_id, is_keeper). Cluster id = min doc_id
+                      concurrency: Optional[int] = None) -> ray.data.Dataset:
+    """-> Dataset (doc_id, cluster_id, is_keeper). Cluster id = min doc_id
     reachable through verified near-dup pairs; keeper = cluster min
-    (first-per-group, the reference-free dedup rule of SURVEY.md §2.6)."""
+    (first-per-group, the reference-free dedup rule of SURVEY.md §2.6).
+    Pairs stay a Dataset end-to-end; cluster assembly is distributed
+    min-label propagation (no doc ids or pairs on the driver)."""
     # materialized: the collision filter consumes these rows twice (count
     # pass + filter pass); without pinning, the whole hash stage re-executes.
     # Signatures are ~1-2% of the text payload — a deliberate, bounded
@@ -207,17 +298,20 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
 
     cand = filter_collision_buckets(sig_rows, ["band_id", "band_hash"],
                                     max_count=max_bucket)
-    pairs = cand.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
-    pairs = pairs[pairs["est"] >= threshold].drop_duplicates(["a", "b"])
-    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
-    return clusters_from_pairs(all_ids, list(zip(pairs["a"], pairs["b"])))
+    # duplicate (a, b) pairs from different bands are harmless to label
+    # propagation (idempotent min), so no driver-side drop_duplicates
+    edges = cand.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas").map_batches(
+        lambda df: df[df["est"] >= threshold][["a", "b"]],
+        batch_format="pandas")
+    return cluster_assign(docs.select_columns(["doc_id"]), edges)
 
 
 def clusters_from_pairs(ids: np.ndarray,
                         pairs: list[tuple[int, int]]) -> pd.DataFrame:
-    """Min-label union-find over the verified pair set (small by
-    construction: buckets are capped)."""
+    """Min-label union-find over an in-memory pair list — the NumPy oracle
+    for cluster_assign (tests compare the distributed propagation against
+    this); not used in any pipeline hot path."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -244,29 +338,32 @@ def clusters_from_pairs(ids: np.ndarray,
 # ---------------------------------------------------------------------------
 
 _SHIFTS64 = np.arange(64, dtype=np.uint64)
-_WORD_BITS_CACHE: dict[str, np.ndarray] = {}
+# cache stores the PACKED 8-byte hash (not the expanded 64-element sign
+# vector): 1M entries is ~tens of MB per worker, not ~1 GB
+_WORD_HASH_CACHE: dict[str, int] = {}
 
 
-def _word_signs(w: str) -> np.ndarray:
-    """(64,) +1/-1 vector for a word; cached per worker process (natural
-    language repeats words heavily — the T6 warm-state pattern applied to
-    a hash table)."""
-    v = _WORD_BITS_CACHE.get(w)
-    if v is None:
-        h = np.uint64(int.from_bytes(
-            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little"))
-        v = np.where((h >> _SHIFTS64) & np.uint64(1) == 1, 1, -1) \
-            .astype(np.int64)
-        if len(_WORD_BITS_CACHE) < 1_000_000:  # bound worker memory
-            _WORD_BITS_CACHE[w] = v
-    return v
+def _word_hash(w: str) -> int:
+    h = _WORD_HASH_CACHE.get(w)
+    if h is None:
+        h = int.from_bytes(
+            hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        if len(_WORD_HASH_CACHE) < 1_000_000:  # bound worker memory
+            _WORD_HASH_CACHE[w] = h
+    return h
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (sign of per-bit weight sums)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for w in _WORD.findall(text.lower()):
-        acc += _word_signs(w)
+    """64-bit SimHash over word tokens (sign of per-bit weight sums).
+    Bit expansion is vectorized over the whole doc (one (n_words, 64)
+    unpack), not per word."""
+    words = _WORD.findall(text.lower())
+    if not words:
+        return 0
+    hs = np.fromiter((_word_hash(w) for w in words), dtype=np.uint64,
+                     count=len(words))
+    bits = (hs[:, None] >> _SHIFTS64[None, :]) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     v = int(np.bitwise_or.reduce(
         (np.uint64(1) << _SHIFTS64)[acc > 0]).item()) if (acc > 0).any() else 0
     return v - (1 << 64) if v >= (1 << 63) else v
@@ -297,7 +394,9 @@ class SimHasher:
 
 
 def simhash_dedup(docs: ray.data.Dataset, *, max_hamming: int = 3,
-                  max_bucket: int = 256) -> pd.DataFrame:
+                  max_bucket: int = 256) -> ray.data.Dataset:
+    """-> Dataset (doc_id, cluster_id, is_keeper); same distributed
+    assembly as minhash_lsh_dedup."""
     from ..codecs import hamming64
 
     rows = docs.map_batches(SimHasher(), batch_format="pyarrow",
@@ -316,10 +415,9 @@ def simhash_dedup(docs: ray.data.Dataset, *, max_hamming: int = 3,
         return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep]})
 
     cand = filter_collision_buckets(rows, ["band_id", "band_hash"])
-    pairs = cand.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas().drop_duplicates(["a", "b"])
-    all_ids = docs.select_columns(["doc_id"]).to_pandas()["doc_id"].to_numpy()
-    return clusters_from_pairs(all_ids, list(zip(pairs["a"], pairs["b"])))
+    edges = cand.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    return cluster_assign(docs.select_columns(["doc_id"]), edges)
 
 
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -43,9 +44,116 @@ def shuffle_join(left: ray.data.Dataset, right: ray.data.Dataset,
                  on: tuple[str, ...], right_on: Optional[tuple[str, ...]] = None,
                  how: str = "inner",
                  num_partitions: int = 32) -> ray.data.Dataset:
-    """Both-sides-large hash join (all-to-all exchange)."""
+    """Both-sides-large hash join via Ray Data's native ``Dataset.join``.
+
+    WARNING: the native hash-shuffle join starves its aggregator actors at
+    small ``num_cpus`` (observed deadlock at num_cpus=4). ``cogroup_join``
+    below is the portable both-sides-large plan this engine uses; this
+    wrapper remains for clusters where the native operator is sized
+    correctly (aggregator actors + map tasks <= total CPUs)."""
     return left.join(right, join_type=how, num_partitions=num_partitions,
                      on=on, right_on=right_on)
+
+
+_KNUTH = np.int64(2654435761)
+
+
+def _part_of(key: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic partition of an int64 key (multiplicative hash;
+    numpy wraparound is part of the function). Non-negative."""
+    with np.errstate(over="ignore"):
+        return (key.astype(np.int64) * _KNUTH) % np.int64(num_partitions)
+
+
+def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                 on: str, right_on: Optional[str] = None,
+                 how: str = "inner", num_partitions: int = 64,
+                 suffix: str = "_r") -> ray.data.Dataset:
+    """Both-sides-large equi-join that cannot deadlock: hash-partition both
+    sides on the key, union them with side tags, and merge per PARTITION
+    (`groupby(_part).map_groups` = one vectorized pandas merge per
+    partition — ``num_partitions`` Python calls total, not one per key).
+
+    This is the engine's scale path for the keyed tile lookup
+    (detail/mbtiles.cpp:160-197 generalized to two large sides): every row
+    moves exactly once, partition count sizes the reducers, and a hot key
+    is bounded by its partition (salt the key upstream if one key exceeds
+    a partition — stages/skew.py).
+
+    Constraints: the key must be integer-valued and non-null; ``how`` is
+    'inner' or 'left' (right columns must be null-tolerant types for
+    'left'). Name collisions on non-key right columns get ``suffix``.
+    """
+    def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+        base = ds.schema().base_schema
+        if isinstance(base, pa.Schema):
+            return base
+        # pandas-block datasets expose numpy dtypes; map them over
+        fields = []
+        for name, t in zip(base.names, base.types):
+            try:
+                fields.append((name, pa.from_numpy_dtype(t)))
+            except (pa.ArrowNotImplementedError, TypeError):
+                fields.append((name, pa.string()))
+        return pa.schema(fields)
+
+    rk = right_on or on
+    lsch, rsch = _arrow_schema(left), _arrow_schema(right)
+    lcols, rcols = list(lsch.names), list(rsch.names)
+    same_key = rk == on
+
+    # output schema, fixed driver-side so every partition's merge result
+    # casts to it (pandas round-trips would otherwise drift types on empty
+    # or all-null groups)
+    out_fields = [(c, lsch.field(c).type) for c in lcols]
+    for c in rcols:
+        if same_key and c == rk:
+            continue
+        name = c + suffix if c in lcols else c
+        out_fields.append((name, rsch.field(c).type))
+    out_schema = pa.schema(out_fields)
+    out_names = [f[0] for f in out_fields]
+
+    def tagger(side: int, key_col: str, cols: list[str], prefix: str,
+               other_prefix: str, other_fields: list):
+        def tag(b: pa.Table) -> pa.Table:
+            key = b[key_col].to_numpy().astype(np.int64)
+            arrays = [pa.array(_part_of(key, num_partitions), pa.int32()),
+                      pa.array(np.full(b.num_rows, side, dtype=np.int8))]
+            names = ["_part", "_side"]
+            for c in cols:
+                arrays.append(b[c])
+                names.append(prefix + c)
+            for c, t in other_fields:
+                arrays.append(pa.nulls(b.num_rows, type=t))
+                names.append(other_prefix + c)
+            return pa.table(dict(zip(names, arrays)))
+        return tag
+
+    lfields = [(c, lsch.field(c).type) for c in lcols]
+    rfields = [(c, rsch.field(c).type) for c in rcols]
+    lt = left.map_batches(tagger(0, on, lcols, "l__", "r__", rfields),
+                          batch_format="pyarrow")
+    rt = right.map_batches(tagger(1, rk, rcols, "r__", "l__", lfields),
+                           batch_format="pyarrow")
+
+    def join_part(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        l = df[df["_side"] == 0][["l__" + c for c in lcols]]
+        l.columns = lcols
+        r = df[df["_side"] == 1][["r__" + c for c in rcols]]
+        r.columns = rcols
+        if same_key:
+            m = l.merge(r, on=on, how=how, suffixes=("", suffix))
+        else:
+            m = l.merge(r, left_on=on, right_on=rk, how=how,
+                        suffixes=("", suffix))
+        m = m[out_names]
+        return pa.Table.from_pandas(m, schema=out_schema,
+                                    preserve_index=False)
+
+    return lt.union(rt).groupby("_part").map_groups(
+        join_part, batch_format="pyarrow")
 
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,

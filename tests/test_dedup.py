@@ -55,7 +55,7 @@ def test_minhash_signature_estimates_jaccard():
 
 def test_minhash_lsh_finds_planted_dups(docs_ds):
     ds, texts, truth = docs_ds
-    out = dedup.minhash_lsh_dedup(ds, threshold=0.6)
+    out = dedup.minhash_lsh_dedup(ds, threshold=0.6).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     planted = [(i, truth[i]) for i in range(len(truth)) if truth[i] != i]
     assert planted
@@ -75,7 +75,7 @@ def test_simhash_dedup_exact_dup_and_threshold(ray_session):
     texts = [base, base, base + " extra", "completely different words here " * 5]
     ds = ray.data.from_arrow(pa.table({
         "doc_id": pa.array(range(4), pa.int64()), "text": pa.array(texts)}))
-    out = dedup.simhash_dedup(ds, max_hamming=3)
+    out = dedup.simhash_dedup(ds, max_hamming=3).to_pandas()
     c = dict(zip(out["doc_id"], out["cluster_id"]))
     assert c[1] == c[0]            # exact dup (hamming 0)
     assert c[2] == 2               # " extra" flips 9 bits -> beyond 3, separate
@@ -133,6 +133,41 @@ def test_clusters_from_pairs_transitive():
     assert c[3] == 3
     assert c[4] == c[5] == 4
     assert list(out[out["is_keeper"]]["doc_id"]) == [0, 3, 4]
+
+
+def test_cluster_assign_matches_unionfind_oracle(ray_session):
+    """Distributed min-label propagation == in-memory union-find on a graph
+    with long chains (forces multiple propagation + pointer-jump rounds),
+    a star, duplicate edges, and isolated nodes."""
+    import ray.data
+    n = 400
+    ids = np.arange(n, dtype=np.int64)
+    pairs = [(i, i + 1) for i in range(0, 16)]            # chain of 17
+    pairs += [(100, j) for j in range(101, 120)]          # star
+    pairs += [(200, 201), (201, 202), (200, 201)]         # duplicate edge
+    pairs += [(300, 350), (350, 320), (320, 310)]         # zigzag
+    docs = ray.data.from_arrow(pa.table({"doc_id": pa.array(ids)}))
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([a for a, _ in pairs], pa.int64()),
+        "b": pa.array([b for _, b in pairs], pa.int64())}))
+    got = dedup.cluster_assign(docs, edges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = dedup.clusters_from_pairs(ids, pairs)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+    assert got["is_keeper"].tolist() == want["is_keeper"].tolist()
+
+
+def test_cluster_assign_no_edges(ray_session):
+    import ray.data
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([5, 7, 9], pa.int64())}))
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}))
+    got = dedup.cluster_assign(docs, edges).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["cluster_id"].tolist() == [5, 7, 9]
+    assert got["is_keeper"].all()
 
 
 def test_phash_dedup_finds_planted_duplicates(ray_session):
