@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_tiling": _vq.q_vector_tiling,
         # weighted mosaic (J1 + A1/A2/A3)
         "blend_mosaic": _bq.q_blend_mosaic,
+        "blend_shuffle": _bq.q_blend_shuffle,
         # dedup suite + ANN
         "minhash_dedup": _dq.q_minhash_dedup,
         "simhash_dedup": _dq.q_simhash_dedup,

@@ -32,9 +32,23 @@ def _fixture_mosaic() -> tuple[bl.BlendSpec, list[bl.BlendSource]]:
 def q_blend_mosaic(sf_dir: str) -> ray.data.Dataset:
     """Distributed mosaic render -> per-tile-row checksums (exercises the
     full J1 join + A1/A2 weighting + A3 mask path)."""
-    spec, sources = _fixture_mosaic()
-    tiles = bl.blend_dataset(spec, sources)
+    return _blend_stats(bl.blend_dataset(*_blend_args()))
 
+
+def q_blend_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Same mosaic through the SHUFFLE physical plan (flat_map source
+    windows -> groupby(tile_id)); must produce checksums identical to
+    q_blend_mosaic — the cross-plan parity is the test."""
+    spec, sources = _blend_args()
+    return _blend_stats(bl.blend_dataset(spec, sources,
+                                         physical_plan="shuffle"))
+
+
+def _blend_args():
+    return _fixture_mosaic()
+
+
+def _blend_stats(tiles: ray.data.Dataset) -> ray.data.Dataset:
     def stats(b: pa.Table) -> pa.Table:
         sums, valid = [], []
         for px, m, vw, vh in zip(b["px"].to_pylist(), b["mask"].to_pylist(),

@@ -20,10 +20,16 @@ Per-block math (blender.cpp:559-655), in fp64 regardless of storage type
 Validity mask block (blender.cpp:657-731): OR over sources of
 (mask != 0 AND inside-valid / kernel-area > 0)            (A3).
 
-At 10^12-tile scale the broadcast of whole sources is replaced by a
-flat_map of source tiles to covered output tile ids + groupby(tile_id)
-(SURVEY.md §2.4 J1) — the per-block kernel below is unchanged; only the
-data routing differs.
+Two physical plans share the per-block kernel (`blend_dataset` selects by
+source payload size): `broadcast` ships sources once via ray.put and maps
+over the output grid; `shuffle` (`blend_dataset_shuffle`) flat_maps each
+source to its covered output tiles carrying only the overlapping window,
+then groupby(tile_id) blends — the SURVEY §2.4 J1 plan for tiled sources
+at scale.
+
+Color-table semantics (blender.cpp:526-530): the palette is cloned from
+the FIRST source; its presence marks discrete data and disables overlap
+blending (palette indices are never averaged).
 """
 
 from __future__ import annotations
@@ -53,6 +59,11 @@ class BlendSource:
     pixels: np.ndarray
     valid: Extents
     mask: Optional[np.ndarray] = None
+    # per-band palette [(r, g, b, a), ...] — presence marks DISCRETE data
+    # (blender.cpp:526-530) and color interpretation (solid.hpp:79,
+    # blender.cpp:304-306); both follow first-source precedence
+    color_table: Optional[list[tuple[int, int, int, int]]] = None
+    color_interp: Optional[str] = None
 
     @property
     def size(self) -> tuple[int, int]:
@@ -164,6 +175,8 @@ class BlendPlan:
     bands: int
     placements: list[tuple[int, int, int, int]]      # int pixel rects
     valids: list[tuple[float, float, float, float]]  # float pixel rects
+    color_table: Optional[list[tuple[int, int, int, int]]] = None
+    color_interp: Optional[str] = None
 
 
 def plan_blend(spec: BlendSpec, sources: list[BlendSource]) -> BlendPlan:
@@ -196,9 +209,19 @@ def plan_blend(spec: BlendSpec, sources: list[BlendSource]) -> BlendPlan:
         placements.append(pixel_rect(se, s.size, ul, resolution))
         valids.append(pixel_valid(s.valid, ul, resolution))
     dtype = np.dtype(spec.dtype) if spec.dtype else first.pixels.dtype
+    # color table CLONED from the first source (blender.cpp:526-528); its
+    # presence marks discrete data and DISABLES overlap blending
+    # (blender.cpp:529 `overlap_ = {}`): weights fall back to the
+    # center-in-valid 0/1 path — palette indices must never be averaged.
+    color_table = [tuple(c) for c in first.color_table] \
+        if first.color_table else None
+    if color_table is not None:
+        overlap_px = (0, 0)
     return BlendPlan(extents=extents, resolution=resolution, size=(nx, ny),
                      overlap_px=overlap_px, dtype=dtype, nodata=spec.nodata,
-                     bands=first.bands, placements=placements, valids=valids)
+                     bands=first.bands, placements=placements, valids=valids,
+                     color_table=color_table,
+                     color_interp=first.color_interp)
 
 
 def _source_windows(plan: BlendPlan, sources: list[BlendSource],
@@ -235,21 +258,49 @@ def blend_block(plan: BlendPlan, sources: list[BlendSource],
         wacc[vy:vy + vh, vx:vx + vw] += mw
         # validity: mask!=0 AND geometric weight > 0 (blender.cpp:688-723)
         vmask[vy:vy + vh, vx:vx + vw] |= np.where((m != 0) & (w > 0), 255, 0).astype(np.uint8)
+    return _finalize_block(plan, acc, wacc, vmask)
+
+
+def _finalize_block(plan: BlendPlan, acc: np.ndarray, wacc: np.ndarray,
+                    vmask: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared finalize: div-by-0 guard, nodata fill, saturating convert
+    (blender.cpp:638-654)."""
     invalid = wacc == 0.0
-    wacc[invalid] = 1.0                       # div-by-0 guard (blender.cpp:638-641)
+    wacc = wacc.copy()
+    wacc[invalid] = 1.0
     out = acc / wacc[:, :, None]
     if plan.nodata is not None:
-        out[invalid] = plan.nodata            # blender.cpp:643-645
-    if np.issubdtype(plan.dtype, np.integer):  # convertTo saturates + rounds
+        out[invalid] = plan.nodata
+    if np.issubdtype(plan.dtype, np.integer):
         info = np.iinfo(plan.dtype)
         out = np.clip(np.rint(out), info.min, info.max)
     return out.astype(plan.dtype), vmask
 
 
+BLEND_BROADCAST_LIMIT = 256 << 20  # bytes; above this the shuffle plan wins
+
+
 def blend_dataset(spec: BlendSpec, sources: list[BlendSource],
-                  with_mask: bool = True) -> ray.data.Dataset:
-    """Distributed mosaic: `ray.data.range` over the output tile grid ->
-    map_batches rendering blocks; sources broadcast once (T3/T7 pattern)."""
+                  with_mask: bool = True,
+                  physical_plan: str = "auto") -> ray.data.Dataset:
+    """Distributed mosaic with two physical plans (same per-block math):
+
+    - 'broadcast' (small mosaics): sources ray.put once, `ray.data.range`
+      over the output tile grid renders blocks (T3/T7 pattern).
+    - 'shuffle' (tiled sources at scale): flat_map each source to its
+      covered output tiles shipping ONLY the overlapping pixel window,
+      then groupby(tile_id) blends — the J1 shuffle plan of SURVEY §3.1;
+      no task ever holds a whole source.
+    - 'auto': shuffle when total source payload exceeds
+      BLEND_BROADCAST_LIMIT.
+    """
+    if physical_plan == "auto":
+        total = sum(s.pixels.nbytes + (s.mask.nbytes if s.mask is not None
+                                       else 0) for s in sources)
+        physical_plan = "shuffle" if total > BLEND_BROADCAST_LIMIT \
+            else "broadcast"
+    if physical_plan == "shuffle":
+        return blend_dataset_shuffle(spec, sources, with_mask)
     plan = plan_blend(spec, sources)
     ntx, nty = num_tiles(*plan.size, TILE, TILE)
     sref = ray.put(sources)
@@ -280,6 +331,122 @@ def blend_dataset(spec: BlendSpec, sources: list[BlendSource],
 
     return ray.data.range(ntx * nty).map_batches(render, batch_format="numpy",
                                                  batch_size=16)
+
+
+def blend_dataset_shuffle(spec: BlendSpec, sources: list[BlendSource],
+                          with_mask: bool = True) -> ray.data.Dataset:
+    """The J1 shuffle plan (SURVEY §3.1): each source flat_maps to the
+    output tiles its placement covers, shipping ONLY the overlapping pixel
+    window (each source pixel moves exactly once); groupby(tile_id) then
+    accumulates in CONFIG ORDER (blender.cpp:570 fp-sum determinism) with
+    the same kernel as the broadcast path.
+
+    Sources are ray.put individually so an explode task holds one source,
+    never the whole mosaic; at real scale the source side is already a
+    tiled Dataset and the explode is a map over its tiles."""
+    plan = plan_blend(spec, sources)
+    ntx, nty = num_tiles(*plan.size, TILE, TILE)
+    srefs = [ray.put(s) for s in sources]
+    pref = ray.put(plan)
+    nbands = plan.bands
+
+    def explode(batch: dict) -> pa.Table:
+        pl = ray.get(pref)
+        out = {"tile_id": [], "src_idx": [], "wh": [], "img": [], "m": []}
+        for i in batch["src_idx"]:
+            i = int(i)
+            src = ray.get(srefs[i])
+            px0, py0, pw, ph = pl.placements[i]
+            bx0 = max(px0 // TILE, 0)
+            by0 = max(py0 // TILE, 0)
+            bx1 = min((px0 + pw - 1) // TILE, ntx - 1)
+            by1 = min((py0 + ph - 1) // TILE, nty - 1)
+            for by in range(by0, by1 + 1):
+                for bx in range(bx0, bx1 + 1):
+                    block = (bx * TILE, by * TILE, TILE, TILE)
+                    loc = locate(block, pl.placements[i])
+                    if loc is None:
+                        continue
+                    lx, ly, lw, lh = loc.local
+                    img = src.pixels[ly:ly + lh, lx:lx + lw]
+                    if img.ndim == 2:
+                        img = img[:, :, None]
+                    m = b"" if src.mask is None else \
+                        np.ascontiguousarray(
+                            src.mask[ly:ly + lh, lx:lx + lw]).tobytes()
+                    out["tile_id"].append(by * ntx + bx)
+                    out["src_idx"].append(i)
+                    out["wh"].append((lh << 16) | lw)
+                    out["img"].append(
+                        np.ascontiguousarray(
+                            img.astype(np.float64)).tobytes())
+                    out["m"].append(m)
+        return pa.table({
+            "tile_id": pa.array(out["tile_id"], pa.int64()),
+            "src_idx": pa.array(out["src_idx"], pa.int32()),
+            "wh": pa.array(out["wh"], pa.int32()),
+            "img": pa.array(out["img"], pa.large_binary()),
+            "m": pa.array(out["m"], pa.large_binary()),
+        })
+
+    windows = ray.data.from_items(
+        [{"src_idx": i} for i in range(len(sources))]) \
+        .map_batches(explode, batch_format="numpy", batch_size=1)
+    # seed rows guarantee every output tile appears (uncovered -> nodata)
+    seeds = ray.data.range(ntx * nty).map_batches(
+        lambda b: pa.table({
+            "tile_id": pa.array(b["id"].astype(np.int64)),
+            "src_idx": pa.array(np.full(len(b["id"]), -1, dtype=np.int32)),
+            "wh": pa.array(np.zeros(len(b["id"]), dtype=np.int32)),
+            "img": pa.array([b""] * len(b["id"]), pa.large_binary()),
+            "m": pa.array([b""] * len(b["id"]), pa.large_binary()),
+        }), batch_format="numpy")
+
+    def render_group(g: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        tid = int(g["tile_id"][0].as_py())
+        bx, by = tid % ntx, tid // ntx
+        block = (bx * TILE, by * TILE, TILE, TILE)
+        acc = np.zeros((TILE, TILE, nbands), dtype=np.float64)
+        wacc = np.zeros((TILE, TILE), dtype=np.float64)
+        vmask = np.zeros((TILE, TILE), dtype=np.uint8)
+        src_idx = g["src_idx"].to_numpy()
+        order = np.argsort(src_idx, kind="stable")     # config order
+        whs = g["wh"].to_numpy()
+        for j in order:
+            i = int(src_idx[j])
+            if i < 0:
+                continue
+            loc = locate(block, pl.placements[i])
+            lh, lw = int(whs[j]) >> 16, int(whs[j]) & 0xFFFF
+            img = np.frombuffer(g["img"][j].as_py(), dtype=np.float64) \
+                .reshape(lh, lw, nbands)
+            mb = g["m"][j].as_py()
+            m = np.ones((lh, lw), dtype=np.float64) if not mb else \
+                (np.frombuffer(mb, dtype=np.uint8)
+                 .reshape(lh, lw) != 0).astype(np.float64)
+            w = blend_weights(loc.roi, pl.valids[i], pl.overlap_px)
+            vx, vy, vw, vh = loc.view
+            mw = m * w
+            acc[vy:vy + vh, vx:vx + vw] += img * mw[:, :, None]
+            wacc[vy:vy + vh, vx:vx + vw] += mw
+            vmask[vy:vy + vh, vx:vx + vw] |= \
+                np.where((m != 0) & (w > 0), 255, 0).astype(np.uint8)
+        px, vm = _finalize_block(pl, acc, wacc, vmask)
+        return pa.table({
+            "tile_x": pa.array([bx], pa.int32()),
+            "tile_y": pa.array([by], pa.int32()),
+            "valid_w": pa.array([min(TILE, pl.size[0] - bx * TILE)],
+                                pa.int32()),
+            "valid_h": pa.array([min(TILE, pl.size[1] - by * TILE)],
+                                pa.int32()),
+            "px": pa.array([px.tobytes()], pa.large_binary()),
+            "mask": pa.array([vm.tobytes() if with_mask else b""],
+                             pa.large_binary()),
+        })
+
+    return windows.union(seeds).groupby("tile_id").map_groups(
+        render_group, batch_format="pyarrow")
 
 
 def blend_oracle(plan: BlendPlan, sources: list[BlendSource]) -> tuple[np.ndarray, np.ndarray]:

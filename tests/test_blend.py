@@ -58,9 +58,35 @@ class TestValidation:
         assert plan.size == (491, 491)
 
 
+def _assemble(rows, plan):
+    got = np.zeros((len(rows) and (max(r["tile_y"] for r in rows) + 1) * 256,
+                    (max(r["tile_x"] for r in rows) + 1) * 256, plan.bands),
+                   dtype=plan.dtype)
+    gmask = np.zeros(got.shape[:2], dtype=np.uint8)
+    for r in rows:
+        px = np.frombuffer(r["px"], dtype=plan.dtype).reshape(256, 256,
+                                                              plan.bands)
+        got[r["tile_y"] * 256:(r["tile_y"] + 1) * 256,
+            r["tile_x"] * 256:(r["tile_x"] + 1) * 256] = px
+        gmask[r["tile_y"] * 256:(r["tile_y"] + 1) * 256,
+              r["tile_x"] * 256:(r["tile_x"] + 1) * 256] = \
+            np.frombuffer(r["mask"], np.uint8).reshape(256, 256)
+    nx, ny = plan.size
+    return got[:ny, :nx], gmask[:ny, :nx]
+
+
 def check_pipeline_vs_oracle(spec, sources, ray_session):
+    """Both physical plans (broadcast + shuffle) must match the whole-raster
+    oracle EXACTLY (fp-sum order is pinned to config order in both)."""
     plan = bl.plan_blend(spec, sources)
     want_px, want_mask = bl.blend_oracle(plan, sources)
+    if want_px.ndim == 2:
+        want_px = want_px[:, :, None]
+    got_s, gmask_s = _assemble(
+        bl.blend_dataset(spec, sources, physical_plan="shuffle").take_all(),
+        plan)
+    np.testing.assert_array_equal(got_s, want_px)
+    np.testing.assert_array_equal(gmask_s, want_mask)
     rows = bl.blend_dataset(spec, sources).take_all()
     nx, ny = plan.size
     got = np.zeros((len(rows) and (max(r["tile_y"] for r in rows) + 1) * 256,
@@ -131,6 +157,37 @@ class TestBlend:
         # x in [500, 520) is beyond both sources -> nodata, invalid mask
         assert (got[:, 510, :] == -1.0).all()
         assert (gmask[:, 510] == 0).all()
+
+    def test_color_table_disables_overlap(self, ray_session):
+        """blender.cpp:526-530: a paletted (discrete) first source clones
+        its color table into the plan and FORCES the no-overlap weight path
+        even when the spec asks for overlap blending."""
+        palette = [(i, 255 - i, 0, 255) for i in range(4)]
+        a = make_source((0, 256), (300, 256), 3,
+                        valid=Extents(0, 0, 160, 256))
+        b = make_source((0, 256), (300, 256), 4,
+                        valid=Extents(140, 0, 300, 256))
+        a.color_table = palette
+        a.color_interp = "Palette"
+        spec = bl.BlendSpec(extents=Extents(0, 0, 300, 256), overlap=20.0,
+                            nodata=0.0)
+        plan = bl.plan_blend(spec, [a, b])
+        assert plan.overlap_px == (0, 0)          # discrete data rule
+        assert plan.color_table == palette
+        assert plan.color_table is not a.color_table   # cloned, not shared
+        assert plan.color_interp == "Palette"
+        # pixels equal the overlap=0 render (no averaging of indices)
+        got, _ = _assemble(bl.blend_dataset(spec, [a, b]).take_all(), plan)
+        spec0 = bl.BlendSpec(extents=Extents(0, 0, 300, 256), overlap=0.0,
+                             nodata=0.0)
+        a0 = bl.BlendSource(gt=a.gt, pixels=a.pixels, valid=a.valid,
+                            mask=a.mask)
+        b0 = bl.BlendSource(gt=b.gt, pixels=b.pixels, valid=b.valid,
+                            mask=b.mask)
+        want, _ = bl.blend_oracle(bl.plan_blend(spec0, [a0, b0]), [a0, b0])
+        if want.ndim == 2:
+            want = want[:, :, None]
+        np.testing.assert_array_equal(got, want)
 
     def test_seamless_across_block_borders(self, ray_session):
         # one source spanning multiple blocks: output == input exactly
