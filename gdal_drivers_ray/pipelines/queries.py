@@ -219,6 +219,59 @@ def q_tms_join(sf_dir: str) -> ray.data.Dataset:
     return agg.rename_columns({"rkey": "key"})
 
 
+def q_tms_join_big(sf_dir: str) -> ray.data.Dataset:
+    """Same keyed lookup as q_tms_join but BOTH sides large and
+    dataset-native: the store is built distributed (groupby(skey) first-
+    wins, never a driver frame) and the join is the hash-cogroup exchange
+    (stages.joins.cogroup_join — deadlock-free at any num_cpus, unlike the
+    native Dataset.join). Shares q_tms_join's SQL oracle by construction."""
+    from ..stages.joins import cogroup_join
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def store_rows(b: pa.Table) -> pa.Table:
+        z = 3 + (b["o_orderkey"].to_numpy() % 3)
+        side = np.int64(1) << z
+        col = b["o_custkey"].to_numpy() % side
+        row_tms = np.floor(b["o_totalprice"].to_numpy()).astype(np.int64) \
+            % side
+        return pa.table({
+            "skey": pa.array(z * PACK_Z + row_tms * PACK_Y + col),
+            "payload": pa.array(b["o_orderkey"].to_numpy())})
+
+    store = o.map_batches(store_rows, batch_format="pyarrow") \
+        .groupby("skey").aggregate(Min("payload", alias_name="payload"))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def requests(b: pa.Table) -> pa.Table:
+        z = 3 + (b["l_orderkey"].to_numpy() % 3)
+        side = np.int64(1) << z
+        col = b["l_partkey"].to_numpy() % side
+        row_tms = (side - 1) - (b["l_suppkey"].to_numpy() % side)
+        return pa.table({
+            "rkey": pa.array(z * PACK_Z + row_tms * PACK_Y + col),
+            "req_order": pa.array(b["l_orderkey"].to_numpy())})
+
+    r = li.map_batches(requests, batch_format="pyarrow")
+    joined = cogroup_join(r, store, on="rkey", right_on="skey", how="inner")
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby("rkey", as_index=False).agg(
+            n_hits=("rkey", "size"), min_payload=("payload", "min"),
+            max_req=("req_order", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("rkey").aggregate(
+            Sum("n_hits", alias_name="n_hits"),
+            Min("min_payload", alias_name="min_payload"),
+            Max("max_req", alias_name="max_req"),
+    )
+    return agg.rename_columns({"rkey": "key"})
+
+
 SQL_TMS_JOIN = """
 WITH store AS (
   -- primary-keyed store: first-wins (= min payload) per (zoom,col,row) key

@@ -68,13 +68,13 @@ def parse_requests(batch: pa.Table, path_col: str = "path") -> pa.Table:
         parsed = parse_tile_key(tail)
         if parsed is None:
             status.append("bad_key"); zs.append(0); cs.append(0); rs.append(0)
-            keys.append(0)
+            keys.append(-1)      # sentinel: cannot collide with a packed key
             continue
         z, c, r = parsed
         m = (1 << z) - 1
         if c > m or r > m:
             status.append("out_of_bounds")
-            zs.append(z); cs.append(c); rs.append(r); keys.append(0)
+            zs.append(z); cs.append(c); rs.append(r); keys.append(-1)
             continue
         status.append("ok")
         zs.append(z); cs.append(c); rs.append(r)
@@ -98,16 +98,9 @@ def _gunzip_col(data: list[Optional[bytes]]) -> list[Optional[bytes]]:
     return out
 
 
-def lookup(requests: ray.data.Dataset, store_path: str,
-           path_col: str = "path") -> ray.data.Dataset:
-    """Request paths ⋈ store. The store index (packed key -> row ordinal) is
-    broadcast once; matched blobs are read per batch and gunzipped. Missing
-    tiles get status='not_found' (mbtiles.cpp:188-192).
-
-    Scale note: for stores beyond worker memory, swap the broadcast frame
-    for stages.joins.shuffle_join on skey — the request-side parse/flip and
-    the gunzip stage are unchanged.
-    """
+def _load_store_df(store_path: str) -> pd.DataFrame:
+    """Read the store and build the (skey -> tile_data) frame. Runs as a
+    Ray TASK (never on the driver): the driver only holds the ObjectRef."""
     import pyarrow.parquet as pq
 
     st = pq.read_table(store_path)
@@ -116,10 +109,21 @@ def lookup(requests: ray.data.Dataset, store_path: str,
                     st["row"].to_numpy().astype(np.int64))
     store_df = pd.DataFrame({"skey": skey,
                              "tile_data": st["tile_data"].to_pylist()})
-    # last-write-wins on duplicate keys (primary key in the reference's
-    # sqlite schema); keep first occurrence deterministically
-    store_df = store_df.drop_duplicates("skey", keep="first")
-    sref = ray.put(store_df)
+    # keep first occurrence deterministically (primary key in the
+    # reference's sqlite schema)
+    return store_df.drop_duplicates("skey", keep="first")
+
+
+def lookup(requests: ray.data.Dataset, store_path: str,
+           path_col: str = "path") -> ray.data.Dataset:
+    """Request paths ⋈ store, broadcast plan: the store frame is built by a
+    Ray task (the driver never reads the store), its ObjectRef is shared by
+    every lookup task; matched blobs are gunzipped per batch. Missing tiles
+    get status='not_found' (mbtiles.cpp:188-192).
+
+    For stores beyond worker memory use ``lookup_shuffle`` — same request
+    parse/flip and gunzip stages around a cogroup join."""
+    sref = ray.remote(num_cpus=1)(_load_store_df).remote(store_path)
 
     def join(batch: pa.Table) -> pa.Table:
         b = parse_requests(batch, path_col)
@@ -137,3 +141,52 @@ def lookup(requests: ray.data.Dataset, store_path: str,
                               pa.array(m["tile_data"].tolist(), pa.large_binary()))
 
     return requests.map_batches(join, batch_format="pyarrow")
+
+
+def keyed_store(store_path: str) -> ray.data.Dataset:
+    """Store parquet -> Dataset with the packed key column (computed in the
+    read tasks, never on the driver)."""
+    st = ray.data.read_parquet(store_path)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        skey = pack_zxy(b["zoom"].to_numpy().astype(np.int64),
+                        b["col"].to_numpy().astype(np.int64),
+                        b["row"].to_numpy().astype(np.int64))
+        return pa.table({"skey": pa.array(skey), "tile_data": b["tile_data"]})
+
+    return st.map_batches(add_key, batch_format="pyarrow")
+
+
+def lookup_shuffle(requests: ray.data.Dataset, store_path: str,
+                   path_col: str = "path",
+                   num_partitions: int = 64) -> ray.data.Dataset:
+    """Both-sides-large plan: requests and store hash-cogroup on the packed
+    key (stages.joins.cogroup_join — every row moves once; safe at any
+    num_cpus). Identical output semantics to ``lookup``: bad/out-of-bounds
+    rows pass through (their skey sentinel -1 never matches), ok rows with
+    no store tile become status='not_found', blobs gunzip after the join.
+
+    Store keys must be UNIQUE (true of real archives — the reference's
+    sqlite tiles table is primary-keyed on (zoom, col, row),
+    mbtiles.cpp:166-197); ``lookup`` additionally tolerates duplicates by
+    first-wins, which has no order-stable distributed equivalent."""
+    from ..stages.joins import cogroup_join
+
+    parsed = requests.map_batches(lambda b: parse_requests(b, path_col),
+                                  batch_format="pyarrow")
+    joined = cogroup_join(parsed, keyed_store(store_path), on="skey",
+                          how="left", num_partitions=num_partitions)
+
+    def post(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        ok = df["status"] == "ok"
+        missing = ok & df["tile_data"].isna()
+        df.loc[missing, "status"] = "not_found"
+        df["tile_data"] = _gunzip_col(df["tile_data"].tolist())
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        i = out.schema.get_field_index("tile_data")
+        return out.set_column(i, "tile_data",
+                              pa.array(df["tile_data"].tolist(),
+                                       pa.large_binary()))
+
+    return joined.map_batches(post, batch_format="pyarrow")

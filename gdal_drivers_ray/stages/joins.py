@@ -138,11 +138,16 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
                            batch_format="pyarrow")
 
     def join_part(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        l = df[df["_side"] == 0][["l__" + c for c in lcols]]
-        l.columns = lcols
-        r = df[df["_side"] == 1][["r__" + c for c in rcols]]
-        r.columns = rcols
+        import pyarrow.compute as pc
+        # split sides IN ARROW before pandas: converting the union with its
+        # other-side nulls would upcast int64 keys to float64 and corrupt
+        # keys above 2^53
+        l = g.filter(pc.equal(g["_side"], 0)) \
+            .select(["l__" + c for c in lcols]) \
+            .rename_columns(lcols).to_pandas()
+        r = g.filter(pc.equal(g["_side"], 1)) \
+            .select(["r__" + c for c in rcols]) \
+            .rename_columns(rcols).to_pandas()
         if same_key:
             m = l.merge(r, on=on, how=how, suffixes=("", suffix))
         else:

@@ -63,6 +63,25 @@ def test_gzip_round_trip(ray_session, tmp_path):
     assert bytes(out[0]["tile_data"]) == b"payload"
 
 
+def test_lookup_shuffle_matches_broadcast(ray_session, store):
+    """The both-sides-large cogroup plan returns exactly the broadcast
+    plan's rows (all statuses, gunzip, not_found) — at num_cpus=4, where
+    the native Dataset.join deadlocks."""
+    paths = ["x/3-7-7", "x/3-8-0", "x/3-07-1", "x/3--1-1", "x/2-3-3",
+             "x/5-1-1", "a.mbtiles/2-1-0", "t/2-0-0"]
+    cols = ["path", "status", "zoom", "col", "row", "skey", "tile_data"]
+
+    def norm(rows):
+        return sorted(
+            (tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray))
+                   else r[c] for c in cols) for r in rows))
+
+    want = norm(tilestore.lookup(paths_ds(paths), store).take_all())
+    got = norm(tilestore.lookup_shuffle(paths_ds(paths), store,
+                                        num_partitions=8).take_all())
+    assert got == want
+
+
 def test_zero_key_accepted(ray_session, store):
     # '0' is a legal single-digit zero (parsePart minWidth=1)
     out = tilestore.lookup(paths_ds(["t/2-0-0"]), store).take_all()
