@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q.q_range_join,
         "sessionize": _q.q_sessionize,
         "topk_orders": _q.q_topk_orders,
+        "topk_fullsort": _q.q_topk_fullsort,
         "distinct_sketch": _q.q_distinct_sketch,
         "sample_mod": _q.q_sample_mod,
         "set_ops": _q.q_set_ops,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _q.SQL_RANGE_JOIN,
         "sessionize": _q.SQL_SESSIONIZE,
         "topk_orders": _q.SQL_TOPK_ORDERS,
+        "topk_fullsort": _q.SQL_TOPK_ORDERS,
         "distinct_sketch": _q.SQL_DISTINCT_SKETCH,
         "sample_mod": _q.SQL_SAMPLE_MOD,
         "set_ops": _q.SQL_SET_OPS,

@@ -759,10 +759,30 @@ FROM s GROUP BY user_id, session_id
 
 
 def q_topk_orders(sf_dir: str) -> ray.data.Dataset:
-    """Global sort + limit (engine-side §2.6: the reference has no sort —
-    this is the distributed top-k surface): top 100 orders by totalprice,
-    ties broken by orderkey so the result set is deterministic. Price in
-    integer cents for exact compare."""
+    """Distributed top-k WITHOUT a global sort: each batch keeps only its
+    local top 100 (the exchange moves <= 100 rows per block instead of the
+    whole table), one tiny final head finishes. Ties break on orderkey;
+    price in integer cents for exact compare."""
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def partial_top(b: pa.Table) -> pa.Table:
+        c = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        k = b["o_orderkey"].to_numpy()
+        take = np.lexsort((k, -c))[:100]
+        return pa.table({"o_orderkey": pa.array(k[take]),
+                         "price_cents": pa.array(c[take])})
+
+    parts = o.map_batches(partial_top, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["price_cents", "o_orderkey"],
+                            ascending=[False, True],
+                            kind="stable").head(100).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_topk_fullsort(sf_dir: str) -> ray.data.Dataset:
+    """Same result through a FULL distributed sort + limit — kept as the
+    §2.6 global-sort coverage surface (the scale-safe plan above is the
+    default implementation)."""
     o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def cents(b: pa.Table) -> pa.Table:
@@ -862,29 +882,42 @@ FROM orders WHERE (o_orderkey * 2654435761) % 10 = 0
 
 
 def q_set_ops(sf_dir: str) -> ray.data.Dataset:
-    """Set operations over customer keys: customers with orders but no
-    lineitem-supplying nation match is contrived — instead: per-key
-    classification into {order_only, both} via distinct-key EXCEPT /
-    INTERSECT, counted. The small distinct sets reduce per batch first."""
+    """INTERSECT / EXCEPT / UNION counts over customer keys, fully dataset-
+    native: per-batch distinct (key, side-bit) rows -> one groupby(key)
+    with Max side-bit aggregates -> per-batch partial counts -> global sum.
+    Key sets never land on the driver (the round-1 driver-merge was the
+    §2.6 scale gap)."""
     o = _read(sf_dir, "orders", ["o_custkey"])
     c = _read(sf_dir, "customer", ["c_custkey"])
 
-    def dk(col):
+    def dk(col, in_o, in_c):
         def f(b: pa.Table) -> pa.Table:
-            return pa.table({"k": pa.array(np.unique(b[col].to_numpy()))})
+            u = np.unique(b[col].to_numpy())
+            return pa.table({
+                "k": pa.array(u),
+                "in_o": pa.array(np.full(len(u), in_o, dtype=np.int64)),
+                "in_c": pa.array(np.full(len(u), in_c, dtype=np.int64))})
         return f
 
-    ok = o.map_batches(dk("o_custkey"), batch_format="pyarrow").to_pandas()
-    ck = c.map_batches(dk("c_custkey"), batch_format="pyarrow").to_pandas()
-    os_ = np.unique(ok["k"].to_numpy())
-    cs = np.unique(ck["k"].to_numpy())
-    inter = np.intersect1d(os_, cs, assume_unique=True)
-    cust_only = np.setdiff1d(cs, os_, assume_unique=True)
-    return pa.table({
-        "n_with_orders": pa.array([np.int64(len(inter))]),
-        "n_without_orders": pa.array([np.int64(len(cust_only))]),
-        "n_union": pa.array([np.int64(len(np.union1d(os_, cs)))]),
-    })
+    rows = o.map_batches(dk("o_custkey", 1, 0), batch_format="pyarrow") \
+        .union(c.map_batches(dk("c_custkey", 0, 1), batch_format="pyarrow"))
+    flags = rows.groupby("k").aggregate(Max("in_o", alias_name="in_o"),
+                                        Max("in_c", alias_name="in_c"))
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        io = b["in_o"].to_numpy()
+        ic = b["in_c"].to_numpy()
+        return pa.table({
+            "n_with_orders": pa.array([np.int64(((io == 1) & (ic == 1)).sum())]),
+            "n_without_orders": pa.array([np.int64(((io == 0) & (ic == 1)).sum())]),
+            "n_union": pa.array([np.int64(len(io))]),
+        })
+
+    return flags.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby(None).aggregate(
+            Sum("n_with_orders", alias_name="n_with_orders"),
+            Sum("n_without_orders", alias_name="n_without_orders"),
+            Sum("n_union", alias_name="n_union"))
 
 
 SQL_SET_OPS = """

@@ -56,48 +56,57 @@ def ann_lsh_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
             s |= {int(b) ^ (1 << i) ^ (1 << j)
                   for i in range(n_bits) for j in range(i + 1, n_bits)}
         accept.append(s)
+    # bucket -> probing queries as a sorted-key CSR index (vectorizable
+    # membership via searchsorted, no per-row Python `in`)
     per_bucket: dict[int, list[int]] = {}
     for qi, s in enumerate(accept):
         for b in s:
             per_bucket.setdefault(b, []).append(qi)
-    bref = ray.put((query_ids, q, per_bucket))
+    bkeys = np.asarray(sorted(per_bucket), dtype=np.int64)
+    blens = np.asarray([len(per_bucket[int(x)]) for x in bkeys],
+                       dtype=np.int64)
+    bstarts = np.concatenate(([0], np.cumsum(blens)[:-1])).astype(np.int64)
+    bqidx = np.concatenate([per_bucket[int(x)] for x in bkeys]) \
+        .astype(np.int64) if len(bkeys) else np.empty(0, np.int64)
+    bref = ray.put((np.asarray(query_ids, dtype=np.int64), q,
+                    bkeys, bstarts, blens, bqidx))
 
     bucketed = emb.map_batches(EmbeddingBucketer(dim, n_bits),
                                batch_format="pyarrow", batch_size=1024)
 
     def partial(b: pa.Table) -> pa.Table:
-        ids_q, mat_q, pb = ray.get(bref)
+        from .spatial import _csr_expand
+        ids_q, mat_q, keys, starts, lens, qidx = ray.get(bref)
         buckets = b["bucket"].to_numpy()
-        wanted = np.fromiter((int(x) in pb for x in buckets), bool,
-                             count=len(buckets))
-        if not wanted.any():
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        vid = b["vec_id"].to_numpy()[wanted]
-        vecs = np.stack([np.frombuffer(v, np.float64)
-                         for v in b["vec"].to_pylist()])[wanted]
-        bks = buckets[wanted]
-        out_q, out_n, out_s = [], [], []
-        # group candidate rows by which queries probe their bucket
-        for qi in range(len(ids_q)):
-            m = np.fromiter((qi in pb.get(int(x), ()) for x in bks), bool,
-                            count=len(bks))
-            if not m.any():
-                continue
-            sims = vecs[m] @ mat_q[qi]
-            kk = min(k, len(sims))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            out_q.append(np.full(kk, ids_q[qi]))
-            out_n.append(vid[m][top])
-            out_s.append(sims[top])
-        if not out_q:
-            return pa.table({"query_id": pa.array([], pa.int64()),
-                             "neighbor_id": pa.array([], pa.int64()),
-                             "sim": pa.array([], pa.float64())})
-        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
-                         "neighbor_id": pa.array(np.concatenate(out_n)),
-                         "sim": pa.array(np.concatenate(out_s))})
+        pos = np.searchsorted(keys, buckets)
+        ok = pos < len(keys)
+        pos_c = np.where(ok, pos, 0)
+        ok &= keys[pos_c] == buckets
+        rows = np.nonzero(ok)[0]
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if len(rows) == 0:
+            return empty
+        vid = b["vec_id"].to_numpy()
+        blobs = b["vec"].to_pylist()
+        vecs = np.stack([np.frombuffer(blobs[int(i)], np.float64)
+                         for i in rows])
+        ln = lens[pos[rows]]
+        local = np.repeat(np.arange(len(rows)), ln)   # candidate row index
+        qi = qidx[_csr_expand(starts[pos[rows]], ln)]  # query per pair
+        sims = np.einsum("ij,ij->i", vecs[local], mat_q[qi])
+        nid = vid[rows][local]
+        # per-query partial top-k within this batch (vectorized rank trick)
+        o = np.lexsort((nid, -sims, qi))
+        qi, nid, sims = qi[o], nid[o], sims[o]
+        _, gstart, gcnt = np.unique(qi, return_index=True,
+                                    return_counts=True)
+        rank_in = np.arange(len(qi)) - np.repeat(gstart, gcnt)
+        sel = rank_in < k
+        return pa.table({"query_id": pa.array(ids_q[qi[sel]]),
+                         "neighbor_id": pa.array(nid[sel]),
+                         "sim": pa.array(sims[sel])})
 
     partials = bucketed.map_batches(partial, batch_format="pyarrow",
                                     batch_size=2048)
@@ -170,8 +179,21 @@ def ann_ivf_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
     -> DataFrame (query_id, neighbor_id, sim) with per-query top-k
     (self excluded), ties broken by neighbor_id.
     """
-    # 1. sample -> centroids (driver-side; tiny)
-    samp = emb.limit(sample_n).to_pandas()
+    # 1. deterministic hash-mod sample -> centroids (driver-side; tiny).
+    # A prefix (limit) would bias k-means on id-sorted or clustered input;
+    # the multiplicative-hash filter picks a uniform, reproducible subset.
+    n_total = max(emb.count(), 1)
+    rate = min(1.0, (2.0 * sample_n) / n_total)
+    mod = max(int(round(1.0 / rate)), 1)
+
+    def keep_sample(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = (v * np.int64(2654435761)) % np.int64(mod)
+        return b.filter(pa.array(h == 0))
+
+    samp = emb.map_batches(keep_sample, batch_format="pyarrow") \
+        .limit(sample_n).to_pandas()
     mat = np.stack([np.asarray(e, np.float64)
                     for e in samp["embedding"]])
     cent = train_centroids(mat, n_cells)

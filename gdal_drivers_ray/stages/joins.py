@@ -55,6 +55,21 @@ def shuffle_join(left: ray.data.Dataset, right: ray.data.Dataset,
                      on=on, right_on=right_on)
 
 
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Dataset schema as pyarrow (pandas-block datasets expose numpy
+    dtypes; map them over, defaulting unmappable object columns to string)."""
+    base = ds.schema().base_schema
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, t in zip(base.names, base.types):
+        try:
+            fields.append((name, pa.from_numpy_dtype(t)))
+        except (pa.ArrowNotImplementedError, TypeError):
+            fields.append((name, pa.string()))
+    return pa.schema(fields)
+
+
 _KNUTH = np.int64(2654435761)
 
 
@@ -84,19 +99,6 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     'inner' or 'left' (right columns must be null-tolerant types for
     'left'). Name collisions on non-key right columns get ``suffix``.
     """
-    def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
-        base = ds.schema().base_schema
-        if isinstance(base, pa.Schema):
-            return base
-        # pandas-block datasets expose numpy dtypes; map them over
-        fields = []
-        for name, t in zip(base.names, base.types):
-            try:
-                fields.append((name, pa.from_numpy_dtype(t)))
-            except (pa.ArrowNotImplementedError, TypeError):
-                fields.append((name, pa.string()))
-        return pa.schema(fields)
-
     rk = right_on or on
     lsch, rsch = _arrow_schema(left), _arrow_schema(right)
     lcols, rcols = list(lsch.names), list(rsch.names)
@@ -163,51 +165,152 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key: str, time_col: str, *, tie_col: str,
-              suffix: str = "_r") -> ray.data.Dataset:
+              suffix: str = "_r",
+              bucket_width: Optional[float] = None) -> ray.data.Dataset:
     """AS-OF join: each left row matches the latest right row with
     right.time <= left.time within the same key (inner: unmatched left rows
     drop). A custom operator Ray Data lacks; composed as
-    union(tagged sides) -> groupby(key).map_groups(vectorized searchsorted).
+    union(schema-aligned tagged sides) -> groupby.map_groups(vectorized
+    searchsorted). Left/right may have DIFFERENT schemas; output = left
+    columns + right's time/tie columns suffixed.
 
-    PARTITIONING ASSUMPTION: one key's full history must fit one reducer
-    (the match needs the whole right-side timeline of that key). For keys
-    too hot for that, pre-split by coarse time bucket and carry the last
-    right row of bucket i into bucket i+1 — not needed at current scales.
+    Hot keys: with ``bucket_width`` set, rows group by (key, time bucket)
+    instead of key alone, so one key's history splits across reducers.
+    Correctness across bucket borders uses CARRY rows: per (key, bucket)
+    the latest right row is reduced to a narrow summary, a per-key pass
+    over the summaries injects the latest-earlier right row into every
+    bucket the left side occupies, and the per-bucket match is then exact.
+    Without ``bucket_width`` one key's history must fit one reducer.
 
     Ties on time resolve to the largest `tie_col` (deterministic).
-    Output = left columns + right's time/tie columns suffixed.
     """
-    import numpy as np
-    import pandas as pd
+    lsch = _arrow_schema(left)
+    rsch = _arrow_schema(right)
+    lcols = list(lsch.names)
+    rt_t, rk_t = rsch.field(time_col).type, rsch.field(tie_col).type
+    RT, RK = "__rt", "__rk"        # right time/tie carried through the union
 
-    lcols = left.schema().names
-    l = left.map_batches(
-        lambda b: b.append_column("_side", pa.array([0] * b.num_rows,
-                                                    pa.int8())),
-        batch_format="pyarrow")
-    r = right.map_batches(
-        lambda b: b.append_column("_side", pa.array([1] * b.num_rows,
-                                                    pa.int8())),
-        batch_format="pyarrow")
+    def bucket_of(times: np.ndarray) -> np.ndarray:
+        if bucket_width is None:
+            return np.zeros(len(times), dtype=np.int64)
+        return np.floor(times / bucket_width).astype(np.int64)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {c: b[c] for c in lcols}
+        cols["_side"] = pa.array(np.zeros(b.num_rows, dtype=np.int8))
+        cols["_bucket"] = pa.array(bucket_of(b[time_col].to_numpy()))
+        cols[RT] = pa.nulls(b.num_rows, rt_t)
+        cols[RK] = pa.nulls(b.num_rows, rk_t)
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {}
+        for c in lcols:
+            cols[c] = b[c] if c == key else pa.nulls(b.num_rows,
+                                                     lsch.field(c).type)
+        cols["_side"] = pa.array(np.ones(b.num_rows, dtype=np.int8))
+        cols["_bucket"] = pa.array(bucket_of(b[time_col].to_numpy()))
+        cols[RT] = b[time_col]
+        cols[RK] = b[tie_col]
+        return pa.table(cols)
+
+    l = left.map_batches(tag_left, batch_format="pyarrow")
+    r = right.map_batches(tag_right, batch_format="pyarrow")
+    tagged = l.union(r)
+
+    if bucket_width is not None:
+        tagged = tagged.union(
+            _asof_carry_rows(left, right, key, time_col, tie_col,
+                             bucket_of, lsch, lcols, RT, RK, rt_t, rk_t))
 
     def match(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == 0]
-        rg = g[g["_side"] == 1].sort_values([time_col, tie_col],
-                                           kind="stable")
+        rg = g[g["_side"] == 1].sort_values([RT, RK], kind="stable")
         if lg.empty or rg.empty:
             cols = {c: pd.Series([], dtype=g[c].dtype) for c in lcols}
-            cols[time_col + suffix] = pd.Series([], dtype=g[time_col].dtype)
-            cols[tie_col + suffix] = pd.Series([], dtype=g[tie_col].dtype)
+            cols[time_col + suffix] = pd.Series([], dtype=g[RT].dtype)
+            cols[tie_col + suffix] = pd.Series([], dtype=g[RK].dtype)
             return pd.DataFrame(cols)
-        rt = rg[time_col].to_numpy()
-        pos = np.searchsorted(rt, lg[time_col].to_numpy(), side="right") - 1
+        rts = rg[RT].to_numpy()
+        pos = np.searchsorted(rts, lg[time_col].to_numpy(),
+                              side="right") - 1
         ok = pos >= 0
         out = lg.loc[ok, lcols].reset_index(drop=True)
-        out[time_col + suffix] = rg[time_col].to_numpy()[pos[ok]]
-        out[tie_col + suffix] = rg[tie_col].to_numpy()[pos[ok]]
+        out[time_col + suffix] = rts[pos[ok]]
+        out[tie_col + suffix] = rg[RK].to_numpy()[pos[ok]]
         return out
 
-    return l.union(r).groupby(key).map_groups(match, batch_format="pandas")
+    return tagged.groupby([key, "_bucket"]).map_groups(
+        match, batch_format="pandas")
+
+
+def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
+                     lsch, lcols, RT, RK, rt_t, rk_t) -> ray.data.Dataset:
+    """Narrow carry-row builder for the bucketed as-of join: per (key,
+    bucket) reduce the rights to their latest (time, tie) row, then per key
+    walk the bucket summaries and emit, for every bucket the LEFT side
+    occupies, one synthetic right row holding the latest right from any
+    earlier bucket. Everything here is key/time/tie columns only — no
+    payload moves twice."""
+    import pandas as pd
+
+    def right_summary(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            key: b[key].to_numpy(),
+            "_bucket": bucket_of(b[time_col].to_numpy()),
+            RT: b[time_col].to_numpy(), RK: b[tie_col].to_numpy()})
+        g = df.sort_values([RT, RK]).groupby([key, "_bucket"],
+                                             as_index=False).last()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def left_buckets(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({key: b[key].to_numpy(),
+                           "_bucket": bucket_of(b[time_col].to_numpy())})
+        g = df.drop_duplicates()
+        g[RT] = pd.Series([None] * len(g), dtype="float64")
+        g[RK] = pd.Series([None] * len(g), dtype="float64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rsum = right.map_batches(right_summary, batch_format="pyarrow")
+    lbuk = left.map_batches(left_buckets, batch_format="pyarrow")
+
+    def carry(g: pd.DataFrame) -> pd.DataFrame:
+        kval = g[key].iloc[0]
+        out_rows = []
+        best = None                      # (time, tie) of latest earlier right
+        for b in sorted(g["_bucket"].unique()):
+            sub = g[g["_bucket"] == b]
+            # left markers of bucket b see only rights of buckets < b
+            if sub[RT].isna().any() and best is not None:
+                out_rows.append((kval, int(b), best[0], best[1]))
+            rights = sub.dropna(subset=[RT])
+            if len(rights):
+                rr = rights.sort_values([RT, RK]).iloc[-1]
+                cand = (rr[RT], rr[RK])
+                if best is None or cand >= best:
+                    best = cand
+        if not out_rows:
+            return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype),
+                                 "_bucket": pd.Series([], dtype=np.int64),
+                                 RT: pd.Series([], dtype=np.float64),
+                                 RK: pd.Series([], dtype=np.float64)})
+        return pd.DataFrame(out_rows, columns=[key, "_bucket", RT, RK])
+
+    carries = rsum.union(lbuk).groupby(key).map_groups(
+        carry, batch_format="pandas")
+
+    def expand(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {}
+        for c in lcols:
+            cols[c] = b[c] if c == key else pa.nulls(n, lsch.field(c).type)
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["_bucket"] = b["_bucket"].cast(pa.int64())
+        cols[RT] = b[RT].cast(rt_t)    # float round-trip from the pandas
+        cols[RK] = b[RK].cast(rk_t)    # NaN markers -> original types
+        return pa.table(cols)
+
+    return carries.map_batches(expand, batch_format="pyarrow")
 
 
 def range_join(points: ray.data.Dataset, intervals,

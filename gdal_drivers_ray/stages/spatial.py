@@ -319,32 +319,33 @@ def zonal_stats(tiles: ray.data.Dataset,
     rx = world.width / (side * 256)
     ry = world.height / (side * 256)
 
-    def partial(b) -> "pa.Table":
-        import pyarrow as pa
+    def partial(b: pa.Table) -> pa.Table:
         cp, polys = ray.get(pref)
         out = {"poly_id": [], "n": [], "s": [], "mn": [], "mx": []}
-        for i in range(b.num_rows):
-            tx = int(b["tile_x"][i].as_py())
-            ty = int(b["tile_y"][i].as_py())
-            pids = cp.get((tx, ty))
+        # bulk column extraction once per batch (no per-row .as_py())
+        txs = b["tile_x"].to_numpy().astype(np.int64)
+        tys = b["tile_y"].to_numpy().astype(np.int64)
+        vws = b["valid_w"].to_numpy().astype(np.int64)
+        vhs = b["valid_h"].to_numpy().astype(np.int64)
+        dts = b["dtype"].to_pylist()
+        pxs = b["px"].to_pylist()
+        centers = np.arange(256, dtype=np.float64) + 0.5  # hoisted grid
+        known = {"uint8", "uint16", "int16", "uint32", "int32",
+                 "float32", "float64"}
+        for i in range(len(txs)):
+            pids = cp.get((int(txs[i]), int(tys[i])))
             if not pids:
                 continue
-            vw = int(b["valid_w"][i].as_py())
-            vh = int(b["valid_h"][i].as_py())
-            dt = b["dtype"][i].as_py()
-            import numpy as _np
-            arr = _np.frombuffer(b["px"][i].as_py(),
-                                 dtype=_np.dtype(dt) if dt in
-                                 ("uint8", "uint16", "int16", "uint32",
-                                  "int32", "float32", "float64")
-                                 else _np.uint8).reshape(256, 256)[:vh, :vw]
-            # pixel-center world coordinates of this tile
-            jy, jx = _np.mgrid[0:vh, 0:vw]
-            wx = world.llx + ((tx * 256 + jx) + 0.5) * rx
-            wy = world.ury - ((ty * 256 + jy) + 0.5) * ry
-            wxf = wx.ravel()
-            wyf = wy.ravel()
-            vals = arr.astype(_np.float64).ravel()
+            vw, vh = int(vws[i]), int(vhs[i])
+            dt = np.dtype(dts[i]) if dts[i] in known else np.uint8
+            arr = np.frombuffer(pxs[i], dtype=dt) \
+                .reshape(256, 256)[:vh, :vw]
+            # pixel-center world coordinates: two 1-D ramps, no mgrid
+            wx = world.llx + (txs[i] * 256 + centers[:vw]) * rx
+            wy = world.ury - (tys[i] * 256 + centers[:vh]) * ry
+            wxf = np.tile(wx, vh)
+            wyf = np.repeat(wy, vw)
+            vals = arr.astype(np.float64).ravel()
             for pid in pids:
                 m = point_in_polygon(wxf, wyf, polys[pid])
                 if not m.any():
@@ -355,7 +356,6 @@ def zonal_stats(tiles: ray.data.Dataset,
                 out["s"].append(float(v.sum()))
                 out["mn"].append(float(v.min()))
                 out["mx"].append(float(v.max()))
-        import pyarrow as pa
         return pa.table({"poly_id": pa.array(out["poly_id"], pa.int64()),
                          "n": pa.array(out["n"], pa.int64()),
                          "s": pa.array(out["s"], pa.float64()),

@@ -80,7 +80,20 @@ def write_partitioned(ds: "ray.data.Dataset", out_dir: str,
 
     import pyarrow.parquet as pq
 
+    import shutil
+
     already = done_partitions(out_dir)
+    # crash hygiene: a prior run that died mid-write leaves part=k data
+    # WITHOUT a manifest entry; appending to it would double rows and the
+    # footer count would bless the inflated partition. Remove every
+    # un-manifested partition dir before writing.
+    for d in glob.glob(os.path.join(out_dir, f"{part_col}=*")):
+        try:
+            p = int(os.path.basename(d).split("=", 1)[1])
+        except ValueError:
+            continue
+        if p not in already:
+            shutil.rmtree(d, ignore_errors=True)
     ds.write_parquet(out_dir, partition_cols=[part_col])
     entries = []
     for d in sorted(glob.glob(os.path.join(out_dir, f"{part_col}=*"))):

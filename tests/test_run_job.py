@@ -52,3 +52,18 @@ def test_job_write_then_partial_resume(tmp_path):
         with open(os.path.join(mdir, f)) as fh:
             total += json.load(fh)["rows"]
     assert total == 1000
+
+    # crash mid-write: manifest gone but STALE DATA remains in part=5 —
+    # resume must replace it, not append (no duplicate rows, counts exact)
+    os.unlink(os.path.join(out_dir, "_manifest", "part-5.json"))
+    s4 = _run(["--input", inp, "--out", out_dir, "--parts", "8", "--resume"])
+    assert s4["parts_written"] == [5]
+    import pyarrow.parquet as pq
+    import glob as _glob
+    part5_rows = sum(pq.read_metadata(f).num_rows for f in
+                     _glob.glob(os.path.join(out_dir, "part=5", "*.parquet")))
+    with open(os.path.join(out_dir, "_manifest", "part-5.json")) as fh:
+        assert json.load(fh)["rows"] == part5_rows
+    total = sum(json.load(open(os.path.join(mdir, f)))["rows"]
+                for f in os.listdir(mdir))
+    assert total == 1000

@@ -179,6 +179,48 @@ def test_asof_join_semantics(ray_session):
     assert out["ts_r"].tolist() == [50, 30]
 
 
+def test_asof_join_mixed_schemas_and_bucket_split(ray_session):
+    """Left/right with different columns; the bucketed hot-key plan must
+    equal the single-reducer plan exactly (carry rows across borders)."""
+    import pandas as pd
+    import ray.data
+
+    from gdal_drivers_ray.stages.joins import asof_join
+
+    rng = np.random.default_rng(17)
+    nl, nr = 400, 120
+    lt = pd.DataFrame({"user_id": rng.integers(0, 3, nl),
+                       "ts": rng.integers(0, 1000, nl),
+                       "event_id": np.arange(nl),
+                       "payload": rng.standard_normal(nl)})
+    rtb = pd.DataFrame({"user_id": rng.integers(0, 3, nr),
+                        "ts": rng.integers(0, 1000, nr),
+                        "event_id": np.arange(nr),
+                        "price": rng.integers(0, 100, nr)})  # extra col
+    l, r = ray.data.from_pandas(lt), ray.data.from_pandas(rtb)
+
+    def norm(ds):
+        return ds.to_pandas().sort_values(["event_id"]) \
+            .reset_index(drop=True)[["event_id", "ts", "ts_r", "event_id_r"]]
+
+    plain = norm(asof_join(l, r, key="user_id", time_col="ts",
+                           tie_col="event_id"))
+    bucketed = norm(asof_join(l, r, key="user_id", time_col="ts",
+                              tie_col="event_id", bucket_width=50.0))
+    pd.testing.assert_frame_equal(plain, bucketed)
+    assert len(plain) > 100
+    # oracle spot check on one user
+    u = lt[lt.user_id == 1]
+    ru = rtb[rtb.user_id == 1].sort_values(["ts", "event_id"])
+    for _, row in u.iloc[:20].iterrows():
+        elig = ru[ru.ts <= row.ts]
+        got = plain[plain.event_id == row.event_id]
+        if elig.empty:
+            assert got.empty
+        else:
+            assert got["event_id_r"].iloc[0] == elig.iloc[-1]["event_id"]
+
+
 def test_range_join_semantics(ray_session):
     """Half-open [lo, hi) containment; intervals spanning many buckets;
     points matching multiple overlapping intervals."""
