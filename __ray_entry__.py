@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zigzag": _q.q_zigzag,
         "tms_join": _q.q_tms_join,
         "tms_join_big": _q.q_tms_join_big,
+        "mbtiles_join": _q.q_mbtiles_join,
         "weighted_blend": _q.q_weighted_blend,
         "solid_agg": _q.q_solid_agg,
         "pip_rect": _q.q_pip_rect,
@@ -132,6 +133,7 @@ def oracle_sql() -> dict[str, str]:
         "zigzag": _q.SQL_ZIGZAG,
         "tms_join": _q.SQL_TMS_JOIN,
         "tms_join_big": _q.SQL_TMS_JOIN,
+        "mbtiles_join": _q.SQL_TMS_JOIN,
         "weighted_blend": _q.SQL_WEIGHTED_BLEND,
         "solid_agg": _q.SQL_SOLID_AGG,
         "pip_rect": _q.SQL_PIP_RECT,

@@ -15,6 +15,8 @@ The reference operator each query exercises is cited per function
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -269,6 +271,86 @@ def q_tms_join_big(sf_dir: str) -> ray.data.Dataset:
             Min("min_payload", alias_name="min_payload"),
             Max("max_req", alias_name="max_req"),
     )
+    return agg.rename_columns({"rkey": "key"})
+
+
+def _mbtiles_fixture(sf_dir: str) -> str:
+    """Deterministic REAL .mbtiles archive derived from orders with the
+    q_tms_join key scheme (first-wins per key, blob = ascii payload,
+    half the blobs gzipped). Built once per sf_dir under /tmp."""
+    import hashlib
+    import pyarrow.parquet as pq
+
+    from ..sources.mbtiles import write_mbtiles
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    path = f"/tmp/graft_fixtures/store_{tag}.mbtiles"
+    if os.path.exists(path):
+        return path
+    os.makedirs("/tmp/graft_fixtures", exist_ok=True)
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    z = 3 + (ot["o_orderkey"].to_numpy() % 3)
+    side = np.int64(1) << z
+    col = ot["o_custkey"].to_numpy() % side
+    row_tms = np.floor(ot["o_totalprice"].to_numpy()).astype(np.int64) % side
+    payload = ot["o_orderkey"].to_numpy()
+    # first-wins = min payload per key: insert in ascending payload order,
+    # INSERT OR IGNORE keeps the first
+    order = np.argsort(payload, kind="stable")
+    rows = [(int(z[i]), int(col[i]), int(row_tms[i]),
+             str(int(payload[i])).encode()) for i in order]
+    return write_mbtiles(path, rows)
+
+
+def q_mbtiles_join(sf_dir: str) -> ray.data.Dataset:
+    """The tms_join lookup against a REAL sqlite .mbtiles archive
+    (sources.mbtiles: cached-connection actor pool, strict key parse, TMS
+    flip, gzip sniff). Requests come from lineitem exactly as in
+    q_tms_join; payloads parse back to ints so the aggregate — and the SQL
+    oracle — are shared with q_tms_join."""
+    from ..sources.mbtiles import lookup_mbtiles
+
+    db = _mbtiles_fixture(sf_dir)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def requests(b: pa.Table) -> pa.Table:
+        z = 3 + (b["l_orderkey"].to_numpy() % 3)
+        side = np.int64(1) << z
+        col = b["l_partkey"].to_numpy() % side
+        row_td = b["l_suppkey"].to_numpy() % side
+        paths = [f"s.mbtiles/{int(zz)}-{int(cc)}-{int(rr)}"
+                 for zz, cc, rr in zip(z, col, row_td)]
+        return pa.table({"path": pa.array(paths),
+                         "req_order": pa.array(b["l_orderkey"].to_numpy())})
+
+    looked = lookup_mbtiles(
+        li.map_batches(requests, batch_format="pyarrow"), db)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        ok = pc.equal(b["status"], "ok")
+        t = b.filter(ok)
+        if t.num_rows == 0:
+            return pa.table({"rkey": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64()),
+                             "min_payload": pa.array([], pa.int64()),
+                             "max_req": pa.array([], pa.int64())})
+        payload = np.asarray([int(x) for x in t["tile_data"].to_pylist()],
+                             dtype=np.int64)
+        df = pd.DataFrame({"rkey": t["skey"].to_numpy(),
+                           "payload": payload,
+                           "req_order": t["req_order"].to_numpy()})
+        g = df.groupby("rkey", as_index=False).agg(
+            n_hits=("rkey", "size"), min_payload=("payload", "min"),
+            max_req=("req_order", "max"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = looked.map_batches(partial, batch_format="pyarrow") \
+        .groupby("rkey").aggregate(
+            Sum("n_hits", alias_name="n_hits"),
+            Min("min_payload", alias_name="min_payload"),
+            Max("max_req", alias_name="max_req"))
     return agg.rename_columns({"rkey": "key"})
 
 

@@ -1,0 +1,126 @@
+"""Real SQLite mbtiles archives (stdlib sqlite3 — no optional dependency).
+
+Re-expression of /root/reference/gdal-drivers/detail/mbtiles.cpp against an
+ACTUAL .mbtiles file (the public MBTiles layout: a `tiles` table keyed on
+(zoom_level, tile_column, tile_row) holding TMS bottom-up rows):
+
+- request paths end in strict 'zoom-col-row' (mbtiles.cpp:63-110 parse
+  rules, via tilestore.parse_requests);
+- TMS row flip on the request key (mbtiles.cpp:155);
+- `SELECT tile_data FROM tiles WHERE zoom_level=? AND tile_column=? AND
+  tile_row=?` per key (mbtiles.cpp:166-197);
+- gzip sniff on the first blob byte 0x1f (mbtiles.cpp:214-224);
+- missing tile -> status='not_found' row (mbtiles.cpp:188-192).
+
+Deliberate improvement over the reference: the sqlite CONNECTION IS CACHED
+PER ACTOR (the reference opens one per lookup, mbtiles.cpp:160-163 — noted
+in SURVEY §2.3 T5). Lookups run in an actor pool: one open handle per
+worker, batches of requests stream through it.
+"""
+
+from __future__ import annotations
+
+import os
+import sqlite3
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from .tilestore import _gunzip_col, parse_requests
+
+MBTILES_SCHEMA = """
+CREATE TABLE IF NOT EXISTS metadata (name TEXT, value TEXT);
+CREATE TABLE IF NOT EXISTS tiles (
+    zoom_level INTEGER, tile_column INTEGER, tile_row INTEGER,
+    tile_data BLOB);
+CREATE UNIQUE INDEX IF NOT EXISTS tile_index
+    ON tiles (zoom_level, tile_column, tile_row);
+"""
+
+
+def write_mbtiles(path: str, rows: list[tuple[int, int, int, bytes]],
+                  gzip_every: int = 2,
+                  metadata: dict[str, str] | None = None) -> str:
+    """Write a real .mbtiles sqlite archive. Every `gzip_every`-th blob is
+    gzip-wrapped (mirrors tilestore.write_store). Duplicate keys: first
+    occurrence wins (INSERT OR IGNORE on the unique index — the analog of
+    the primary-key store)."""
+    import gzip
+
+    if os.path.exists(path):
+        os.unlink(path)
+    con = sqlite3.connect(path)
+    try:
+        con.executescript(MBTILES_SCHEMA)
+        for k, v in (metadata or {"format": "bin"}).items():
+            con.execute("INSERT INTO metadata VALUES (?, ?)", (k, v))
+        data = []
+        for i, (z, c, r, blob) in enumerate(rows):
+            if gzip_every and i % gzip_every == 0:
+                blob = gzip.compress(blob)
+            data.append((z, c, r, sqlite3.Binary(blob)))
+        con.executemany(
+            "INSERT OR IGNORE INTO tiles VALUES (?, ?, ?, ?)", data)
+        con.commit()
+    finally:
+        con.close()
+    return path
+
+
+class MbtilesLookup:
+    """Actor-pool stage: request paths -> (status, key cols, tile_data).
+
+    State: ONE read-only sqlite connection per actor, opened in __init__
+    and reused for every batch (T5 done right; the reference reconnects
+    per tile)."""
+
+    def __init__(self, db_path: str):
+        self.con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True,
+                                   check_same_thread=False)
+        self.q = ("SELECT tile_data FROM tiles WHERE zoom_level=? "
+                  "AND tile_column=? AND tile_row=?")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        b = parse_requests(batch)
+        status = b["status"].to_pylist()
+        zs = b["zoom"].to_numpy()
+        cs = b["col"].to_numpy()
+        rs = b["row"].to_numpy()
+        blobs: list[bytes | None] = []
+        for i, st in enumerate(status):
+            if st != "ok":
+                blobs.append(None)
+                continue
+            row_tms = ((1 << int(zs[i])) - 1) - int(rs[i])   # the flip
+            cur = self.con.execute(self.q, (int(zs[i]), int(cs[i]), row_tms))
+            hit = cur.fetchone()
+            if hit is None:
+                status[i] = "not_found"
+                blobs.append(None)
+            else:
+                blobs.append(bytes(hit[0]))
+        blobs = _gunzip_col(blobs)
+        i = b.schema.get_field_index("status")
+        return b.set_column(i, "status", pa.array(status)) \
+                .append_column("tile_data",
+                               pa.array(blobs, pa.large_binary()))
+
+
+def lookup_mbtiles(requests: ray.data.Dataset, db_path: str,
+                   path_col: str = "path",
+                   concurrency: tuple[int, int] = (1, 4),
+                   batch_size: int = 1024) -> ray.data.Dataset:
+    """Request paths ⋈ a real .mbtiles archive via the cached-connection
+    actor pool. Output schema matches tilestore.lookup (parse/status/flip
+    columns + tile_data)."""
+    if path_col != "path":
+        requests = requests.map_batches(
+            lambda b: b.rename_columns(
+                [("path" if c == path_col else c) for c in b.column_names]),
+            batch_format="pyarrow")
+    return requests.map_batches(MbtilesLookup,
+                                fn_constructor_args=(db_path,),
+                                batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency)

@@ -1,0 +1,87 @@
+"""Real sqlite .mbtiles archive reading (sources/mbtiles.py): key parse,
+TMS flip, gzip sniff, not_found, and parity with the parquet tile store."""
+
+import gzip
+import sqlite3
+
+import pyarrow as pa
+import pytest
+
+from gdal_drivers_ray.sources import mbtiles, tilestore
+
+
+@pytest.fixture(scope="module")
+def archive(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("mb") / "tiles.mbtiles")
+    rows = []
+    for z in (2, 3):
+        for c in range(1 << z):
+            for r in range(1 << z):
+                rows.append((z, c, r, f"blob-{z}-{c}-{r}".encode()))
+    return mbtiles.write_mbtiles(p, rows)
+
+
+def paths_ds(paths):
+    import ray.data
+    return ray.data.from_arrow(pa.table({"path": pa.array(paths)}))
+
+
+def test_archive_is_real_sqlite(archive):
+    con = sqlite3.connect(archive)
+    n = con.execute("SELECT count(*) FROM tiles").fetchone()[0]
+    assert n == 16 + 64
+    # half the blobs gzip-wrapped (gzip_every=2)
+    blobs = [r[0] for r in
+             con.execute("SELECT tile_data FROM tiles").fetchall()]
+    assert sum(1 for b in blobs if b[:1] == b"\x1f") == n // 2
+    con.close()
+
+
+def test_lookup_statuses_and_flip(ray_session, archive):
+    out = mbtiles.lookup_mbtiles(paths_ds([
+        "a.mbtiles/2-1-0",   # ok -> TMS row 3
+        "x/3-7-7",           # ok -> TMS row 0
+        "x/3-8-0",           # out of bounds
+        "x/3-07-1",          # leading zero -> bad key
+        "x/5-1-1",           # zoom absent -> not_found
+    ]), archive).take_all()
+    by = {r["path"]: r for r in out}
+    assert by["a.mbtiles/2-1-0"]["status"] == "ok"
+    assert bytes(by["a.mbtiles/2-1-0"]["tile_data"]) == b"blob-2-1-3"
+    assert by["x/3-7-7"]["status"] == "ok"
+    assert bytes(by["x/3-7-7"]["tile_data"]) == b"blob-3-7-0"
+    assert by["x/3-8-0"]["status"] == "out_of_bounds"
+    assert by["x/3-07-1"]["status"] == "bad_key"
+    assert by["x/5-1-1"]["status"] == "not_found"
+
+
+def test_duplicate_key_first_wins(ray_session, tmp_path):
+    p = str(tmp_path / "dup.mbtiles")
+    mbtiles.write_mbtiles(p, [(1, 0, 0, b"first"), (1, 0, 0, b"second")],
+                          gzip_every=0)
+    out = mbtiles.lookup_mbtiles(paths_ds(["t/1-0-1"]), p).take_all()
+    assert bytes(out[0]["tile_data"]) == b"first"
+
+
+def test_parity_with_parquet_store(ray_session, archive, tmp_path):
+    """Same logical store through sqlite and parquet paths -> identical
+    lookup rows (the archive format is an I/O detail, not semantics)."""
+    rows = []
+    for z in (2, 3):
+        for c in range(1 << z):
+            for r in range(1 << z):
+                rows.append((z, c, r, f"blob-{z}-{c}-{r}".encode()))
+    pq_store = tilestore.write_store(str(tmp_path / "s.parquet"), rows)
+    paths = ["a.mbtiles/2-1-0", "x/3-7-7", "x/3-8-0", "x/3-07-1",
+             "x/5-1-1", "t/2-0-0"]
+    cols = ["path", "status", "zoom", "col", "row", "skey", "tile_data"]
+
+    def norm(rows_):
+        return sorted(
+            tuple(bytes(r[c]) if isinstance(r[c], (bytes, bytearray))
+                  else r[c] for c in cols) for r in rows_)
+
+    got_sql = norm(mbtiles.lookup_mbtiles(paths_ds(paths), archive)
+                   .take_all())
+    got_pq = norm(tilestore.lookup(paths_ds(paths), pq_store).take_all())
+    assert got_sql == got_pq
