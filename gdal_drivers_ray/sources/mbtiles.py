@@ -84,22 +84,24 @@ class MbtilesLookup:
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = parse_requests(batch)
         status = b["status"].to_pylist()
-        zs = b["zoom"].to_numpy()
-        cs = b["col"].to_numpy()
-        rs = b["row"].to_numpy()
-        blobs: list[bytes | None] = []
-        for i, st in enumerate(status):
-            if st != "ok":
-                blobs.append(None)
-                continue
-            row_tms = ((1 << int(zs[i])) - 1) - int(rs[i])   # the flip
-            cur = self.con.execute(self.q, (int(zs[i]), int(cs[i]), row_tms))
-            hit = cur.fetchone()
-            if hit is None:
+        ok = np.asarray([s == "ok" for s in status])
+        zs = b["zoom"].to_numpy().astype(np.int64)
+        cs = b["col"].to_numpy().astype(np.int64)
+        rs = b["row"].to_numpy().astype(np.int64)
+        row_tms = ((np.int64(1) << zs) - 1) - rs          # the flip
+        # requests repeat keys heavily; SELECT each DISTINCT key once
+        keys = np.stack([zs, cs, row_tms], axis=1)[ok]
+        blobs: list[bytes | None] = [None] * b.num_rows
+        cache: dict[tuple[int, int, int], bytes | None] = {}
+        for z, c, r in {tuple(int(v) for v in k) for k in keys}:
+            hit = self.con.execute(self.q, (z, c, r)).fetchone()
+            cache[(z, c, r)] = None if hit is None else bytes(hit[0])
+        for i in np.nonzero(ok)[0]:
+            blob = cache[(int(zs[i]), int(cs[i]), int(row_tms[i]))]
+            if blob is None:
                 status[i] = "not_found"
-                blobs.append(None)
             else:
-                blobs.append(bytes(hit[0]))
+                blobs[i] = blob
         blobs = _gunzip_col(blobs)
         i = b.schema.get_field_index("status")
         return b.set_column(i, "status", pa.array(status)) \
@@ -109,8 +111,8 @@ class MbtilesLookup:
 
 def lookup_mbtiles(requests: ray.data.Dataset, db_path: str,
                    path_col: str = "path",
-                   concurrency: tuple[int, int] = (1, 4),
-                   batch_size: int = 1024) -> ray.data.Dataset:
+                   concurrency: tuple[int, int] = (1, 12),
+                   batch_size: int = 4096) -> ray.data.Dataset:
     """Request paths ⋈ a real .mbtiles archive via the cached-connection
     actor pool. Output schema matches tilestore.lookup (parse/status/flip
     columns + tile_data)."""

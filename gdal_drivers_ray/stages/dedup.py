@@ -163,23 +163,75 @@ def filter_collision_buckets(rows: ray.data.Dataset, keys: list[str],
 # distributed cluster assembly: min-label propagation as Dataset ops
 # ---------------------------------------------------------------------------
 
+@ray.remote
+def _unionfind_task(*blocks: pa.Table) -> pa.Table:
+    """Single-task min-label union-find over edge blocks. Runs in a WORKER
+    (driver memory stays O(1)); memory is O(edge nodes) — the dup
+    subgraph, not the corpus. The fast path for pair graphs under the
+    task threshold."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[int] = set()
+    for t in blocks:
+        aa = t["a"].to_numpy().astype(np.int64)
+        bb = t["b"].to_numpy().astype(np.int64)
+        for a, b in zip(aa.tolist(), bb.tolist()):
+            nodes.add(a)
+            nodes.add(b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+    ns = sorted(nodes)
+    labs = [find(n) for n in ns]
+    return pa.table({"node": pa.array(ns, pa.int64()),
+                     "lab": pa.array(labs, pa.int64())})
+
+
 def propagate_min_labels(edges: ray.data.Dataset,
                          max_rounds: int = 64,
-                         num_partitions: int = 16) -> Optional[ray.data.Dataset]:
+                         num_partitions: int = 16,
+                         task_threshold: int = 4_000_000) -> Optional[ray.data.Dataset]:
     """(a, b) edge Dataset -> (node, lab) Dataset where lab = min node id
-    reachable in the pair graph. Fully distributed: per round, each edge
-    endpoint's label is pushed to the other endpoint (two cogroup joins)
-    plus one pointer-jumping step lab <- lab(lab) (path halving, so long
-    chains converge in O(log diameter) rounds — the standard MapReduce
-    connected-components recipe, e.g. Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC 2014).
+    reachable in the pair graph.
 
-    Driver memory is O(1): convergence is detected by the label SUM (labels
-    only ever decrease, so the sum is strictly decreasing until fixpoint).
-    Returns None for an empty edge set."""
+    Hybrid physical plan keyed on the EDGE count (the dup subgraph, always
+    far smaller than the corpus):
+
+    - below ``task_threshold`` edges: one Ray task runs in-memory
+      union-find over the edge blocks (O(edges) worker memory, O(1)
+      driver) — real dedup pair graphs at test/bench scales converge in
+      milliseconds here, where each distributed round costs seconds of
+      fixed stage overhead;
+    - above it: iterative label propagation as Dataset ops — per round,
+      each edge endpoint's label is pushed to the other endpoint (cogroup
+      join) plus one pointer-jumping step lab <- lab(lab) (path halving:
+      O(log diameter) rounds — the standard MapReduce connected-components
+      recipe, e.g. Kiveris et al., "Connected Components in MapReduce and
+      Beyond", SoCC 2014).
+
+    Driver memory is O(1) on BOTH paths: convergence is detected by the
+    label SUM (labels only ever decrease, so the sum strictly decreases
+    until fixpoint). Returns None for an empty edge set."""
     from ray.data.aggregate import Min
 
     from .joins import cogroup_join
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return None
+    if n_edges <= task_threshold:
+        refs = edges.to_arrow_refs()
+        return ray.data.from_arrow_refs([_unionfind_task.remote(*refs)])
 
     # static bidirectional orientation table: one row per edge endpoint
     def orient_batch(b: pa.Table) -> pa.Table:
@@ -236,7 +288,8 @@ def propagate_min_labels(edges: ray.data.Dataset,
 
 def cluster_assign(docs: ray.data.Dataset, edges: ray.data.Dataset,
                    id_col: str = "doc_id",
-                   num_partitions: int = 16) -> ray.data.Dataset:
+                   num_partitions: int = 16,
+                   task_threshold: int = 4_000_000) -> ray.data.Dataset:
     """docs (id column) + verified near-dup pairs -> Dataset
     (doc_id, cluster_id, is_keeper). cluster_id = min reachable doc id;
     keeper = cluster min (first-per-group, SURVEY.md §2.6). No driver-side
@@ -248,7 +301,8 @@ def cluster_assign(docs: ray.data.Dataset, edges: ray.data.Dataset,
         lambda b: pa.table({"node": b[id_col].cast(pa.int64()),
                             "lab": b[id_col].cast(pa.int64())}),
         batch_format="pyarrow")
-    labels = propagate_min_labels(edges, num_partitions=num_partitions)
+    labels = propagate_min_labels(edges, num_partitions=num_partitions,
+                                  task_threshold=task_threshold)
     allr = base if labels is None else base.union(labels)
     full = allr.groupby("node").aggregate(Min("lab", alias_name="cluster_id"))
 

@@ -73,18 +73,27 @@ def get_transformer(src_srs: str, dst_srs: str):
 
     The cache IS the warm state: every map_groups call in the same worker
     reuses the same compiled closure (ref srsholder.hpp:54-61 pattern).
+
+    SRS arguments accept ANY spelling the reference accepts — WKT, proj4,
+    'EPSG:nnnn', bare code (srsholder.hpp delegates to geo::SrsDefinition;
+    here gdal_drivers_ray.srs does the parse/normalize). A VALID CRS
+    outside the built-in transform table raises 'no transform path' with
+    its canonical name; an INVALID string raises the parse error.
     """
-    if src_srs not in SUPPORTED_SRS or dst_srs not in SUPPORTED_SRS:
-        raise ValueError(f"unsupported SRS pair {src_srs!r} -> {dst_srs!r}")
-    if src_srs == dst_srs:
+    from ..srs import resolve_srs
+
+    src_c = resolve_srs(src_srs)
+    dst_c = resolve_srs(dst_srs)
+    if src_c == dst_c:
         return lambda xs, ys: (np.asarray(xs, dtype=np.float64),
                                np.asarray(ys, dtype=np.float64))
-    if (src_srs, dst_srs) == ("EPSG:4326", "EPSG:3857"):
+    if (src_c, dst_c) == ("EPSG:4326", "EPSG:3857"):
         return _ll_to_merc
-    if (src_srs, dst_srs) == ("EPSG:3857", "EPSG:4326"):
+    if (src_c, dst_c) == ("EPSG:3857", "EPSG:4326"):
         return _merc_to_ll
-    raise ValueError(f"no transform path {src_srs!r} -> {dst_srs!r} "
-                     "('local' only pairs with itself)")
+    raise ValueError(
+        f"no transform path {src_c!r} -> {dst_c!r} (built-in table covers "
+        f"{SUPPORTED_SRS}; a projection library extends it)")
 
 
 def transform_points(xs, ys, src_srs: str, dst_srs: str):

@@ -150,12 +150,16 @@ def test_cluster_assign_matches_unionfind_oracle(ray_session):
     edges = ray.data.from_arrow(pa.table({
         "a": pa.array([a for a, _ in pairs], pa.int64()),
         "b": pa.array([b for _, b in pairs], pa.int64())}))
-    got = dedup.cluster_assign(docs, edges).to_pandas() \
-        .sort_values("doc_id").reset_index(drop=True)
     want = dedup.clusters_from_pairs(ids, pairs)
-    assert got["doc_id"].tolist() == want["doc_id"].tolist()
-    assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
-    assert got["is_keeper"].tolist() == want["is_keeper"].tolist()
+    # both physical plans: single-task union-find (default threshold) and
+    # the iterative dataset propagation (threshold 0 forces it)
+    for threshold in (4_000_000, 0):
+        got = dedup.cluster_assign(docs, edges,
+                                   task_threshold=threshold).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["cluster_id"].tolist() == want["cluster_id"].tolist()
+        assert got["is_keeper"].tolist() == want["is_keeper"].tolist()
 
 
 def test_cluster_assign_no_edges(ray_session):
