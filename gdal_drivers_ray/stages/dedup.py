@@ -334,31 +334,62 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
 
     # NOTE: a native Dataset.join self-join was tried here and DEADLOCKS on
     # small clusters (HashShuffleAggregator actors starve the map tasks at
-    # num_cpus=4) — groupby().map_groups over collision-only buckets is the
-    # portable plan; the collision filter caps buckets at max_bucket so no
-    # reducer sees a degenerate group.
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64),
-                                 "est": pd.Series([], dtype=np.float64)})
+    # num_cpus=4). Buckets group under a HASH PARTITION of the bucket key
+    # (one Python call per partition, not per bucket — map_groups dispatch
+    # per bucket dominated the stage profile); the collision filter caps
+    # buckets at max_bucket so no reducer sees a degenerate group.
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
+        ck = g["band_id"].to_numpy().astype(np.int64) * np.int64(1 << 33) \
+            + g["band_hash"].to_numpy().astype(np.int64)
         ids = g["doc_id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.int64)
-                         for s in g["signature"]])     # (m, n_perm), once
-        ii, jj = np.triu_indices(len(ids), k=1)
-        est = (sigs[ii] == sigs[jj]).mean(axis=1)      # all pairs vectorized
-        return pd.DataFrame({"a": ids[ii], "b": ids[jj], "est": est})
+        sig_col = g["signature"].to_numpy()
+        _, starts, counts = np.unique(ck, return_index=True,
+                                      return_counts=True)
+        out_a, out_b = [], []
+        for s, c in zip(starts, counts):
+            u, ui = np.unique(ids[s:s + c], return_index=True)
+            if len(u) < 2 or len(u) > max_bucket:
+                continue
+            sigs = np.stack([np.frombuffer(sig_col[s + i], dtype=np.int64)
+                             for i in ui])
+            ii, jj = np.triu_indices(len(u), k=1)
+            est = (sigs[ii] == sigs[jj]).mean(axis=1)
+            keep = est >= threshold
+            out_a.append(u[ii[keep]])
+            out_b.append(u[jj[keep]])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
     cand = filter_collision_buckets(sig_rows, ["band_id", "band_hash"],
                                     max_count=max_bucket)
     # duplicate (a, b) pairs from different bands are harmless to label
     # propagation (idempotent min), so no driver-side drop_duplicates
-    edges = cand.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas").map_batches(
-        lambda df: df[df["est"] >= threshold][["a", "b"]],
-        batch_format="pandas")
+    edges = _partitioned_groups(cand, ["band_id", "band_hash"]) \
+        .map_groups(part_pairs, batch_format="pandas")
     return cluster_assign(docs.select_columns(["doc_id"]), edges)
+
+
+def _partitioned_groups(rows: ray.data.Dataset, keys: list[str],
+                        num_partitions: int = 64):
+    """groupby a hash PARTITION of the key columns: all rows of one key
+    land in one group, but the reducer is called once per partition (the
+    per-group map_groups dispatch was the measured cost at scale)."""
+    def add_part(b: pa.Table) -> pa.Table:
+        combo = b[keys[0]].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            for k in keys[1:]:
+                combo = combo * np.int64(1_000_003) + \
+                    b[k].to_numpy().astype(np.int64)
+            part = ((combo * np.int64(2654435761))
+                    % np.int64(num_partitions)).astype(np.int32)
+        return b.append_column("_part", pa.array(part))
+
+    return rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("_part")
 
 
 def clusters_from_pairs(ids: np.ndarray,
@@ -456,21 +487,33 @@ def simhash_dedup(docs: ray.data.Dataset, *, max_hamming: int = 3,
     rows = docs.map_batches(SimHasher(), batch_format="pyarrow",
                             batch_size=512).materialize()  # consumed twice
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(g) < 2 or len(g) > max_bucket:
-            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
-                                 "b": pd.Series([], dtype=np.int64)})
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
+        ck = g["band_id"].to_numpy().astype(np.int64) * np.int64(1 << 33) \
+            + g["band_hash"].to_numpy().astype(np.int64)
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy()
-        ii, jj = np.triu_indices(len(ids), k=1)
-        d = hamming64(hs[ii], hs[jj])
-        keep = d <= max_hamming
-        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep]})
+        _, starts, counts = np.unique(ck, return_index=True,
+                                      return_counts=True)
+        out_a, out_b = [], []
+        for s, c in zip(starts, counts):
+            u, ui = np.unique(ids[s:s + c], return_index=True)
+            if len(u) < 2 or len(u) > max_bucket:
+                continue
+            hu = hs[s:s + c][ui]
+            ii, jj = np.triu_indices(len(u), k=1)
+            keep = hamming64(hu[ii], hu[jj]) <= max_hamming
+            out_a.append(u[ii[keep]])
+            out_b.append(u[jj[keep]])
+        if not out_a:
+            return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                                 "b": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b)})
 
     cand = filter_collision_buckets(rows, ["band_id", "band_hash"])
-    edges = cand.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    edges = _partitioned_groups(cand, ["band_id", "band_hash"]) \
+        .map_groups(part_pairs, batch_format="pandas")
     return cluster_assign(docs.select_columns(["doc_id"]), edges)
 
 
@@ -527,20 +570,34 @@ def embedding_near_dup(emb: ray.data.Dataset, *, threshold: float = 0.95,
     rows = emb.map_batches(EmbeddingBucketer(dim, n_bits),
                            batch_format="pyarrow", batch_size=1024)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(g) < 2:
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "vec_id"], kind="stable")
+        bks = g["bucket"].to_numpy()
+        ids = g["vec_id"].to_numpy()
+        vec_col = g["vec"].to_numpy()
+        _, starts, counts = np.unique(bks, return_index=True,
+                                      return_counts=True)
+        out_a, out_b, out_s = [], [], []
+        for s, c in zip(starts, counts):
+            u, ui = np.unique(ids[s:s + c], return_index=True)
+            if len(u) < 2:
+                continue
+            mat = np.stack([np.frombuffer(vec_col[s + i], np.float64)
+                            for i in ui])
+            sims = mat @ mat.T
+            ii, jj = np.triu_indices(len(u), k=1)
+            keep = sims[ii, jj] >= threshold
+            out_a.append(u[ii[keep]])
+            out_b.append(u[jj[keep]])
+            out_s.append(sims[ii, jj][keep])
+        if not out_a:
             return pd.DataFrame({"a": pd.Series([], dtype=np.int64),
                                  "b": pd.Series([], dtype=np.int64),
                                  "sim": pd.Series([], dtype=np.float64)})
-        ids = g["vec_id"].to_numpy()
-        mat = np.stack([np.frombuffer(v, np.float64) for v in g["vec"]])
-        sims = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sims[ii, jj] >= threshold
-        return pd.DataFrame({"a": ids[ii][keep], "b": ids[jj][keep],
-                             "sim": sims[ii, jj][keep]})
+        return pd.DataFrame({"a": np.concatenate(out_a),
+                             "b": np.concatenate(out_b),
+                             "sim": np.concatenate(out_s)})
 
-    return rows.groupby("bucket").map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas() \
+    return _partitioned_groups(rows, ["bucket"]).map_groups(
+        part_pairs, batch_format="pandas").to_pandas() \
         .drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
