@@ -26,6 +26,57 @@ from .stages.warp import RasterGrid, transform_points, warp_tiles  # noqa: F401
 warp = warp_tiles
 
 
+def read_images(path: str, **kwargs) -> ray.data.Dataset:
+    """Input-table reader seam (BASELINE input_hint names a Lance table of
+    image+caption rows): `ray.data.read_lance` when the lance package is
+    present, parquet otherwise (this container ships parquet only). Every
+    pipeline that opens the input table goes through here, so swapping the
+    storage format is a one-line environment change, not a code change."""
+    try:
+        import lance  # noqa: F401
+        return ray.data.read_lance(path, **kwargs)
+    except ImportError:
+        return ray.data.read_parquet(path, **kwargs)
+
+
+def to_rasterio(tiles: ray.data.Dataset, grid: RasterGrid, path: str, *,
+                band: int = 0, nodata: float = 0.0):
+    """S17 interop sink: assemble a (small) tile Dataset and write a
+    GeoTIFF through rasterio — the engine analog of the reference's
+    rasterio handoff (python/gdaldriversmodule.cpp:87-124, incl. its
+    version guard: a missing/old rasterio raises ImportError, it never
+    half-writes)."""
+    try:
+        import rasterio
+        from rasterio.transform import from_bounds
+    except ImportError as e:
+        raise ImportError("rasterio is not available in this environment; "
+                          "to_rasterio is the optional S17 interop sink") \
+            from e
+    arr = read_raster(tiles, grid, band=band, nodata=nodata)
+    e = grid.extents
+    with rasterio.open(
+            path, "w", driver="GTiff", height=grid.ny, width=grid.nx,
+            count=1, dtype="float64", nodata=nodata,
+            crs=grid.srs if grid.srs != "local" else None,
+            transform=from_bounds(e.llx, e.lly, e.urx, e.ury,
+                                  grid.nx, grid.ny)) as dst:
+        dst.write(arr, 1)
+    return path
+
+
+def open_gdal(path: str):
+    """S17 interop source: open a path through osgeo.gdal when present
+    (gdaldriversmodule.cpp:87-103 openGdal, version-guarded)."""
+    try:
+        from osgeo import gdal
+    except ImportError as e:
+        raise ImportError("osgeo/gdal is not available in this "
+                          "environment; open_gdal is the optional S17 "
+                          "interop source") from e
+    return gdal.Open(path)
+
+
 def read_raster(tiles: ray.data.Dataset, grid: RasterGrid, *,
                 band: int = 0, nodata: float = 0.0,
                 with_mask: bool = False):

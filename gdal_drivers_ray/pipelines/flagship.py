@@ -30,7 +30,8 @@ def tile_index(images_path: str, lod: int, *, concurrency=None,
     per fragment) — a single big file is read by one task regardless of
     row groups (measured 2.7s serial at 64k rows). Fixtures and outputs
     are multi-file directories for this reason; so is any real input."""
-    ds = ray.data.read_parquet(images_path)
+    from ..api import read_images
+    ds = read_images(images_path)
     return ds.map_batches(
         DecodeImages(lod=lod, keep_pixels=keep_pixels),
         batch_format="pyarrow",
@@ -161,6 +162,7 @@ class IngestTiles:
 def ingest(images_path: str, lod: int, *, batch_size: int = 256,
            concurrency=None) -> ray.data.Dataset:
     """read -> IngestTiles actor pool -> narrow features + child tiles."""
-    ds = ray.data.read_parquet(images_path)
+    from ..api import read_images
+    ds = read_images(images_path)
     return ds.map_batches(IngestTiles(lod), batch_format="pyarrow",
                           batch_size=batch_size, concurrency=concurrency)

@@ -40,3 +40,50 @@ def test_read_raster_fills_missing_with_nodata(ray_session):
     arr, mask = api.read_raster(tiles, g, nodata=-9.0, with_mask=True)
     assert (arr[:, :512] == 5.0).all() and mask[:, :512].all()
     assert (arr[:, 512:] == -9.0).all() and not mask[:, 512:].any()
+
+
+def test_read_images_seam_falls_back_to_parquet(ray_session, tmp_path):
+    """S17/read_lance seam: without the lance package the reader transparently
+    opens parquet; pipelines depend only on the seam, not the format."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdal_drivers_ray.api import read_images
+
+    p = str(tmp_path / "imgs.parquet")
+    pq.write_table(pa.table({"image_id": ["a", "b"],
+                             "caption": ["x", "y"]}), p)
+    ds = read_images(p)
+    assert ds.count() == 2
+    assert set(ds.schema().names) == {"image_id", "caption"}
+
+
+def test_interop_sinks_guard_missing_libs(ray_session):
+    """gdal/rasterio are absent in this container: the S17 interop surface
+    must fail with a clear ImportError (the reference's version-guard
+    behavior), never a half-written file. When the libs exist, these calls
+    perform the real handoff."""
+    import pytest
+
+    from gdal_drivers_ray import api
+
+    try:
+        import rasterio  # noqa: F401
+        has_rasterio = True
+    except ImportError:
+        has_rasterio = False
+    try:
+        from osgeo import gdal  # noqa: F401
+        has_gdal = True
+    except ImportError:
+        has_gdal = False
+
+    if not has_rasterio:
+        import ray.data
+        tiles = ray.data.from_items([])
+        with pytest.raises(ImportError, match="rasterio"):
+            api.to_rasterio(tiles, api.RasterGrid(
+                extents=None, srs="local", nx=1, ny=1), "/tmp/x.tif")
+    if not has_gdal:
+        with pytest.raises(ImportError, match="gdal"):
+            api.open_gdal("/tmp/nonexistent.tif")
