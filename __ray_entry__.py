@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial joins: k-ring kNN (SQL-checked), polygon PIP
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
+        "pip_shuffle": _sq.q_pip_shuffle,
         "zonal_stats": _sq.q_zonal_stats,
         # text analysis (SQL-checked)
         "lang_id": _tq.q_lang_id,

@@ -800,21 +800,34 @@ def q_sessionize(sf_dir: str) -> ray.data.Dataset:
         us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table({"user_id": b["user_id"], "us": pa.array(us)})
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        us = np.sort(g["us"].to_numpy())
-        new_s = np.ones(len(us), dtype=np.int64)
-        new_s[1:] = (np.diff(us) > GAP_US).astype(np.int64)
-        sid = np.cumsum(new_s)
-        df = pd.DataFrame({"us": us, "session_id": sid})
-        out = df.groupby("session_id", as_index=False).agg(
-            n_events=("us", "size"), start_us=("us", "min"),
-            end_us=("us", "max"))
-        out.insert(0, "user_id", g["user_id"].iloc[0])
-        return out
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one Ray dispatch per hash partition; ALL users inside vectorize
+        # together (sort -> boundary flags -> cumsum -> reduce by slices)
+        u = g["user_id"].to_numpy()
+        us = g["us"].to_numpy()
+        order = np.lexsort((us, u))
+        u, us = u[order], us[order]
+        newu = np.ones(len(u), dtype=bool)
+        newu[1:] = u[1:] != u[:-1]
+        news = newu.copy()
+        news[1:] |= np.diff(us) > GAP_US
+        sidg = np.cumsum(news)
+        ustart = np.nonzero(newu)[0]
+        ulen = np.diff(np.concatenate((ustart, [len(u)])))
+        sid = sidg - np.repeat(sidg[ustart], ulen) + 1
+        gstart = np.nonzero(news)[0]
+        glen = np.diff(np.concatenate((gstart, [len(u)])))
+        return pd.DataFrame({
+            "user_id": u[gstart],
+            "session_id": sid[gstart].astype(np.int64),
+            "n_events": glen.astype(np.int64),
+            "start_us": us[gstart],
+            "end_us": us[gstart + glen - 1]})
 
-    return ev.map_batches(to_us, batch_format="pyarrow") \
-             .groupby("user_id") \
-             .map_groups(sessions, batch_format="pandas")
+    from ..stages.joins import partitioned_groups
+    return partitioned_groups(
+        ev.map_batches(to_us, batch_format="pyarrow"), ["user_id"]) \
+        .map_groups(sessions_part, batch_format="pandas")
 
 
 SQL_SESSIONIZE = """

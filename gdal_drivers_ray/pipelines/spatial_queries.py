@@ -93,6 +93,23 @@ def q_pip_poly(sf_dir: str) -> ray.data.Dataset:
     return matches.groupby("poly_id").aggregate(Count(alias_name="n_points"))
 
 
+def q_pip_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """Both-sides-large PIP: the same 8 star polygons as pip_poly but
+    shipped as a DATASET through the cell-cogroup plan
+    (stages.spatial.pip_join_shuffle) — per-polygon match counts must
+    equal pip_poly's (cross-plan parity is tested in test_spatial.py)."""
+    from ray.data.aggregate import Count
+
+    polys = _star_polygons()
+    poly_ds = ray.data.from_arrow(pa.table({
+        "poly_id": pa.array([p for p, _ in polys], pa.int64()),
+        "rings": pa.array([spatial.pack_rings(r) for _, r in polys],
+                          pa.large_binary())}))
+    matches = spatial.pip_join_shuffle(_points(sf_dir), poly_ds, WORLD,
+                                       lod=4)
+    return matches.groupby("poly_id").aggregate(Count(alias_name="n_points"))
+
+
 def q_zonal_stats(sf_dir: str):
     """Raster<->vector join: per-polygon pixel stats over a deterministic
     4x4-tile raster (rows-only; exact parity vs the NumPy full-raster

@@ -181,6 +181,9 @@ def _unionfind_task(*blocks: pa.Table) -> pa.Table:
 
     nodes: set[int] = set()
     for t in blocks:
+        # empty partitions can yield schemaless blocks — skip them
+        if t.num_rows == 0 or "a" not in t.column_names:
+            continue
         aa = t["a"].to_numpy().astype(np.int64)
         bb = t["b"].to_numpy().astype(np.int64)
         for a, b in zip(aa.tolist(), bb.tolist()):
@@ -373,23 +376,7 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
     return cluster_assign(docs.select_columns(["doc_id"]), edges)
 
 
-def _partitioned_groups(rows: ray.data.Dataset, keys: list[str],
-                        num_partitions: int = 64):
-    """groupby a hash PARTITION of the key columns: all rows of one key
-    land in one group, but the reducer is called once per partition (the
-    per-group map_groups dispatch was the measured cost at scale)."""
-    def add_part(b: pa.Table) -> pa.Table:
-        combo = b[keys[0]].to_numpy().astype(np.int64)
-        with np.errstate(over="ignore"):
-            for k in keys[1:]:
-                combo = combo * np.int64(1_000_003) + \
-                    b[k].to_numpy().astype(np.int64)
-            part = ((combo * np.int64(2654435761))
-                    % np.int64(num_partitions)).astype(np.int32)
-        return b.append_column("_part", pa.array(part))
-
-    return rows.map_batches(add_part, batch_format="pyarrow") \
-        .groupby("_part")
+from .joins import partitioned_groups as _partitioned_groups  # noqa: E402
 
 
 def clusters_from_pairs(ids: np.ndarray,

@@ -120,6 +120,129 @@ def pip_join(points: ray.data.Dataset, polygons: list[tuple[int, list[np.ndarray
     return points.map_batches(refine, batch_format="pyarrow")
 
 
+def pack_rings(rings: list[np.ndarray]) -> bytes:
+    """[(n,2) float64 arrays] -> bytes (ring-count, per-ring point-count
+    prefixes). The wire form polygons take through a shuffle."""
+    parts = [np.array([len(rings)], dtype=np.int64).tobytes()]
+    for r in rings:
+        r = np.ascontiguousarray(np.asarray(r, dtype=np.float64))
+        parts.append(np.array([len(r)], dtype=np.int64).tobytes())
+        parts.append(r.tobytes())
+    return b"".join(parts)
+
+
+def unpack_rings(blob: bytes) -> list[np.ndarray]:
+    buf = np.frombuffer(blob, dtype=np.float64)
+    hdr = np.frombuffer(blob, dtype=np.int64)
+    n = int(hdr[0])
+    out = []
+    off = 1  # in 8-byte words
+    for _ in range(n):
+        m = int(hdr[off])
+        off += 1
+        out.append(buf[off:off + 2 * m].reshape(m, 2).copy())
+        off += 2 * m
+    return out
+
+
+def pip_join_shuffle(points: ray.data.Dataset, polygons: ray.data.Dataset,
+                     world: Extents, lod: int = 4,
+                     x_col: str = "x", y_col: str = "y",
+                     id_col: str = "point_id",
+                     num_partitions: int = 64) -> ray.data.Dataset:
+    """Both-sides-large PIP: polygons are a DATASET {poly_id:int64,
+    rings:large_binary (pack_rings)}, not a broadcast list. Each polygon
+    flat_maps to its covering cells (the quad-constraint prefilter), points
+    key by their cell, and the two sides cogroup per hash partition of the
+    cell — one vectorized ray-cast per (cell, polygon) against that cell's
+    points. Every row moves once; no side needs to fit anywhere whole."""
+    from .joins import partitioned_groups
+
+    def poly_cells_rows(b: pa.Table) -> pa.Table:
+        pids, cells, blobs = [], [], []
+        ids = b["poly_id"].to_numpy()
+        rb = b["rings"].to_pylist()
+        for i in range(len(ids)):
+            rings = unpack_rings(rb[i])
+            for (cx, cy) in polygon_cells(rings, world, lod):
+                pids.append(int(ids[i]))
+                cells.append(cx * (1 << lod) + cy)
+                blobs.append(rb[i])
+        n = len(pids)
+        return pa.table({
+            "cell": pa.array(cells, pa.int64()),
+            "_kind": pa.array(np.ones(n, dtype=np.int8)),
+            "poly_id": pa.array(pids, pa.int64()),
+            "rings": pa.array(blobs, pa.large_binary()),
+            "point_id": pa.nulls(n, pa.int64()),
+            "x": pa.nulls(n, pa.float64()),
+            "y": pa.nulls(n, pa.float64()),
+        })
+
+    def point_rows(b: pa.Table) -> pa.Table:
+        xs = b[x_col].to_numpy().astype(np.float64)
+        ys = b[y_col].to_numpy().astype(np.float64)
+        tx, ty = tile_of_points(xs, ys, world, lod)
+        n = len(xs)
+        return pa.table({
+            "cell": pa.array(tx * (1 << lod) + ty),
+            "_kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "poly_id": pa.nulls(n, pa.int64()),
+            "rings": pa.nulls(n, pa.large_binary()),
+            "point_id": b[id_col].cast(pa.int64()),
+            "x": pa.array(xs),
+            "y": pa.array(ys),
+        })
+
+    both = polygons.map_batches(poly_cells_rows, batch_format="pyarrow") \
+        .union(points.map_batches(point_rows, batch_format="pyarrow"))
+
+    def refine_part(g: pa.Table) -> pa.Table:
+        cells = g["cell"].to_numpy()
+        kind = g["_kind"].to_numpy()
+        order = np.argsort(cells, kind="stable")
+        cells = cells[order]
+        kind = kind[order]
+        pid = g["poly_id"].to_numpy()[order]
+        qid = g["point_id"].to_numpy()[order]
+        xs = g["x"].to_numpy()[order]
+        ys = g["y"].to_numpy()[order]
+        rb = g["rings"].to_pylist()
+        rb = [rb[int(i)] for i in order]
+        out_pt, out_poly = [], []
+        _, starts, counts = np.unique(cells, return_index=True,
+                                      return_counts=True)
+        for s, c in zip(starts, counts):
+            sl = slice(s, s + c)
+            isp = kind[sl] == 0
+            if not isp.any() or isp.all():
+                continue
+            pxs = xs[sl][isp]
+            pys = ys[sl][isp]
+            pids_here = qid[sl][isp]
+            for j in np.nonzero(~isp)[0]:
+                rings = unpack_rings(rb[s + int(j)])
+                hit = point_in_polygon(pxs, pys, rings)
+                if hit.any():
+                    out_pt.append(pids_here[hit])
+                    out_poly.append(np.full(int(hit.sum()),
+                                            int(pid[s + int(j)]),
+                                            dtype=np.int64))
+        if not out_pt:
+            return pa.table({"point_id": pa.array([], pa.int64()),
+                             "poly_id": pa.array([], pa.int64())})
+        return pa.table({"point_id": pa.array(np.concatenate(out_pt)),
+                         "poly_id": pa.array(np.concatenate(out_poly))})
+
+    matched = partitioned_groups(both, ["cell"], num_partitions) \
+        .map_groups(refine_part, batch_format="pyarrow")
+
+    # a polygon spanning k cells reports a point once per covering cell of
+    # that point's cell — each point lives in ONE cell, so each (point,
+    # poly) pair appears at most once already; no distinct pass needed.
+    return matched
+
+
 # ---------------------------------------------------------------------------
 # kNN via k-ring expansion over grid cells — distributed plan
 # ---------------------------------------------------------------------------

@@ -73,9 +73,7 @@ def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
         return t.append_column("tile_x", pa.array(txs, pa.int32())) \
                 .append_column("tile_y", pa.array(tys, pa.int32()))
 
-    def encode(g: pd.DataFrame) -> pd.DataFrame:
-        tx = int(g["tile_x"].iloc[0])
-        ty = int(g["tile_y"].iloc[0])
+    def encode(g: pd.DataFrame, tx: int, ty: int) -> pd.DataFrame:
         te = tile_world_extents(world, lod, tx, ty)
         g = g.sort_values(["layer", "fid"], kind="stable")
         layers = []
@@ -108,6 +106,19 @@ def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
             "tile_data": [blob],
         })
 
+    def encode_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one Ray dispatch per hash PARTITION; tiles iterate in-process
+        out = [encode(tg, int(tx), int(ty))
+               for (tx, ty), tg in g.groupby(["tile_x", "tile_y"],
+                                             sort=True)]
+        if not out:
+            return pd.DataFrame({"zoom": pd.Series([], dtype=np.int32),
+                                 "col": pd.Series([], dtype=np.int32),
+                                 "row": pd.Series([], dtype=np.int32),
+                                 "tile_data": pd.Series([], dtype=object)})
+        return pd.concat(out, ignore_index=True)
+
+    from .joins import partitioned_groups
     covered = features.map_batches(cover, batch_format="pyarrow")
-    return covered.groupby(["tile_x", "tile_y"]).map_groups(
-        encode, batch_format="pandas")
+    return partitioned_groups(covered, ["tile_x", "tile_y"]) \
+        .map_groups(encode_part, batch_format="pandas")

@@ -89,6 +89,47 @@ def test_pip_join_with_prefilter(ray_session):
     assert len(want) > 50
 
 
+def test_pip_join_shuffle_matches_broadcast(ray_session):
+    """Both-sides-large PIP (cell cogroup) returns exactly the broadcast
+    plan's (point, polygon) matches."""
+    import ray.data
+    rng = np.random.default_rng(31)
+    polys = []
+    for pid in range(6):
+        cx, cy = rng.uniform(15, 85, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 8))
+        rad = rng.uniform(4, 12, 8)
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)],
+                        axis=1)
+        polys.append((pid, [ring]))
+    n = 3000
+    xs = rng.uniform(0, 100, n)
+    ys = rng.uniform(0, 100, n)
+    pts = ray.data.from_arrow(pa.table({
+        "point_id": pa.array(range(n), pa.int64()),
+        "x": pa.array(xs), "y": pa.array(ys)}))
+    want = {(r["point_id"], r["poly_id"]) for r in
+            spatial.pip_join(pts, polys, WORLD, lod=4).take_all()}
+    poly_ds = ray.data.from_arrow(pa.table({
+        "poly_id": pa.array([p for p, _ in polys], pa.int64()),
+        "rings": pa.array([spatial.pack_rings(r) for _, r in polys],
+                          pa.large_binary())}))
+    got = {(r["point_id"], r["poly_id"]) for r in
+           spatial.pip_join_shuffle(pts, poly_ds, WORLD, lod=4,
+                                    num_partitions=8).take_all()}
+    assert got == want
+    assert len(want) > 50
+
+
+def test_pack_rings_round_trip():
+    rings = [np.array([[0.0, 1.0], [2.0, 3.0], [4.0, 5.0]]),
+             np.array([[9.0, 8.0], [7.0, 6.0]])]
+    back = spatial.unpack_rings(spatial.pack_rings(rings))
+    assert len(back) == 2
+    np.testing.assert_array_equal(back[0], rings[0])
+    np.testing.assert_array_equal(back[1], rings[1])
+
+
 def test_knn_kring_matches_bruteforce(ray_session):
     import ray.data
     rng = np.random.default_rng(11)
