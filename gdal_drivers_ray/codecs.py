@@ -108,3 +108,46 @@ def hamming64(a, b):
     x = np.asarray(a, dtype=np.int64) ^ np.asarray(b, dtype=np.int64)
     by = np.ascontiguousarray(x).view(np.uint8).reshape(*x.shape, 8)
     return np.unpackbits(by, axis=-1).sum(axis=-1).astype(np.int64)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """float64 samples in [-1, 1] -> 16-bit PCM WAV bytes (stdlib wave —
+    a REAL container format, no external codec library needed)."""
+    import io
+    import wave
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2")
+    bio = io.BytesIO()
+    with wave.open(bio, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm16.tobytes())
+    return bio.getvalue()
+
+
+def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 mono samples in [-1, 1], sample_rate).
+    Supports 8-bit unsigned and 16/32-bit signed PCM; multi-channel input
+    averages to mono."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(buf), "rb") as w:
+        sr = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width {width}")
+    if nch > 1:
+        x = x.reshape(-1, nch).mean(axis=1)
+    return x, sr

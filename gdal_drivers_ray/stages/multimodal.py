@@ -56,22 +56,27 @@ def _det_floats(payload: bytes, n: int, lo: float, hi: float) -> np.ndarray:
 class DecodeAudio:
     """Actor-pool stage: encoded audio -> per-clip features.
 
-    STUB decode: real codecs are unavailable in this container. With
-    fake=True (default) samples are a deterministic function of the payload
-    bytes, so the full pipeline (schema in, features out, actor reuse) runs
-    and is testable; fake=False raises NotImplementedError where a real
-    decoder (e.g. soundfile/ffmpeg) would be called."""
+    WAV/PCM rows decode FOR REAL (codecs.decode_wav, stdlib container
+    parse — sample rate and length come from the file, not the metadata
+    columns). Other formats (flac/mp3/...) need codec libraries absent
+    from this container: with fake=True (default) their samples are a
+    deterministic function of the payload bytes so the pipeline plumbing
+    still runs end-to-end; fake=False raises NotImplementedError where a
+    real decoder (e.g. soundfile/ffmpeg) would be called."""
 
     def __init__(self, fake: bool = True, frame_ms: int = 25):
         self.fake = fake
         self.frame_ms = frame_ms  # analysis window for the rms framing
 
-    def _decode(self, payload: bytes, n_samples: int) -> np.ndarray:
+    def _decode(self, payload: bytes, fmt: str,
+                n_samples: int, sr: int) -> tuple[np.ndarray, int]:
+        if fmt == "wav" and payload[:4] == b"RIFF":
+            return codecs.decode_wav(payload)        # REAL decode
         if not self.fake:
             raise NotImplementedError(
-                "real audio decode requires an audio codec library "
+                f"decoding {fmt!r} requires an audio codec library "
                 "(not present in this environment); run with fake=True")
-        return _det_floats(payload, n_samples, -1.0, 1.0)
+        return _det_floats(payload, n_samples, -1.0, 1.0), sr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -79,20 +84,28 @@ class DecodeAudio:
         peak = np.empty(n)
         n_frames = np.empty(n, dtype=np.int32)
         dur = np.empty(n)
+        zcr = np.empty(n)
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        metas = batch["n_samples"].to_numpy()
+        srs = batch["sample_rate"].to_numpy()
         for i in range(n):
-            samples = self._decode(batch["bytes"][i].as_py(),
-                                   int(batch["n_samples"][i].as_py()))
-            sr = int(batch["sample_rate"][i].as_py())
-            rms[i] = float(np.sqrt(np.mean(samples ** 2))) if len(samples) else 0.0
-            peak[i] = float(np.abs(samples).max()) if len(samples) else 0.0
+            samples, sr = self._decode(blobs[i], fmts[i], int(metas[i]),
+                                       int(srs[i]))
+            m = len(samples)
+            rms[i] = float(np.sqrt(np.mean(samples ** 2))) if m else 0.0
+            peak[i] = float(np.abs(samples).max()) if m else 0.0
+            zcr[i] = float((np.diff(np.signbit(samples)) != 0).mean()) \
+                if m > 1 else 0.0
             frame = max(int(sr * self.frame_ms / 1000), 1)
-            n_frames[i] = -(-len(samples) // frame)
-            dur[i] = len(samples) / sr if sr else 0.0
+            n_frames[i] = -(-m // frame)
+            dur[i] = m / sr if sr else 0.0
         return pa.table({
             "clip_id": batch["clip_id"],
             "duration_s": pa.array(dur),
             "rms": pa.array(rms),
             "peak": pa.array(peak),
+            "zero_cross_rate": pa.array(zcr),
             "n_frames": pa.array(n_frames, type=pa.int32()),
         })
 
@@ -178,16 +191,35 @@ class ResizeImages:
 
 
 def synth_audio_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic fake audio rows matching AUDIO_SCHEMA."""
+    """Deterministic audio rows matching AUDIO_SCHEMA. Most rows carry
+    REAL 16-bit PCM WAV payloads (sine + noise, stdlib wave container);
+    every 5th row is an opaque 'flac' payload exercising the stub path."""
     rng = np.random.default_rng(seed)
-    rows = {
-        "clip_id": [f"clip-{i:06d}" for i in range(n)],
-        "bytes": [rng.bytes(64) for _ in range(n)],
-        "sample_rate": np.full(n, 16000, dtype=np.int32),
-        "n_samples": rng.integers(1600, 48000, n).astype(np.int32),
-        "fmt": ["wav"] * n,
-    }
-    return pa.table(rows, schema=AUDIO_SCHEMA)
+    sr = 16000
+    ids, blobs, srs, lens, fmts = [], [], [], [], []
+    for i in range(n):
+        ns = int(rng.integers(1600, 24000))
+        ids.append(f"clip-{i:06d}")
+        if i % 5 == 4:
+            blobs.append(rng.bytes(64))
+            fmts.append("flac")
+        else:
+            t = np.arange(ns) / sr
+            freq = float(rng.uniform(100, 2000))
+            amp = float(rng.uniform(0.2, 0.9))
+            samples = amp * np.sin(2 * np.pi * freq * t) \
+                + 0.02 * rng.standard_normal(ns)
+            blobs.append(codecs.encode_wav(samples, sr))
+            fmts.append("wav")
+        srs.append(sr)
+        lens.append(ns)
+    return pa.table({
+        "clip_id": ids,
+        "bytes": blobs,
+        "sample_rate": np.asarray(srs, dtype=np.int32),
+        "n_samples": np.asarray(lens, dtype=np.int32),
+        "fmt": fmts,
+    }, schema=AUDIO_SCHEMA)
 
 
 def synth_video_table(n: int, seed: int = 11) -> pa.Table:

@@ -20,9 +20,9 @@ def test_audio_stage_actor_pool(ray_session):
                          batch_format="pyarrow").to_pandas()
     assert len(out) == 50
     assert set(out.columns) == {"clip_id", "duration_s", "rms", "peak",
-                                "n_frames"}
+                                "zero_cross_rate", "n_frames"}
     assert (out["rms"] > 0).all() and (out["peak"] <= 1.0).all()
-    # deterministic fake: re-run gives identical features
+    # deterministic (real wav decode + deterministic fake): re-run equal
     out2 = ray.data.from_arrow(t).map_batches(
         MM.DecodeAudio, concurrency=2, batch_size=16,
         batch_format="pyarrow").to_pandas()
@@ -30,10 +30,34 @@ def test_audio_stage_actor_pool(ray_session):
                                   out2.sort_values("clip_id").reset_index(drop=True))
 
 
-def test_audio_real_decode_is_marked_unimplemented():
+def test_audio_wav_decode_is_real():
+    """A pure sine WAV must yield rms = amp/sqrt(2), exact duration, and
+    zero-crossing rate ~ 2*freq/sr — features of the DECODED SIGNAL, not
+    of the payload hash (the old stub would fail all three)."""
+    import numpy as np
+
+    from gdal_drivers_ray import codecs
+
+    sr, freq, amp, ns = 16000, 440.0, 0.5, 16000
+    t = np.arange(ns) / sr
+    wav = codecs.encode_wav(amp * np.sin(2 * np.pi * freq * t), sr)
+    samples, sr2 = codecs.decode_wav(wav)
+    assert sr2 == sr and len(samples) == ns
+    st = MM.DecodeAudio()
+    import pyarrow as pa
+    out = st(pa.table({
+        "clip_id": ["c"], "bytes": pa.array([wav], pa.large_binary()),
+        "sample_rate": pa.array([sr], pa.int32()),
+        "n_samples": pa.array([ns], pa.int32()), "fmt": ["wav"]}))
+    assert abs(out["duration_s"][0].as_py() - 1.0) < 1e-9
+    assert abs(out["rms"][0].as_py() - amp / np.sqrt(2)) < 1e-3
+    assert abs(out["zero_cross_rate"][0].as_py() - 2 * freq / sr) < 1e-3
+
+
+def test_audio_nonwav_decode_is_marked_unimplemented():
     st = MM.DecodeAudio(fake=False)
     with pytest.raises(NotImplementedError):
-        st._decode(b"xx", 100)
+        st._decode(b"xx", "flac", 100, 16000)
 
 
 def test_video_frame_sampling(ray_session):
