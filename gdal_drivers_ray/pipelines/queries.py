@@ -830,6 +830,49 @@ def q_sessionize(sf_dir: str) -> ray.data.Dataset:
         .map_groups(sessions_part, batch_format="pandas")
 
 
+def q_hopping_window(sf_dir: str) -> ray.data.Dataset:
+    """HOPPING (sliding) windows: size 30 min, hop 15 min — every event
+    lands in exactly two overlapping windows. Per-batch the two window
+    assignments pre-aggregate (combiner) so the exchange carries one row
+    per (window) per batch, not one per event-copy. Integer-µs + cents."""
+    ev = _read(sf_dir, "events", ["ts", "value"])
+    HOP_US = 900_000_000  # 15 min; window = 2 hops
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.round(b["value"].to_numpy() * 100).astype(np.int64)
+        h = us // HOP_US
+        wstart = np.concatenate([h * HOP_US, (h - 1) * HOP_US])
+        c2 = np.concatenate([cents, cents])
+        g = pd.DataFrame({"window_start_us": wstart, "c": c2}) \
+            .groupby("window_start_us", as_index=False) \
+            .agg(n_events=("c", "size"), sum_value_cents=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return ev.map_batches(partial, batch_format="pyarrow") \
+        .groupby("window_start_us").aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value_cents", alias_name="sum_value_cents"))
+
+
+SQL_HOPPING_WINDOW = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), w AS (
+  SELECT (us // 900000000) * 900000000 AS wstart, c FROM e
+  UNION ALL
+  SELECT ((us // 900000000) - 1) * 900000000 AS wstart, c FROM e
+)
+SELECT CAST(wstart AS BIGINT) AS window_start_us,
+       count(*) AS n_events,
+       CAST(sum(c) AS BIGINT) AS sum_value_cents
+FROM w GROUP BY wstart
+"""
+
+
 SQL_SESSIONIZE = """
 WITH e AS (
   SELECT user_id, epoch_us(ts) AS us FROM events
