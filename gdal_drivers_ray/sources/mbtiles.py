@@ -75,11 +75,25 @@ class MbtilesLookup:
     and reused for every batch (T5 done right; the reference reconnects
     per tile)."""
 
-    def __init__(self, db_path: str):
+    PRELOAD_LIMIT = 1_000_000  # tiles; ~payload-bound, per-actor memory
+
+    def __init__(self, db_path: str, preload_limit: int | None = None):
         self.con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True,
                                    check_same_thread=False)
         self.q = ("SELECT tile_data FROM tiles WHERE zoom_level=? "
                   "AND tile_column=? AND tile_row=?")
+        # small archives preload to one in-memory dict per actor (one full
+        # scan replaces millions of point SELECTs); big archives stay on
+        # the point-query path — the per-lookup cost model of the
+        # reference, minus its reconnect
+        limit = self.PRELOAD_LIMIT if preload_limit is None else preload_limit
+        n = self.con.execute("SELECT count(*) FROM tiles").fetchone()[0]
+        self.store: dict[tuple[int, int, int], bytes] | None = None
+        if n <= limit:
+            self.store = {(z, c, r): bytes(d) for z, c, r, d in
+                          self.con.execute(
+                              "SELECT zoom_level, tile_column, tile_row, "
+                              "tile_data FROM tiles")}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = parse_requests(batch)
@@ -93,9 +107,13 @@ class MbtilesLookup:
         keys = np.stack([zs, cs, row_tms], axis=1)[ok]
         blobs: list[bytes | None] = [None] * b.num_rows
         cache: dict[tuple[int, int, int], bytes | None] = {}
-        for z, c, r in {tuple(int(v) for v in k) for k in keys}:
-            hit = self.con.execute(self.q, (z, c, r)).fetchone()
-            cache[(z, c, r)] = None if hit is None else bytes(hit[0])
+        if self.store is not None:
+            for k in {tuple(int(v) for v in k) for k in keys}:
+                cache[k] = self.store.get(k)
+        else:
+            for z, c, r in {tuple(int(v) for v in k) for k in keys}:
+                hit = self.con.execute(self.q, (z, c, r)).fetchone()
+                cache[(z, c, r)] = None if hit is None else bytes(hit[0])
         for i in np.nonzero(ok)[0]:
             blob = cache[(int(zs[i]), int(cs[i]), int(row_tms[i]))]
             if blob is None:
@@ -112,7 +130,8 @@ class MbtilesLookup:
 def lookup_mbtiles(requests: ray.data.Dataset, db_path: str,
                    path_col: str = "path",
                    concurrency: tuple[int, int] = (1, 12),
-                   batch_size: int = 4096) -> ray.data.Dataset:
+                   batch_size: int = 4096,
+                   preload_limit: int | None = None) -> ray.data.Dataset:
     """Request paths ⋈ a real .mbtiles archive via the cached-connection
     actor pool. Output schema matches tilestore.lookup (parse/status/flip
     columns + tile_data)."""
@@ -122,7 +141,7 @@ def lookup_mbtiles(requests: ray.data.Dataset, db_path: str,
                 [("path" if c == path_col else c) for c in b.column_names]),
             batch_format="pyarrow")
     return requests.map_batches(MbtilesLookup,
-                                fn_constructor_args=(db_path,),
+                                fn_constructor_args=(db_path, preload_limit),
                                 batch_format="pyarrow",
                                 batch_size=batch_size,
                                 concurrency=concurrency)

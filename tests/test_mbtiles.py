@@ -55,6 +55,23 @@ def test_lookup_statuses_and_flip(ray_session, archive):
     assert by["x/5-1-1"]["status"] == "not_found"
 
 
+def test_point_query_path_matches_preload(ray_session, archive):
+    """preload_limit=0 forces per-key SELECTs (the big-archive path);
+    results must equal the preloaded dict path."""
+    paths = ["a.mbtiles/2-1-0", "x/3-7-7", "x/5-1-1", "x/3-07-1"]
+
+    def norm(rows):
+        return sorted((r["path"], r["status"],
+                       bytes(r["tile_data"])
+                       if isinstance(r["tile_data"], (bytes, bytearray))
+                       else r["tile_data"]) for r in rows)
+
+    pre = norm(mbtiles.lookup_mbtiles(paths_ds(paths), archive).take_all())
+    pt = norm(mbtiles.lookup_mbtiles(paths_ds(paths), archive,
+                                     preload_limit=0).take_all())
+    assert pre == pt
+
+
 def test_duplicate_key_first_wins(ray_session, tmp_path):
     p = str(tmp_path / "dup.mbtiles")
     mbtiles.write_mbtiles(p, [(1, 0, 0, b"first"), (1, 0, 0, b"second")],

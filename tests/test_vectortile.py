@@ -72,3 +72,33 @@ def test_built_tiles_feed_tilestore_lookup(ray_session, tmp_path):
     rows = mvt.decode_tile(bytes(out["tile_data"].iloc[0]),
                            extents=VT.tile_world_extents(WORLD, 1, 0, 1))
     assert any(f["fid"] == 1 for f in rows)
+
+
+def test_built_tiles_through_real_mbtiles_archive(ray_session, tmp_path):
+    """Full loop across BOTH new surfaces: build_tiles -> write a REAL
+    sqlite .mbtiles -> lookup_mbtiles (cached-connection actor pool) ->
+    decode_tile -> feature ids survive."""
+    from gdal_drivers_ray.sources import mbtiles
+
+    lod = 1
+    store = VT.build_tiles(_features(), WORLD, lod).to_pandas()
+    db = mbtiles.write_mbtiles(
+        str(tmp_path / "built.mbtiles"),
+        [(int(r["zoom"]), int(r["col"]), int(r["row"]),
+          bytes(r["tile_data"])) for _, r in store.iterrows()])
+
+    # request every tile we just built (top-down rows: unflip)
+    paths = [f"b.mbtiles/{int(r['zoom'])}-{int(r['col'])}-"
+             f"{int(tms_flip(int(r['zoom']), int(r['row'])))}"
+             for _, r in store.iterrows()]
+    out = mbtiles.lookup_mbtiles(
+        ray.data.from_arrow(pa.table({"path": pa.array(paths)})), db) \
+        .take_all()
+    assert all(r["status"] == "ok" for r in out)
+    fids = set()
+    for r in out:
+        tx, ty = r["col"], int(tms_flip(r["zoom"], r["row"]))
+        te = VT.tile_world_extents(WORLD, lod, tx, ty)
+        for f in mvt.decode_tile(bytes(r["tile_data"]), extents=te):
+            fids.add(f["fid"])
+    assert fids == {1, 2, 3}
