@@ -137,16 +137,33 @@ def _blend_open(src: Any, **opts):
 
 
 def _mvt_identify(src: Any) -> bool:
-    return isinstance(src, str) and src.startswith("mvt:")
+    from .sources.mvt import is_remote_mvt
+    return isinstance(src, str) and (src.startswith("mvt:")
+                                     or is_remote_mvt(src))
 
 
 def _mvt_open(src: Any, **opts):
-    """`mvt:<store.parquet>/<z>-<x>-<y>` -> decoded feature Dataset
-    (the S11 path router composed with the S12 keyed lookup)."""
+    """Path router (S11, mvt.cpp:732-811): remote mvt URLs (S10) fetch
+    through an injected transport (`fetcher=` open option — mirrors
+    loadFromRemote incl. 404 = open failure); `mvt:<store>/<z>-<x>-<y>`
+    goes through the S12 keyed lookup."""
     import ray.data
 
     from .grid import parse_tile_key
     from .sources import mvt, tilestore
+
+    if mvt.is_remote_mvt(src):
+        fetcher = opts.get("fetcher")
+        if fetcher is None:
+            raise ValueError(
+                "remote mvt paths need a `fetcher=` open option (no "
+                "network transport ships in this engine; see "
+                "sources.mvt.load_from_remote)")
+        buf = mvt.load_from_remote(src, fetcher)
+        if buf is None:                      # 404 -> open failure
+            raise FileNotFoundError(f"remote tile not found: {src!r}")
+        rows = mvt.decode_tile(buf, extents=opts.get("extents"))
+        return ray.data.from_arrow(mvt.rows_to_table(rows, tile_id=src))
 
     rest = src[len("mvt:"):]
     store_path, _, key = rest.rpartition("/")

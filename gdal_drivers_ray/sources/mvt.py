@@ -487,3 +487,52 @@ def parse_tiles_batch(batch: pa.Table, extents: Optional[Extents] = None,
         empty = rows_to_table([])
         return empty.append_column("tile_id", pa.array([], pa.string()))
     return pa.concat_tables(tables)
+
+
+# ---------------------------------------------------------------------------
+# S10: remote tile fetch with injectable transport (mvt.cpp:654-672, 699-730)
+# ---------------------------------------------------------------------------
+
+def is_remote_path(path: str) -> bool:
+    """http:/https:/ftp: prefix, case-insensitive (mvt.cpp:654-659)."""
+    p = path.lower()
+    return p.startswith(("http:", "https:", "ftp:"))
+
+
+def is_remote_mvt(path: str) -> bool:
+    """Remote AND ('.mvt' or '.vector.pbf' anywhere, case-insensitive) —
+    the reference's remote-mvt sniff (mvt.cpp:661-672)."""
+    if not is_remote_path(path):
+        return False
+    p = path.lower()
+    return ".mvt" in p or ".vector.pbf" in p
+
+
+class RemoteFetchError(IOError):
+    """Transport-level failure (the CPLError paths of mvt.cpp:699-730)."""
+
+
+def load_from_remote(path: str, fetcher) -> bytes | None:
+    """Fetch remote tile bytes through an INJECTED transport.
+
+    ``fetcher(path) -> (status:int, data:bytes)``. Semantics mirror
+    loadFromRemote (mvt.cpp:699-730): empty payloads and transport errors
+    raise; status 404 returns None (missing tile — the driver-level
+    open-failure branch); other non-zero statuses raise; status 0/200
+    returns the payload for the protobuf parse to judge.
+
+    There is deliberately NO default network transport: this container is
+    network-free, and at pipeline scale tile payloads arrive through the
+    data plane (a column of bytes), not per-tile HTTP — the fetcher seam
+    exists so a deployment with egress can drop one in."""
+    try:
+        status, data = fetcher(path)
+    except Exception as e:      # transport exploded = CPLGetLastErrorNo path
+        raise RemoteFetchError(f"fetch failed for {path!r}: {e}") from e
+    if status == 404:
+        return None
+    if status not in (0, 200):
+        raise RemoteFetchError(f"fetch error {status} for {path!r}")
+    if not data:
+        raise RemoteFetchError(f"empty payload for {path!r}")
+    return data

@@ -73,6 +73,41 @@ def test_open_mvt_router(ray_session, tmp_path):
         R.open_dataset("mvt:/tmp/x.parquet/bad-key-xx")
 
 
+def test_open_remote_mvt_with_injected_fetcher(ray_session):
+    """S10 (mvt.cpp:699-730): remote .mvt URLs open through an injected
+    transport; 200 decodes, 404 is an open failure, transport/HTTP errors
+    raise, and the identify sniff follows the reference's rules."""
+    tile = mvt_mod.encode_tile([{
+        "name": "roads", "extent": 4096,
+        "keys": ["k"], "values": [(1, "v")],
+        "features": [{"id": 7, "type": 1, "tags": [0, 0],
+                      "geometry": [9, 20, 40]}],
+    }])
+
+    served = {"https://tiles.example/3-2-1.mvt": tile}
+
+    def fetcher(path):
+        if path in served:
+            return 200, served[path]
+        return 404, b""
+
+    ds = R.open_dataset("https://tiles.example/3-2-1.mvt", fetcher=fetcher)
+    rows = ds.take_all()
+    assert len(rows) == 1 and rows[0]["fid"] == 7
+
+    with pytest.raises(FileNotFoundError):
+        R.open_dataset("https://tiles.example/9-9-9.mvt", fetcher=fetcher)
+    with pytest.raises(ValueError, match="fetcher"):
+        R.open_dataset("https://tiles.example/3-2-1.mvt")
+    with pytest.raises(IOError):
+        R.open_dataset("http://x/.vector.pbf",
+                       fetcher=lambda p: (500, b"boom"))
+    # sniff rules: remote prefix + .mvt/.vector.pbf only
+    assert not R._mvt_identify("https://tiles.example/3-2-1.png")
+    assert R._mvt_identify("HTTP://T/x.Vector.PBF")
+    assert not R._mvt_identify("/local/path/x.mvt")
+
+
 def test_open_images_table_by_probe(ray_session):
     from gdal_drivers_ray import fixtures
 
