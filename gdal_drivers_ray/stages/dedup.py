@@ -108,57 +108,6 @@ class MinHasher:
         })
 
 
-def filter_collision_buckets(rows: ray.data.Dataset, keys: list[str],
-                             max_count: int | None = None) -> ray.data.Dataset:
-    """Keep only rows whose bucket key occurs >= 2 times (and, with
-    `max_count`, at most that many — the degenerate-bucket cap).
-
-    LSH bucket keys are mostly singletons (measured ~94% at sf0.1), and
-    `groupby(...).map_groups` pays one Python call PER GROUP — ~75k calls
-    of which ~70k return empty. A narrow count aggregate (keys only, no
-    signatures) finds the collision keys first; the collision set is tiny
-    and broadcast, and the expensive map_groups then runs over only real
-    buckets."""
-    import pyarrow.compute as pc
-    import ray
-    from ray.data.aggregate import Sum
-
-    def _combined(b: pa.Table) -> np.ndarray:
-        # fold to one int64 key; numpy wrap-around on overflow is fine (and
-        # identical in both passes) — it only needs to be a stable hash
-        combo = b[keys[0]].to_numpy().astype(np.int64)
-        with np.errstate(over="ignore"):
-            for k in keys[1:]:
-                combo = combo * np.int64(1_000_003) + \
-                    b[k].to_numpy().astype(np.int64)
-        return combo
-
-    def key_counts(b: pa.Table) -> pa.Table:
-        vals, cnts = np.unique(_combined(b), return_counts=True)
-        return pa.table({"ck": pa.array(vals),
-                         "n": pa.array(cnts.astype(np.int64))})
-
-    counts = (rows.select_columns(keys)
-                  .map_batches(key_counts, batch_format="pyarrow")
-                  .groupby("ck").aggregate(Sum("n", alias_name="n")))
-    def keep_keys(b: pa.Table) -> pa.Table:
-        m = pc.greater(b["n"], 1)
-        if max_count is not None:
-            m = pc.and_(m, pc.less_equal(b["n"], max_count))
-        return b.filter(m).select(["ck"])
-
-    hot = counts.map_batches(
-        keep_keys, batch_format="pyarrow").to_pandas()["ck"].to_numpy()
-    ref = ray.put(np.sort(hot))
-
-    def keep_hot(b: pa.Table) -> pa.Table:
-        hot_keys = ray.get(ref)
-        return b.filter(pa.array(
-            np.isin(_combined(b), hot_keys, assume_unique=False)))
-
-    return rows.map_batches(keep_hot, batch_format="pyarrow")
-
-
 # ---------------------------------------------------------------------------
 # distributed cluster assembly: min-label propagation as Dataset ops
 # ---------------------------------------------------------------------------
@@ -327,13 +276,9 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
     (first-per-group, the reference-free dedup rule of SURVEY.md §2.6).
     Pairs stay a Dataset end-to-end; cluster assembly is distributed
     min-label propagation (no doc ids or pairs on the driver)."""
-    # materialized: the collision filter consumes these rows twice (count
-    # pass + filter pass); without pinning, the whole hash stage re-executes.
-    # Signatures are ~1-2% of the text payload — a deliberate, bounded
-    # checkpoint, not a full-data materialization.
     sig_rows = docs.map_batches(
         MinHasher(n_perm, bands), batch_format="pyarrow", batch_size=512,
-        concurrency=concurrency).materialize()
+        concurrency=concurrency)
 
     # NOTE: a native Dataset.join self-join was tried here and DEADLOCKS on
     # small clusters (HashShuffleAggregator actors starve the map tasks at
@@ -367,11 +312,15 @@ def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
-    cand = filter_collision_buckets(sig_rows, ["band_id", "band_hash"],
-                                    max_count=max_bucket)
-    # duplicate (a, b) pairs from different bands are harmless to label
-    # propagation (idempotent min), so no driver-side drop_duplicates
-    edges = _partitioned_groups(cand, ["band_id", "band_hash"]) \
+    # No separate collision pre-filter: the partition-level reducer skips
+    # singleton buckets for free (len<2 continue inside one Python call per
+    # partition), so sig rows shuffle ONCE and are consumed once — two full
+    # passes and a materialize cheaper than the count-then-filter plan the
+    # per-bucket map_groups dispatch used to require. The max_bucket cap
+    # still bounds degenerate buckets inside the reducer.
+    # Duplicate (a, b) pairs from different bands are harmless to label
+    # propagation (idempotent min), so no drop_duplicates pass either.
+    edges = _partitioned_groups(sig_rows, ["band_id", "band_hash"]) \
         .map_groups(part_pairs, batch_format="pandas")
     return cluster_assign(docs.select_columns(["doc_id"]), edges)
 
@@ -472,7 +421,7 @@ def simhash_dedup(docs: ray.data.Dataset, *, max_hamming: int = 3,
     from ..codecs import hamming64
 
     rows = docs.map_batches(SimHasher(), batch_format="pyarrow",
-                            batch_size=512).materialize()  # consumed twice
+                            batch_size=512)
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["band_id", "band_hash", "doc_id"], kind="stable")
@@ -498,8 +447,7 @@ def simhash_dedup(docs: ray.data.Dataset, *, max_hamming: int = 3,
         return pd.DataFrame({"a": np.concatenate(out_a),
                              "b": np.concatenate(out_b)})
 
-    cand = filter_collision_buckets(rows, ["band_id", "band_hash"])
-    edges = _partitioned_groups(cand, ["band_id", "band_hash"]) \
+    edges = _partitioned_groups(rows, ["band_id", "band_hash"]) \
         .map_groups(part_pairs, batch_format="pandas")
     return cluster_assign(docs.select_columns(["doc_id"]), edges)
 
@@ -550,10 +498,13 @@ class EmbeddingBucketer:
 
 
 def embedding_near_dup(emb: ray.data.Dataset, *, threshold: float = 0.95,
-                       n_bits: int = 8, dim: int = 64) -> pd.DataFrame:
-    """-> (a, b, sim) pairs with cosine >= threshold found within LSH
-    buckets. NOTE: bucketed search trades recall for scale; the brute-force
-    oracle (SQL) is the recall reference in tests."""
+                       n_bits: int = 8, dim: int = 64) -> ray.data.Dataset:
+    """-> Dataset of (a, b, sim) pairs with cosine >= threshold found
+    within LSH buckets (pairs STAY a Dataset — consumers aggregate or feed
+    cluster_assign; nothing lands on the driver). Bucketed search trades
+    recall for scale; the brute-force oracle (SQL) is the recall reference
+    in tests. Cross-bucket duplicate pairs cannot occur (each vector has
+    exactly one bucket)."""
     rows = emb.map_batches(EmbeddingBucketer(dim, n_bits),
                            batch_format="pyarrow", batch_size=1024)
 
@@ -586,5 +537,4 @@ def embedding_near_dup(emb: ray.data.Dataset, *, threshold: float = 0.95,
                              "sim": np.concatenate(out_s)})
 
     return _partitioned_groups(rows, ["bucket"]).map_groups(
-        part_pairs, batch_format="pandas").to_pandas() \
-        .drop_duplicates(["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+        part_pairs, batch_format="pandas")

@@ -110,7 +110,7 @@ def test_embedding_near_dup_vs_bruteforce(ray_session):
         "embedding": pa.array([list(map(float, v)) for v in mat],
                               pa.list_(pa.float32())),
     }))
-    got = dedup.embedding_near_dup(ds, threshold=0.95, n_bits=4)
+    got = dedup.embedding_near_dup(ds, threshold=0.95, n_bits=4).to_pandas()
     # brute-force oracle
     m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     m32 = m.astype(np.float32).astype(np.float64)  # storage round-trip
