@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_poly": _sq.q_pip_poly,
         "pip_shuffle": _sq.q_pip_shuffle,
         "zonal_stats": _sq.q_zonal_stats,
+        "zonal_shuffle": _sq.q_zonal_shuffle,
         # text analysis (SQL-checked)
         "lang_id": _tq.q_lang_id,
         "fingerprint": _tq.q_fingerprint,

@@ -110,14 +110,10 @@ def q_pip_shuffle(sf_dir: str) -> ray.data.Dataset:
     return matches.groupby("poly_id").aggregate(Count(alias_name="n_points"))
 
 
-def q_zonal_stats(sf_dir: str):
-    """Raster<->vector join: per-polygon pixel stats over a deterministic
-    4x4-tile raster (rows-only; exact parity vs the NumPy full-raster
-    oracle in tests/test_spatial.py)."""
+def _zonal_fixture():
     import ray.data
 
     from ..grid import Extents
-    from ..stages.spatial import zonal_stats
 
     rng = np.random.default_rng(13)
     world = Extents(0.0, 0.0, 1024.0, 1024.0)
@@ -137,4 +133,30 @@ def q_zonal_stats(sf_dir: str):
              np.array([[600.0, 600.0], [800.0, 600.0],
                        [800.0, 800.0], [600.0, 800.0]])]),
     ]
+    return tiles, polys, world
+
+
+def q_zonal_stats(sf_dir: str):
+    """Raster<->vector join: per-polygon pixel stats over a deterministic
+    4x4-tile raster (rows-only; exact parity vs the NumPy full-raster
+    oracle in tests/test_spatial.py)."""
+    from ..stages.spatial import zonal_stats
+
+    tiles, polys, world = _zonal_fixture()
     return zonal_stats(tiles, polys, world, 2)
+
+
+def q_zonal_shuffle(sf_dir: str):
+    """Same raster<->vector join through the both-sides-large plan
+    (polygons as a Dataset, cell cogroup) — stats must match q_zonal_stats
+    exactly (parity-tested in test_spatial.py)."""
+    import ray.data
+
+    from ..stages.spatial import pack_rings, zonal_stats_shuffle
+
+    tiles, polys, world = _zonal_fixture()
+    poly_ds = ray.data.from_arrow(pa.table({
+        "poly_id": pa.array([p for p, _ in polys], pa.int64()),
+        "rings": pa.array([pack_rings(r) for _, r in polys],
+                          pa.large_binary())}))
+    return zonal_stats_shuffle(tiles, poly_ds, world, 2)

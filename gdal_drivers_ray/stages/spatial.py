@@ -412,6 +412,32 @@ def knn_kring(points: ray.data.Dataset, queries: pd.DataFrame, *, k: int,
 # joins as groupby-aggregate-sort shuffles keyed on cell id")
 # ---------------------------------------------------------------------------
 
+_KNOWN_PX_DTYPES = {"uint8", "uint16", "int16", "uint32", "int32",
+                    "float32", "float64"}
+
+
+def _tile_pixels_world(px_blob: bytes, dtype: str, tx: int, ty: int,
+                       vw: int, vh: int, world: Extents,
+                       rx: float, ry: float):
+    """Decode one tile -> (flat pixel-center world xs, ys, float64 values).
+    Shared by both zonal physical plans."""
+    dt = np.dtype(dtype) if dtype in _KNOWN_PX_DTYPES else np.uint8
+    arr = np.frombuffer(px_blob, dtype=dt).reshape(256, 256)[:vh, :vw]
+    centers = np.arange(256, dtype=np.float64) + 0.5
+    wx = world.llx + (tx * 256 + centers[:vw]) * rx
+    wy = world.ury - (ty * 256 + centers[:vh]) * ry
+    return np.tile(wx, vh), np.repeat(wy, vw), arr.astype(np.float64).ravel()
+
+
+def _poly_tile_partial(wxf, wyf, vals, rings):
+    """(n, sum, min, max) of the pixels inside `rings`, or None."""
+    m = point_in_polygon(wxf, wyf, rings)
+    if not m.any():
+        return None
+    v = vals[m]
+    return int(m.sum()), float(v.sum()), float(v.min()), float(v.max())
+
+
 def zonal_stats(tiles: ray.data.Dataset,
                 polygons: list[tuple[int, list[np.ndarray]]],
                 world: Extents, lod: int) -> ray.data.Dataset:
@@ -452,33 +478,22 @@ def zonal_stats(tiles: ray.data.Dataset,
         vhs = b["valid_h"].to_numpy().astype(np.int64)
         dts = b["dtype"].to_pylist()
         pxs = b["px"].to_pylist()
-        centers = np.arange(256, dtype=np.float64) + 0.5  # hoisted grid
-        known = {"uint8", "uint16", "int16", "uint32", "int32",
-                 "float32", "float64"}
         for i in range(len(txs)):
             pids = cp.get((int(txs[i]), int(tys[i])))
             if not pids:
                 continue
-            vw, vh = int(vws[i]), int(vhs[i])
-            dt = np.dtype(dts[i]) if dts[i] in known else np.uint8
-            arr = np.frombuffer(pxs[i], dtype=dt) \
-                .reshape(256, 256)[:vh, :vw]
-            # pixel-center world coordinates: two 1-D ramps, no mgrid
-            wx = world.llx + (txs[i] * 256 + centers[:vw]) * rx
-            wy = world.ury - (tys[i] * 256 + centers[:vh]) * ry
-            wxf = np.tile(wx, vh)
-            wyf = np.repeat(wy, vw)
-            vals = arr.astype(np.float64).ravel()
+            wxf, wyf, vals = _tile_pixels_world(
+                pxs[i], dts[i], int(txs[i]), int(tys[i]),
+                int(vws[i]), int(vhs[i]), world, rx, ry)
             for pid in pids:
-                m = point_in_polygon(wxf, wyf, polys[pid])
-                if not m.any():
+                st = _poly_tile_partial(wxf, wyf, vals, polys[pid])
+                if st is None:
                     continue
-                v = vals[m]
                 out["poly_id"].append(pid)
-                out["n"].append(int(m.sum()))
-                out["s"].append(float(v.sum()))
-                out["mn"].append(float(v.min()))
-                out["mx"].append(float(v.max()))
+                out["n"].append(st[0])
+                out["s"].append(st[1])
+                out["mn"].append(st[2])
+                out["mx"].append(st[3])
         return pa.table({"poly_id": pa.array(out["poly_id"], pa.int64()),
                          "n": pa.array(out["n"], pa.int64()),
                          "s": pa.array(out["s"], pa.float64()),
@@ -486,6 +501,117 @@ def zonal_stats(tiles: ray.data.Dataset,
                          "mx": pa.array(out["mx"], pa.float64())})
 
     partials = tiles.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("poly_id").aggregate(
+        Sum("n", alias_name="n_px"),
+        Sum("s", alias_name="px_sum"),
+        Min("mn", alias_name="px_min"),
+        Max("mx", alias_name="px_max"))
+
+
+def zonal_stats_shuffle(tiles: ray.data.Dataset, polygons: ray.data.Dataset,
+                        world: Extents, lod: int,
+                        num_partitions: int = 64) -> ray.data.Dataset:
+    """Both-sides-large raster<->vector join: polygons are a DATASET
+    {poly_id, rings (pack_rings)} instead of a broadcast list. Polygons
+    flat_map to covering cells; tiles already ARE their (tile_x, tile_y)
+    cell; one hash-cogroup partition pass computes the per-(tile, polygon)
+    partials (each tile's pixels move exactly once), then the same tiny
+    groupby(poly_id) reduce. Same kernel, same results as zonal_stats."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .joins import partitioned_groups
+
+    side = 1 << lod
+    rx = world.width / (side * 256)
+    ry = world.height / (side * 256)
+
+    def poly_rows(b: pa.Table) -> pa.Table:
+        pids, cells, blobs = [], [], []
+        ids = b["poly_id"].to_numpy()
+        rb = b["rings"].to_pylist()
+        for i in range(len(ids)):
+            for (cx, cy) in polygon_cells(unpack_rings(rb[i]), world, lod):
+                pids.append(int(ids[i]))
+                cells.append(cx * side + cy)
+                blobs.append(rb[i])
+        n = len(pids)
+        return pa.table({
+            "cell": pa.array(cells, pa.int64()),
+            "_kind": pa.array(np.ones(n, dtype=np.int8)),
+            "poly_id": pa.array(pids, pa.int64()),
+            "rings": pa.array(blobs, pa.large_binary()),
+            "tile_x": pa.nulls(n, pa.int64()),
+            "tile_y": pa.nulls(n, pa.int64()),
+            "valid_w": pa.nulls(n, pa.int64()),
+            "valid_h": pa.nulls(n, pa.int64()),
+            "dtype": pa.nulls(n, pa.string()),
+            "px": pa.nulls(n, pa.large_binary()),
+        })
+
+    def tile_rows(b: pa.Table) -> pa.Table:
+        tx = b["tile_x"].to_numpy().astype(np.int64)
+        ty = b["tile_y"].to_numpy().astype(np.int64)
+        n = len(tx)
+        return pa.table({
+            "cell": pa.array(tx * side + ty),
+            "_kind": pa.array(np.zeros(n, dtype=np.int8)),
+            "poly_id": pa.nulls(n, pa.int64()),
+            "rings": pa.nulls(n, pa.large_binary()),
+            "tile_x": pa.array(tx),
+            "tile_y": pa.array(ty),
+            "valid_w": b["valid_w"].cast(pa.int64()),
+            "valid_h": b["valid_h"].cast(pa.int64()),
+            "dtype": b["dtype"],
+            "px": b["px"].cast(pa.large_binary()),
+        })
+
+    both = polygons.map_batches(poly_rows, batch_format="pyarrow") \
+        .union(tiles.map_batches(tile_rows, batch_format="pyarrow"))
+
+    def refine_part(g: pa.Table) -> pa.Table:
+        cells = g["cell"].to_numpy()
+        order = np.argsort(cells, kind="stable")
+        kind = g["_kind"].to_numpy()[order]
+        cells = cells[order]
+        out = {"poly_id": [], "n": [], "s": [], "mn": [], "mx": []}
+        pid = g["poly_id"].to_numpy()[order]
+        txs = g["tile_x"].to_numpy()[order]
+        tys = g["tile_y"].to_numpy()[order]
+        vws = g["valid_w"].to_numpy()[order]
+        vhs = g["valid_h"].to_numpy()[order]
+        dts = g["dtype"].to_pylist()
+        pxs = g["px"].to_pylist()
+        _, starts, counts = np.unique(cells, return_index=True,
+                                      return_counts=True)
+        for s, c in zip(starts, counts):
+            sl = np.arange(s, s + c)
+            tile_rows_ = sl[kind[sl] == 0]
+            poly_rows_ = sl[kind[sl] == 1]
+            if len(tile_rows_) == 0 or len(poly_rows_) == 0:
+                continue
+            for i in tile_rows_:
+                wxf, wyf, vals = _tile_pixels_world(
+                    pxs[int(order[i])], dts[int(order[i])],
+                    int(txs[i]), int(tys[i]), int(vws[i]), int(vhs[i]),
+                    world, rx, ry)
+                for j in poly_rows_:
+                    rings = unpack_rings(g["rings"][int(order[j])].as_py())
+                    st = _poly_tile_partial(wxf, wyf, vals, rings)
+                    if st is None:
+                        continue
+                    out["poly_id"].append(int(pid[j]))
+                    out["n"].append(st[0])
+                    out["s"].append(st[1])
+                    out["mn"].append(st[2])
+                    out["mx"].append(st[3])
+        return pa.table({"poly_id": pa.array(out["poly_id"], pa.int64()),
+                         "n": pa.array(out["n"], pa.int64()),
+                         "s": pa.array(out["s"], pa.float64()),
+                         "mn": pa.array(out["mn"], pa.float64()),
+                         "mx": pa.array(out["mx"], pa.float64())})
+
+    partials = partitioned_groups(both, ["cell"], num_partitions) \
+        .map_groups(refine_part, batch_format="pyarrow")
     return partials.groupby("poly_id").aggregate(
         Sum("n", alias_name="n_px"),
         Sum("s", alias_name="px_sum"),

@@ -326,3 +326,20 @@ def test_zonal_stats_vs_numpy_oracle(ray_session):
                                    rtol=1e-12)
         assert got.loc[pid, "px_min"] == vals[m].min()
         assert got.loc[pid, "px_max"] == vals[m].max()
+
+    # both-sides-large plan: polygons as a Dataset through the cell
+    # cogroup — identical stats
+    import ray.data as rd
+
+    from gdal_drivers_ray.stages.spatial import (pack_rings,
+                                                 zonal_stats_shuffle)
+    poly_ds = rd.from_arrow(pa.table({
+        "poly_id": pa.array([p for p, _ in polys], pa.int64()),
+        "rings": pa.array([pack_rings(r) for _, r in polys],
+                          pa.large_binary())}))
+    got_s = zonal_stats_shuffle(tiles, poly_ds, world, lod,
+                                num_partitions=8).to_pandas() \
+        .set_index("poly_id").sort_index()
+    for col in ("n_px", "px_min", "px_max"):
+        assert (got_s[col] == got[col]).all()
+    np.testing.assert_allclose(got_s["px_sum"], got["px_sum"], rtol=1e-12)
