@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops (SQL-checked)
         "dedup_exact": _q.q_dedup_exact,
         "token_count": _q.q_token_count,
+        "bpe_token_count": _q.q_bpe_token_count,
         "quality": _q.q_quality,
         "events_window": _q.q_events_window,
         "asof_join": _q.q_asof_join,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_rect": _q.SQL_PIP_RECT,
         "dedup_exact": _q.SQL_DEDUP_EXACT,
         "token_count": _q.SQL_TOKEN_COUNT,
+        "bpe_token_count": _q.SQL_BPE_TOKEN_COUNT,
         "quality": _q.SQL_QUALITY,
         "events_window": _q.SQL_EVENTS_WINDOW,
         "asof_join": _q.SQL_ASOF_JOIN,

@@ -502,6 +502,36 @@ def q_token_count(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(f, batch_format="pyarrow")
 
 
+# GPT-2-style pre-tokenizer, simplified to the lookahead-free subset both
+# Python re and DuckDB's RE2 evaluate identically (leftmost-first
+# alternation): contractions, space-prefixed letter/digit/punct runs,
+# whitespace runs.
+_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def q_bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    """BPE-ish sub-token counting (the pre-tokenization pass of byte-pair
+    tokenizers): compiled once per worker, vectorized over the batch."""
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import re
+        pat = re.compile(_BPE_PAT)
+        toks = [len(pat.findall(t)) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"],
+                         "n_bpe_tokens": pa.array(np.asarray(toks,
+                                                             dtype=np.int64))})
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_BPE_TOKEN_COUNT = (
+    "SELECT doc_id, CAST(length(regexp_extract_all(text, '"
+    + _BPE_PAT.replace("'", "''")
+    + "')) AS BIGINT) AS n_bpe_tokens FROM documents"
+)
+
+
 SQL_TOKEN_COUNT = r"""
 SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
 FROM documents
