@@ -212,8 +212,10 @@ def q_tms_join(sf_dir: str) -> ray.data.Dataset:
             max_req=("req_order", "max"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    # coalesce the tiny per-batch partials before the sort-based aggregate:
+    # its scheduling cost scales with input-block count
     agg = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby("rkey").aggregate(
+        .repartition(8).groupby("rkey").aggregate(
             Sum("n_hits", alias_name="n_hits"),
             Min("min_payload", alias_name="min_payload"),
             Max("max_req", alias_name="max_req"),
@@ -224,10 +226,15 @@ def q_tms_join(sf_dir: str) -> ray.data.Dataset:
 def q_tms_join_big(sf_dir: str) -> ray.data.Dataset:
     """Same keyed lookup as q_tms_join but BOTH sides large and
     dataset-native: the store is built distributed (groupby(skey) first-
-    wins, never a driver frame) and the join is the hash-cogroup exchange
-    (stages.joins.cogroup_join — deadlock-free at any num_cpus, unlike the
-    native Dataset.join). Shares q_tms_join's SQL oracle by construction."""
-    from ..stages.joins import cogroup_join
+    wins, never a driver frame) and the whole store-dedupe + join +
+    per-key aggregate runs in ONE hash exchange: both sides tag and
+    partition by key hash, and each partition reducer (a) first-wins the
+    store rows, (b) joins the requests, (c) emits FINAL per-key aggregates
+    — every key lives in exactly one partition, so no second exchange.
+    (The round-2 three-exchange plan — store groupby, cogroup sort, final
+    aggregate — measured 3x slower on pure barrier overhead.) Shares
+    q_tms_join's SQL oracle by construction."""
+    from ..stages.joins import partitioned_groups
 
     o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
@@ -237,12 +244,11 @@ def q_tms_join_big(sf_dir: str) -> ray.data.Dataset:
         col = b["o_custkey"].to_numpy() % side
         row_tms = np.floor(b["o_totalprice"].to_numpy()).astype(np.int64) \
             % side
+        k = z * PACK_Z + row_tms * PACK_Y + col
         return pa.table({
-            "skey": pa.array(z * PACK_Z + row_tms * PACK_Y + col),
-            "payload": pa.array(b["o_orderkey"].to_numpy())})
-
-    store = o.map_batches(store_rows, batch_format="pyarrow") \
-        .groupby("skey").aggregate(Min("payload", alias_name="payload"))
+            "k": pa.array(k),
+            "side": pa.array(np.zeros(len(k), dtype=np.int64)),
+            "val": pa.array(b["o_orderkey"].to_numpy())})
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
 
@@ -251,27 +257,43 @@ def q_tms_join_big(sf_dir: str) -> ray.data.Dataset:
         side = np.int64(1) << z
         col = b["l_partkey"].to_numpy() % side
         row_tms = (side - 1) - (b["l_suppkey"].to_numpy() % side)
+        k = z * PACK_Z + row_tms * PACK_Y + col
         return pa.table({
-            "rkey": pa.array(z * PACK_Z + row_tms * PACK_Y + col),
-            "req_order": pa.array(b["l_orderkey"].to_numpy())})
+            "k": pa.array(k),
+            "side": pa.array(np.ones(len(k), dtype=np.int64)),
+            "val": pa.array(b["l_orderkey"].to_numpy())})
 
-    r = li.map_batches(requests, batch_format="pyarrow")
-    joined = cogroup_join(r, store, on="rkey", right_on="skey", how="inner")
+    rows = o.map_batches(store_rows, batch_format="pyarrow") \
+        .union(li.map_batches(requests, batch_format="pyarrow")) \
+        .repartition(16)
 
-    def partial(b: pa.Table) -> pa.Table:
-        df = b.to_pandas()
-        g = df.groupby("rkey", as_index=False).agg(
-            n_hits=("rkey", "size"), min_payload=("payload", "min"),
-            max_req=("req_order", "max"))
-        return pa.Table.from_pandas(g, preserve_index=False)
+    def reduce_part(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64()),
+                          "min_payload": pa.array([], pa.int64()),
+                          "max_req": pa.array([], pa.int64())})
+        if "k" not in t.column_names or t.num_rows == 0:
+            return empty
+        k = t["k"].to_numpy()
+        side = t["side"].to_numpy()
+        val = t["val"].to_numpy()
+        s = pd.DataFrame({"key": k[side == 0], "payload": val[side == 0]}) \
+            .groupby("key", as_index=False)["payload"].min()
+        r = pd.DataFrame({"key": k[side == 1], "req": val[side == 1]}) \
+            .groupby("key", as_index=False).agg(
+                n_hits=("key", "size"), max_req=("req", "max"))
+        g = r.merge(s, on="key", how="inner")
+        if not len(g):
+            return empty
+        return pa.table({"key": pa.array(g["key"].to_numpy()),
+                         "n_hits": pa.array(g["n_hits"].to_numpy()
+                                            .astype(np.int64)),
+                         "min_payload": pa.array(g["payload"].to_numpy()),
+                         "max_req": pa.array(g["max_req"].to_numpy())})
 
-    agg = joined.map_batches(partial, batch_format="pyarrow") \
-        .groupby("rkey").aggregate(
-            Sum("n_hits", alias_name="n_hits"),
-            Min("min_payload", alias_name="min_payload"),
-            Max("max_req", alias_name="max_req"),
-    )
-    return agg.rename_columns({"rkey": "key"})
+    return partitioned_groups(rows, ["k"], num_partitions=64).map_groups(
+        reduce_part, batch_format="pyarrow")
 
 
 def _mbtiles_fixture(sf_dir: str) -> str:
@@ -336,8 +358,8 @@ def q_mbtiles_join(sf_dir: str) -> ray.data.Dataset:
                              "n_hits": pa.array([], pa.int64()),
                              "min_payload": pa.array([], pa.int64()),
                              "max_req": pa.array([], pa.int64())})
-        payload = np.asarray([int(x) for x in t["tile_data"].to_pylist()],
-                             dtype=np.int64)
+        payload = pc.cast(pc.cast(t["tile_data"], pa.large_string()),
+                          pa.int64()).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"rkey": t["skey"].to_numpy(),
                            "payload": payload,
                            "req_order": t["req_order"].to_numpy()})
@@ -347,7 +369,7 @@ def q_mbtiles_join(sf_dir: str) -> ray.data.Dataset:
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = looked.map_batches(partial, batch_format="pyarrow") \
-        .groupby("rkey").aggregate(
+        .repartition(8).groupby("rkey").aggregate(
             Sum("n_hits", alias_name="n_hits"),
             Min("min_payload", alias_name="min_payload"),
             Max("max_req", alias_name="max_req"))
@@ -1051,41 +1073,51 @@ FROM orders WHERE (o_orderkey * 2654435761) % 10 = 0
 
 def q_set_ops(sf_dir: str) -> ray.data.Dataset:
     """INTERSECT / EXCEPT / UNION counts over customer keys, fully dataset-
-    native: per-batch distinct (key, side-bit) rows -> one groupby(key)
-    with Max side-bit aggregates -> per-batch partial counts -> global sum.
-    Key sets never land on the driver (the round-1 driver-merge was the
-    §2.6 scale gap)."""
+    native: per-batch distinct (key, side-bit) rows are hash-PARTITIONED
+    (all copies of a key land in one partition), each partition reduces
+    with one vectorized np.unique/intersect pass, and the 64 partial rows
+    sum in a tiny final aggregate. Key sets never land on the driver (the
+    round-1 driver-merge was the §2.6 scale gap); one exchange total,
+    reducer calls = num_partitions, not num_keys."""
+    from gdal_drivers_ray.stages.joins import partitioned_groups
+
     o = _read(sf_dir, "orders", ["o_custkey"])
     c = _read(sf_dir, "customer", ["c_custkey"])
 
-    def dk(col, in_o, in_c):
+    def dk(col, side):
         def f(b: pa.Table) -> pa.Table:
             u = np.unique(b[col].to_numpy())
             return pa.table({
-                "k": pa.array(u),
-                "in_o": pa.array(np.full(len(u), in_o, dtype=np.int64)),
-                "in_c": pa.array(np.full(len(u), in_c, dtype=np.int64))})
+                "k": pa.array(u.astype(np.int64)),
+                "side": pa.array(np.full(len(u), side, dtype=np.int64))})
         return f
 
-    rows = o.map_batches(dk("o_custkey", 1, 0), batch_format="pyarrow") \
-        .union(c.map_batches(dk("c_custkey", 0, 1), batch_format="pyarrow"))
-    flags = rows.groupby("k").aggregate(Max("in_o", alias_name="in_o"),
-                                        Max("in_c", alias_name="in_c"))
+    rows = o.map_batches(dk("o_custkey", 0), batch_format="pyarrow") \
+        .union(c.map_batches(dk("c_custkey", 1), batch_format="pyarrow")) \
+        .repartition(8)
 
-    def partial_counts(b: pa.Table) -> pa.Table:
-        io = b["in_o"].to_numpy()
-        ic = b["in_c"].to_numpy()
+    def reduce_part(t: pa.Table) -> pa.Table:
+        if "k" not in t.column_names or t.num_rows == 0:
+            return pa.table({"n_with_orders": pa.array([], pa.int64()),
+                             "n_without_orders": pa.array([], pa.int64()),
+                             "n_union": pa.array([], pa.int64())})
+        k = t["k"].to_numpy()
+        side = t["side"].to_numpy()
+        ok = np.unique(k[side == 0])
+        ck = np.unique(k[side == 1])
+        n_both = np.intersect1d(ok, ck, assume_unique=True).size
         return pa.table({
-            "n_with_orders": pa.array([np.int64(((io == 1) & (ic == 1)).sum())]),
-            "n_without_orders": pa.array([np.int64(((io == 0) & (ic == 1)).sum())]),
-            "n_union": pa.array([np.int64(len(io))]),
+            "n_with_orders": pa.array([np.int64(n_both)]),
+            "n_without_orders": pa.array([np.int64(ck.size - n_both)]),
+            "n_union": pa.array([np.int64(ok.size + ck.size - n_both)]),
         })
 
-    return flags.map_batches(partial_counts, batch_format="pyarrow") \
-        .groupby(None).aggregate(
-            Sum("n_with_orders", alias_name="n_with_orders"),
-            Sum("n_without_orders", alias_name="n_without_orders"),
-            Sum("n_union", alias_name="n_union"))
+    partials = partitioned_groups(rows, ["k"]).map_groups(
+        reduce_part, batch_format="pyarrow")
+    return partials.groupby(None).aggregate(
+        Sum("n_with_orders", alias_name="n_with_orders"),
+        Sum("n_without_orders", alias_name="n_without_orders"),
+        Sum("n_union", alias_name="n_union"))
 
 
 SQL_SET_OPS = """

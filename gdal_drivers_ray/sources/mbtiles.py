@@ -27,6 +27,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from ..grid import pack_zxy
 from .tilestore import _gunzip_col, parse_requests
 
 MBTILES_SCHEMA = """
@@ -88,41 +89,51 @@ class MbtilesLookup:
         # reference, minus its reconnect
         limit = self.PRELOAD_LIMIT if preload_limit is None else preload_limit
         n = self.con.execute("SELECT count(*) FROM tiles").fetchone()[0]
-        self.store: dict[tuple[int, int, int], bytes] | None = None
+        # keyed by the same packed int64 as parse_requests' skey column, so
+        # batch lookups are dict gets on DISTINCT keys only, no per-row
+        # tuple building
+        self.store: dict[int, bytes] | None = None
         if n <= limit:
-            self.store = {(z, c, r): bytes(d) for z, c, r, d in
-                          self.con.execute(
-                              "SELECT zoom_level, tile_column, tile_row, "
-                              "tile_data FROM tiles")}
+            rows = self.con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data "
+                "FROM tiles").fetchall()
+            if rows:
+                z, c, r, d = zip(*rows)
+                keys = pack_zxy(np.asarray(z, np.int64),
+                                np.asarray(c, np.int64),
+                                np.asarray(r, np.int64))
+                self.store = dict(zip(keys.tolist(), d))
+            else:
+                self.store = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = parse_requests(batch)
-        status = b["status"].to_pylist()
-        ok = np.asarray([s == "ok" for s in status])
-        zs = b["zoom"].to_numpy().astype(np.int64)
-        cs = b["col"].to_numpy().astype(np.int64)
-        rs = b["row"].to_numpy().astype(np.int64)
-        row_tms = ((np.int64(1) << zs) - 1) - rs          # the flip
-        # requests repeat keys heavily; SELECT each DISTINCT key once
-        keys = np.stack([zs, cs, row_tms], axis=1)[ok]
-        blobs: list[bytes | None] = [None] * b.num_rows
-        cache: dict[tuple[int, int, int], bytes | None] = {}
+        status = np.asarray(b["status"].to_pylist())
+        ok = status == "ok"
+        # parse_requests' skey already carries the TMS flip (skey of the
+        # stored, bottom-up row); -1 sentinel rows are never ok
+        skey = b["skey"].to_numpy()
+        uniq, inv = np.unique(skey[ok], return_inverse=True)
         if self.store is not None:
-            for k in {tuple(int(v) for v in k) for k in keys}:
-                cache[k] = self.store.get(k)
+            hits = [self.store.get(int(k)) for k in uniq]
         else:
-            for z, c, r in {tuple(int(v) for v in k) for k in keys}:
+            hits = []
+            for k in uniq:
+                k = int(k)
+                z, c, r = k >> 58, k & ((1 << 29) - 1), (k >> 29) & ((1 << 29) - 1)
                 hit = self.con.execute(self.q, (z, c, r)).fetchone()
-                cache[(z, c, r)] = None if hit is None else bytes(hit[0])
-        for i in np.nonzero(ok)[0]:
-            blob = cache[(int(zs[i]), int(cs[i]), int(row_tms[i]))]
-            if blob is None:
-                status[i] = "not_found"
-            else:
-                blobs[i] = blob
+                hits.append(None if hit is None else bytes(hit[0]))
+        blobs: list[bytes | None] = [None] * b.num_rows
+        found = np.zeros(len(uniq), dtype=bool)
+        for j, h in enumerate(hits):
+            found[j] = h is not None
+        ok_idx = np.nonzero(ok)[0]
+        status[ok_idx[~found[inv]]] = "not_found"
+        for pos, j in zip(ok_idx[found[inv]], inv[found[inv]]):
+            blobs[pos] = hits[j]
         blobs = _gunzip_col(blobs)
         i = b.schema.get_field_index("status")
-        return b.set_column(i, "status", pa.array(status)) \
+        return b.set_column(i, "status", pa.array(status.tolist())) \
                 .append_column("tile_data",
                                pa.array(blobs, pa.large_binary()))
 

@@ -57,32 +57,72 @@ def write_store(path: str, rows: list[tuple[int, int, int, bytes]],
     return path
 
 
+# strict 'zoom-col-row' tail (rules of detail/mbtiles.cpp:63-110 =
+# grid._parse_part: no signs, ASCII digits only, no excess leading zeros).
+# 15-digit cap keeps every captured value < 2^50, so int64 casts are safe;
+# longer (pathological) parts fall back to the scalar parser.
+_KEY_RE = (r"^(?P<z>0|[1-9][0-9]{0,14})-"
+           r"(?P<c>0|[1-9][0-9]{0,14})-"
+           r"(?P<r>0|[1-9][0-9]{0,14})$")
+
+
 def parse_requests(batch: pa.Table, path_col: str = "path") -> pa.Table:
-    """Request paths -> parsed/validated keys. Emits status
-    'ok' | 'bad_key' | 'out_of_bounds' and the TMS-flipped packed key for
-    the ok rows (mbtiles.cpp:128-155)."""
-    paths = batch[path_col].to_pylist()
-    status, zs, cs, rs, keys = [], [], [], [], []
-    for p in paths:
-        tail = p.rsplit("/", 1)[-1]
-        parsed = parse_tile_key(tail)
-        if parsed is None:
-            status.append("bad_key"); zs.append(0); cs.append(0); rs.append(0)
-            keys.append(-1)      # sentinel: cannot collide with a packed key
-            continue
-        z, c, r = parsed
-        m = (1 << z) - 1
-        if c > m or r > m:
-            status.append("out_of_bounds")
-            zs.append(z); cs.append(c); rs.append(r); keys.append(-1)
-            continue
-        status.append("ok")
-        zs.append(z); cs.append(c); rs.append(r)
-        keys.append(int(pack_zxy(z, c, m - r)))   # the TMS flip
-    return batch.append_column("status", pa.array(status)) \
-                .append_column("zoom", pa.array(zs, pa.int32())) \
-                .append_column("col", pa.array(cs, pa.int32())) \
-                .append_column("row", pa.array(rs, pa.int32())) \
+    """Request paths -> parsed/validated keys, vectorized (Arrow regex +
+    int64 kernels — the per-row loop was the measured hot cost of every
+    lookup pipeline). Emits status 'ok' | 'bad_key' | 'out_of_bounds' and
+    the TMS-flipped packed key for the ok rows (mbtiles.cpp:128-155)."""
+    import pyarrow.compute as pc
+
+    paths = pc.cast(batch[path_col], pa.string())
+    tails = pc.struct_field(
+        pc.extract_regex(paths, r"(?P<t>[^/]*)$"), "t")
+    m = pc.extract_regex(tails, _KEY_RE)
+    bad = pc.is_null(m).to_numpy(zero_copy_only=False)
+
+    n = batch.num_rows
+    zs = np.zeros(n, dtype=np.int64)
+    cs = np.zeros(n, dtype=np.int64)
+    rs = np.zeros(n, dtype=np.int64)
+    if not bad.all():
+        for name, arr in (("z", zs), ("c", cs), ("r", rs)):
+            col = pc.fill_null(pc.struct_field(m, name), "0")
+            arr[:] = pc.cast(col, pa.int64()).to_numpy(zero_copy_only=False)
+
+    # scalar fallback for >15-digit parts the regex rejected but the strict
+    # grammar accepts: such values are astronomically past any real tile
+    # bounds (or overflow the packed key), so they classify out_of_bounds
+    # (the round-1 scalar path crashed on them instead)
+    maybe_long = bad & np.asarray(
+        pc.greater_equal(pc.binary_length(pc.fill_null(tails, "")), 18
+                         ).to_numpy(zero_copy_only=False))
+    long_status: dict[int, str] = {}
+    if maybe_long.any():
+        for i in np.nonzero(maybe_long)[0]:
+            if parse_tile_key(tails[int(i)].as_py()) is not None:
+                long_status[int(i)] = "out_of_bounds"
+
+    # bounds vs 2^zoom - 1 (mbtiles.cpp:146-151); zoom >= 60 would overflow
+    # the shift — its mask is effectively infinite, values always pass
+    zcap = np.minimum(zs, 59)
+    mask = (np.int64(1) << zcap) - 1
+    mask[zs >= 60] = np.int64(2) ** 62
+    oob = ~bad & ((cs > mask) | (rs > mask))
+
+    ok = ~bad & ~oob
+    status = np.where(ok, "ok", np.where(bad, "bad_key", "out_of_bounds"))
+    for i, s in long_status.items():
+        status[i] = s
+    flipped = mask - rs                                  # the TMS flip
+    keys = np.where(ok, pack_zxy(zs, cs, np.where(ok, flipped, 0)),
+                    np.int64(-1))   # sentinel: cannot collide with a key
+    i32 = np.int64(2 ** 31 - 1)     # key columns are int32; clamp the rare
+    return batch.append_column("status", pa.array(status.tolist())) \
+                .append_column("zoom", pa.array(
+                    np.minimum(zs, i32).astype(np.int32))) \
+                .append_column("col", pa.array(
+                    np.minimum(cs, i32).astype(np.int32))) \
+                .append_column("row", pa.array(
+                    np.minimum(rs, i32).astype(np.int32))) \
                 .append_column("skey", pa.array(keys, pa.int64()))
 
 
