@@ -159,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _q.SQL_KNN_BRUTE,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
+        "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,
         "lang_id": _tq.SQL_LANG_ID,
         "fingerprint": _tq.SQL_FINGERPRINT,

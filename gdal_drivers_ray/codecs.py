@@ -151,3 +151,101 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     if nch > 1:
         x = x.reshape(-1, nch).mean(axis=1)
     return x, sr
+
+
+# ---------------------------------------------------------------------------
+# Y4M (YUV4MPEG2) video container — the uncompressed interchange format
+# ffmpeg/mjpegtools read and write. Pure-stdlib parse: a text stream header
+# ('YUV4MPEG2 W.. H.. F<num>:<den> .. C<space>\n') followed by raw
+# 'FRAME[ params]\n' + planar pixel data per frame. Implemented from the
+# public format description (mjpegtools yuv4mpeg(5)); supports mono
+# (Cmono, Y plane only) and 4:2:0 (C420*, Y + quarter-size U,V planes).
+# ---------------------------------------------------------------------------
+
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (30, 1),
+               chroma: str = "mono") -> bytes:
+    """(n, h, w) uint8 luma frames -> Y4M bytes. chroma='mono' writes Y
+    only; '420jpeg' appends flat U=V=128 quarter planes (gray)."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    if frames.ndim != 3:
+        raise ValueError("frames must be (n, h, w) uint8")
+    n, h, w = frames.shape
+    if chroma not in ("mono", "420jpeg"):
+        raise ValueError(f"unsupported chroma {chroma!r}")
+    if chroma == "420jpeg" and (h % 2 or w % 2):
+        raise ValueError("420 chroma needs even dimensions")
+    head = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+            f"C{chroma}\n").encode("ascii")
+    parts = [head]
+    uv = (np.full((h // 2) * (w // 2), 128, dtype=np.uint8).tobytes()
+          if chroma == "420jpeg" else b"")
+    for i in range(n):
+        parts.append(b"FRAME\n")
+        parts.append(frames[i].tobytes())
+        if uv:
+            parts.append(uv); parts.append(uv)
+    return b"".join(parts)
+
+
+def _y4m_header(buf: bytes) -> tuple[dict, int]:
+    end = buf.index(b"\n")
+    fields = buf[:end].split(b" ")
+    if fields[0] != b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    p: dict = {"C": "420jpeg"}             # spec default chroma
+    for f in fields[1:]:
+        if not f:
+            continue
+        tag, val = chr(f[0]), f[1:].decode("ascii")
+        if tag in "WH":
+            p[tag] = int(val)
+        elif tag == "F":
+            num, den = val.split(":")
+            p["F"] = (int(num), int(den))
+        elif tag == "C":
+            p["C"] = val
+    if "W" not in p or "H" not in p:
+        raise ValueError("Y4M header missing W/H")
+    return p, end + 1
+
+
+def y4m_info(buf: bytes) -> tuple[int, int, int, float]:
+    """(w, h, n_frames, fps) from the container, without copying frames."""
+    p, off = _y4m_header(buf)
+    w, h = p["W"], p["H"]
+    fsz = _y4m_frame_size(p)
+    n = 0
+    while off < len(buf):
+        off = buf.index(b"\n", off) + 1 + fsz   # FRAME[ params]\n + planes
+        n += 1
+    num, den = p.get("F", (30, 1))
+    return w, h, n, num / max(den, 1)
+
+
+def _y4m_frame_size(p: dict) -> int:
+    w, h = p["W"], p["H"]
+    c = p["C"]
+    if c == "mono":
+        return w * h
+    if c.startswith("420"):
+        return w * h + 2 * ((w // 2) * (h // 2))
+    raise ValueError(f"unsupported Y4M chroma {c!r}")
+
+
+def decode_y4m_frames(buf: bytes, every_k: int = 1):
+    """Yield (frame_idx, luma (h, w) uint8) for every k-th frame. Frames
+    between samples are SKIPPED by offset arithmetic, not decoded — the
+    raw container makes stride sampling O(sampled), not O(total)."""
+    p, off = _y4m_header(buf)
+    w, h = p["W"], p["H"]
+    fsz = _y4m_frame_size(p)
+    mv = memoryview(buf)
+    idx = 0
+    while off < len(buf):
+        data_at = buf.index(b"\n", off) + 1
+        if idx % every_k == 0:
+            luma = np.frombuffer(mv[data_at:data_at + w * h],
+                                 dtype=np.uint8).reshape(h, w)
+            yield idx, luma
+        off = data_at + fsz
+        idx += 1

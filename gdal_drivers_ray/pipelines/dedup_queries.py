@@ -134,9 +134,10 @@ FROM documents
 def q_phash_dedup(sf_dir: str):
     """Exact dedup on the image phash column (the north-star rule: exact
     dedup by phash = hash-partition + first-per-group over the input_hint
-    table). Narrow: only (image_id, phash) is read and shuffled; the fixture
-    plants a duplicate every 97th row. Rows-only (the fixture is built, not
-    a preregistered view)."""
+    table). Narrow: only (image_id, phash) is read and shuffled; the
+    fixture plants a duplicate every 97th row. SQL-oracled: the Ray side
+    materializes the fixture first, then DuckDB reads the same parquet
+    directory (SQL_PHASH_DEDUP)."""
     from ray.data.aggregate import Count, Min
 
     from .. import fixtures
@@ -156,3 +157,16 @@ def q_phash_dedup(sf_dir: str):
     return agg.map_batches(
         lambda b: b.filter(pc.greater(b["n_copies"], 1)),
         batch_format="pyarrow")
+
+
+# The correctness gate runs the Ray side first, which builds the fixture
+# directory; the oracle then reads the identical files. Path is the
+# deterministic images_path_for() location for the gate's sf0.01 input.
+SQL_PHASH_DEDUP = """
+SELECT phash,
+       min(CAST(substring(image_id, 5) AS BIGINT)) AS keeper_idx,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet')
+GROUP BY phash
+HAVING count(*) > 1
+"""

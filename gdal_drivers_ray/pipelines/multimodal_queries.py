@@ -30,8 +30,9 @@ def q_audio_features(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_video_frames(sf_dir: str) -> ray.data.Dataset:
-    """Video frame-sample stub -> every 30th frame as an image-tile row,
-    reduced to per-video frame counts (keeps the result narrow)."""
+    """Video frame sampling -> every 30th frame as an image-tile row,
+    reduced to per-video frame counts (keeps the result narrow). Y4M rows
+    decode the real container; opaque mp4 rows run the stub path."""
     import pyarrow as pa
     from ray.data.aggregate import Sum
 

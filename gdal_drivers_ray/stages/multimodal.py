@@ -3,11 +3,13 @@ actor-pool `map_batches` stages.
 
 Per the brief, image/audio/video payloads are `large_binary` columns with
 typed metadata. The image path is fully real (gdal_drivers_ray.codecs);
-audio decode and video frame-sampling are STUBS — the codec libraries are
-not in this container — behind a deterministic fake (`fake=True`, default)
-or `NotImplementedError` (`fake=False`). The Ray-side plumbing is real and
-tested: schema, actor signature, batch sizing, output layout are exactly
-what a real codec drop-in would use.
+audio decodes WAV/PCM for real (stdlib wave) and video decodes Y4M
+(YUV4MPEG2) for real (codecs.decode_y4m_frames, offset-stride sampling).
+Only formats whose codec libraries are absent from this container
+(flac/mp3, mp4/h264) fall back to a deterministic fake (`fake=True`,
+default) or `NotImplementedError` (`fake=False`); their Ray-side plumbing
+— schema, actor signature, batch sizing, output layout — is identical to
+the real paths.
 
 Scale notes: payloads are large (tiles 64-512 KiB, audio/video more), so
 stages run with explicit small `batch_size` and the decoded output is
@@ -113,34 +115,49 @@ class DecodeAudio:
 class SampleVideoFrames:
     """Actor-pool stage: encoded video -> every k-th frame as an image row.
 
-    STUB decode (see DecodeAudio). Output rows use the image tile layout
-    (`px` large_binary + dtype tag) so sampled frames flow directly into
-    the existing image stages (decode features, LOD rollup, blend)."""
+    Y4M (YUV4MPEG2) rows decode FOR REAL — codecs.decode_y4m_frames parses
+    the container and strides to every k-th frame by offset arithmetic
+    (w/h/n_frames come from the stream header, not the metadata columns).
+    Compressed formats (mp4/...) need ffmpeg/PyAV, absent from this
+    container: fake=True (default) synthesizes deterministic frames so the
+    plumbing runs end-to-end; fake=False raises NotImplementedError.
+    Output rows use the image tile layout (`px` large_binary + dtype tag)
+    so sampled frames flow directly into the existing image stages
+    (decode features, LOD rollup, blend)."""
 
     def __init__(self, every_k: int = 30, fake: bool = True):
         self.every_k = every_k
         self.fake = fake
 
-    def _frame(self, payload: bytes, idx: int, w: int, h: int) -> np.ndarray:
+    def _fake_frame(self, payload: bytes, idx: int,
+                    w: int, h: int) -> np.ndarray:
         if not self.fake:
             raise NotImplementedError(
-                "real video decode requires ffmpeg/PyAV "
+                "real decode of compressed video requires ffmpeg/PyAV "
                 "(not present in this environment); run with fake=True")
         base = _det_floats(payload + idx.to_bytes(4, "little"), w * h, 0, 256)
         return base.astype(np.uint8).reshape(h, w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vids, fidx, pxs, ws, hs = [], [], [], [], []
+        blobs = batch["bytes"].to_pylist()
         for i in range(batch.num_rows):
-            payload = batch["bytes"][i].as_py()
+            payload = blobs[i]
+            vid = batch["video_id"][i].as_py()
+            if payload[:9] == b"YUV4MPEG2":
+                w, h, _, _ = codecs.y4m_info(payload)   # REAL container parse
+                for j, luma in codecs.decode_y4m_frames(payload,
+                                                        self.every_k):
+                    vids.append(vid); fidx.append(j)
+                    pxs.append(luma.tobytes()); ws.append(w); hs.append(h)
+                continue
             w = int(batch["w"][i].as_py())
             h = int(batch["h"][i].as_py())
             nf = int(batch["n_frames"][i].as_py())
-            vid = batch["video_id"][i].as_py()
             for j in range(0, nf, self.every_k):
                 vids.append(vid)
                 fidx.append(j)
-                pxs.append(self._frame(payload, j, w, h).tobytes())
+                pxs.append(self._fake_frame(payload, j, w, h).tobytes())
                 ws.append(w)
                 hs.append(h)
         return pa.table({
@@ -222,15 +239,37 @@ def synth_audio_table(n: int, seed: int = 7) -> pa.Table:
     }, schema=AUDIO_SCHEMA)
 
 
+def video_frame_pixels(i: int, j: int, h: int = 48, w: int = 64) -> np.ndarray:
+    """Ground-truth luma for fixture video i, frame j (moving gradient +
+    frame-index stripe — lets tests pin exact decoded pixels)."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((xx * (3 + i % 5) + yy * 2 + j * 7) % 256).astype(np.uint8)
+
+
 def synth_video_table(n: int, seed: int = 11) -> pa.Table:
-    """Deterministic fake video rows matching VIDEO_SCHEMA."""
+    """Deterministic video rows matching VIDEO_SCHEMA. Most rows carry REAL
+    Y4M payloads (mono or 4:2:0 flat-chroma, codecs.encode_y4m); every 5th
+    row is an opaque 'mp4' payload exercising the stub path."""
     rng = np.random.default_rng(seed)
+    w, h = 64, 48
+    nfs = rng.integers(30, 120, n).astype(np.int32)
+    blobs, fmts = [], []
+    for i in range(n):
+        if i % 5 == 4:
+            blobs.append(rng.bytes(128))
+            fmts.append("mp4")
+        else:
+            frames = np.stack([video_frame_pixels(i, j, h, w)
+                               for j in range(int(nfs[i]))])
+            chroma = "mono" if i % 2 == 0 else "420jpeg"
+            blobs.append(codecs.encode_y4m(frames, (30, 1), chroma))
+            fmts.append("y4m")
     return pa.table({
         "video_id": [f"vid-{i:06d}" for i in range(n)],
-        "bytes": [rng.bytes(128) for _ in range(n)],
-        "w": np.full(n, 64, dtype=np.int32),
-        "h": np.full(n, 48, dtype=np.int32),
-        "n_frames": rng.integers(30, 300, n).astype(np.int32),
+        "bytes": blobs,
+        "w": np.full(n, w, dtype=np.int32),
+        "h": np.full(n, h, dtype=np.int32),
+        "n_frames": nfs,
         "fps": np.full(n, 30.0, dtype=np.float32),
-        "fmt": ["mp4"] * n,
+        "fmt": fmts,
     }, schema=VIDEO_SCHEMA)

@@ -126,3 +126,35 @@ def test_partition_sizes_and_salted_agg(ray_session):
     assert (out["s"].to_numpy() == want["s"].to_numpy()).all()
     assert (out["n"].to_numpy() == want["n"].to_numpy()).all()
     assert logs and "hot" in logs[0]  # size accounting emitted
+
+
+def test_video_y4m_real_decode(ray_session):
+    """Y4M rows decode the REAL container: sampled pixels equal the
+    generator's ground truth, and w/h come from the stream header."""
+    t = MM.synth_video_table(6)
+    ds = ray.data.from_arrow(t)
+    out = ds.map_batches(MM.SampleVideoFrames(every_k=10),
+                         batch_size=4, batch_format="pyarrow").to_pandas()
+    fmts = t["fmt"].to_pylist()
+    for i, vid in enumerate(t["video_id"].to_pylist()):
+        if fmts[i] != "y4m":
+            continue
+        mine = out[out["video_id"] == vid]
+        assert (mine["frame_idx"] % 10 == 0).all()
+        for _, row in mine.iterrows():
+            got = np.frombuffer(row["px"], dtype=np.uint8).reshape(48, 64)
+            want = MM.video_frame_pixels(i, int(row["frame_idx"]))
+            np.testing.assert_array_equal(got, want)
+
+
+def test_y4m_codec_roundtrip_and_stride():
+    frames = np.stack([MM.video_frame_pixels(2, j, 16, 20)
+                       for j in range(7)])
+    for chroma in ("mono", "420jpeg"):
+        buf = codecs.encode_y4m(frames, (24, 1), chroma)
+        w, h, n, fps = codecs.y4m_info(buf)
+        assert (w, h, n, fps) == (20, 16, 7, 24.0)
+        got = dict(codecs.decode_y4m_frames(buf, every_k=3))
+        assert sorted(got) == [0, 3, 6]
+        for j, luma in got.items():
+            np.testing.assert_array_equal(luma, frames[j])
