@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q.q_asof_join,
         "range_join": _q.q_range_join,
         "sessionize": _q.q_sessionize,
+        "sessionize_bucketed": _q.q_sessionize_bucketed,
         "hopping_window": _q.q_hopping_window,
         "topk_orders": _q.q_topk_orders,
         "topk_fullsort": _q.q_topk_fullsort,
@@ -149,6 +150,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": _q.SQL_ASOF_JOIN,
         "range_join": _q.SQL_RANGE_JOIN,
         "sessionize": _q.SQL_SESSIONIZE,
+        "sessionize_bucketed": _q.SQL_SESSIONIZE,
         "hopping_window": _q.SQL_HOPPING_WINDOW,
         "topk_orders": _q.SQL_TOPK_ORDERS,
         "topk_fullsort": _q.SQL_TOPK_ORDERS,

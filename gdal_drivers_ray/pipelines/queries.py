@@ -838,48 +838,37 @@ GROUP BY band_id
 """
 
 
-def q_sessionize(sf_dir: str) -> ray.data.Dataset:
-    """Session windows: per-user event runs split where the gap to the
-    previous event exceeds 30 minutes (classic log sessionization — the
-    gap-window streaming op, computed batch-style). Integer-µs arithmetic
-    throughout so the hash compare is exact."""
-    import pandas as pd
+GAP_US = 1_800_000_000  # 30 min session gap
 
+
+def _events_us(sf_dir: str) -> ray.data.Dataset:
     ev = _read(sf_dir, "events", ["user_id", "ts"])
-    GAP_US = 1_800_000_000  # 30 min
 
     def to_us(b: pa.Table) -> pa.Table:
         us = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
         return pa.table({"user_id": b["user_id"], "us": pa.array(us)})
 
-    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
-        # one Ray dispatch per hash partition; ALL users inside vectorize
-        # together (sort -> boundary flags -> cumsum -> reduce by slices)
-        u = g["user_id"].to_numpy()
-        us = g["us"].to_numpy()
-        order = np.lexsort((us, u))
-        u, us = u[order], us[order]
-        newu = np.ones(len(u), dtype=bool)
-        newu[1:] = u[1:] != u[:-1]
-        news = newu.copy()
-        news[1:] |= np.diff(us) > GAP_US
-        sidg = np.cumsum(news)
-        ustart = np.nonzero(newu)[0]
-        ulen = np.diff(np.concatenate((ustart, [len(u)])))
-        sid = sidg - np.repeat(sidg[ustart], ulen) + 1
-        gstart = np.nonzero(news)[0]
-        glen = np.diff(np.concatenate((gstart, [len(u)])))
-        return pd.DataFrame({
-            "user_id": u[gstart],
-            "session_id": sid[gstart].astype(np.int64),
-            "n_events": glen.astype(np.int64),
-            "start_us": us[gstart],
-            "end_us": us[gstart + glen - 1]})
+    return ev.map_batches(to_us, batch_format="pyarrow")
 
-    from ..stages.joins import partitioned_groups
-    return partitioned_groups(
-        ev.map_batches(to_us, batch_format="pyarrow"), ["user_id"]) \
-        .map_groups(sessions_part, batch_format="pandas")
+
+def q_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Session windows: per-user event runs split where the gap to the
+    previous event exceeds 30 minutes (classic log sessionization — the
+    gap-window streaming op, computed batch-style; stages.windows).
+    Integer-µs arithmetic throughout so the hash compare is exact."""
+    from ..stages.windows import sessionize
+    return sessionize(_events_us(sf_dir), GAP_US)
+
+
+def q_sessionize_bucketed(sf_dir: str) -> ray.data.Dataset:
+    """The hot-user-BOUNDED sessionize plan (stages.windows
+    sessionize_bucketed): events group by (user, 6h time bucket), boundary
+    sessions stitch from per-bucket summaries — no reducer ever holds one
+    user's whole history. Row-identical to q_sessionize; shares its SQL
+    oracle."""
+    from ..stages.windows import sessionize_bucketed
+    return sessionize_bucketed(_events_us(sf_dir), GAP_US,
+                               bucket_us=6 * 3_600_000_000)
 
 
 def q_hopping_window(sf_dir: str) -> ray.data.Dataset:
