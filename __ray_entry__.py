@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_bucketed": _q.q_sessionize_bucketed,
         "hopping_window": _q.q_hopping_window,
         "topk_orders": _q.q_topk_orders,
+        "group_topk": _q.q_group_topk,
         "topk_fullsort": _q.q_topk_fullsort,
         "distinct_sketch": _q.q_distinct_sketch,
         "sample_mod": _q.q_sample_mod,
@@ -153,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_bucketed": _q.SQL_SESSIONIZE,
         "hopping_window": _q.SQL_HOPPING_WINDOW,
         "topk_orders": _q.SQL_TOPK_ORDERS,
+        "group_topk": _q.SQL_GROUP_TOPK,
         "topk_fullsort": _q.SQL_TOPK_ORDERS,
         "distinct_sketch": _q.SQL_DISTINCT_SKETCH,
         "sample_mod": _q.SQL_SAMPLE_MOD,

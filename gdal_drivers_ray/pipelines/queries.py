@@ -958,6 +958,56 @@ def q_topk_orders(sf_dir: str) -> ray.data.Dataset:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_group_topk(sf_dir: str) -> ray.data.Dataset:
+    """Per-GROUP top-k without a global sort: each batch keeps its local
+    top-k PER GROUP (exchange carries <= k x n_groups rows per block), a
+    tiny final pass ranks. Low-cardinality groups (5 priorities) finish in
+    one reducer; for high-cardinality groups the same partial feeds
+    stages.joins.partitioned_groups instead — the funnel shape is
+    identical."""
+    import pandas as pd
+
+    o = _read(sf_dir, "orders",
+              ["o_orderkey", "o_totalprice", "o_orderpriority"])
+    K = 5
+
+    def topk_df(df: pd.DataFrame, k: int) -> pd.DataFrame:
+        df = df.sort_values(["grp", "cents", "o_orderkey"],
+                            ascending=[True, False, True], kind="stable")
+        return df.groupby("grp", as_index=False, sort=False).head(k)
+
+    def partial(b: pa.Table) -> pa.Table:
+        grp = pc.cast(pc.utf8_slice_codeunits(b["o_orderpriority"], 0, 1),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.round(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        df = pd.DataFrame({"grp": grp, "cents": cents,
+                           "o_orderkey": b["o_orderkey"].to_numpy()})
+        return pa.Table.from_pandas(topk_df(df, K), preserve_index=False)
+
+    def final(b: pa.Table) -> pa.Table:
+        df = topk_df(b.to_pandas(), K)
+        df["rank"] = df.groupby("grp", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(
+            df[["grp", "rank", "o_orderkey", "cents"]].astype(np.int64),
+            preserve_index=False)
+
+    return o.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+SQL_GROUP_TOPK = """
+SELECT grp, rank, o_orderkey, cents FROM (
+  SELECT CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS grp,
+         o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         row_number() OVER (
+             PARTITION BY substring(o_orderpriority, 1, 1)
+             ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rank
+  FROM orders)
+WHERE rank <= 5
+"""
+
+
 def q_topk_fullsort(sf_dir: str) -> ray.data.Dataset:
     """Same result through a FULL distributed sort + limit — kept as the
     §2.6 global-sort coverage surface (the scale-safe plan above is the
