@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tms_join": _q.q_tms_join,
         "tms_join_big": _q.q_tms_join_big,
         "mbtiles_join": _q.q_mbtiles_join,
+        "mbtiles_sink": _q.q_mbtiles_sink,
         "weighted_blend": _q.q_weighted_blend,
         "solid_agg": _q.q_solid_agg,
         "pip_rect": _q.q_pip_rect,
@@ -140,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "tms_join": _q.SQL_TMS_JOIN,
         "tms_join_big": _q.SQL_TMS_JOIN,
         "mbtiles_join": _q.SQL_TMS_JOIN,
+        "mbtiles_sink": _q.SQL_MBTILES_SINK,
         "weighted_blend": _q.SQL_WEIGHTED_BLEND,
         "solid_agg": _q.SQL_SOLID_AGG,
         "pip_rect": _q.SQL_PIP_RECT,

@@ -325,6 +325,50 @@ def _mbtiles_fixture(sf_dir: str) -> str:
     return write_mbtiles(path, rows)
 
 
+def q_mbtiles_sink(sf_dir: str) -> ray.data.Dataset:
+    """Distributed mbtiles WRITE: orders-derived tiles (the q_tms_join key
+    scheme) stream into sharded REAL sqlite archives — one single-writer
+    reducer per shard, atomic rename (sources.mbtiles.write_mbtiles_shards).
+    Result = the shard manifest (shard, n_tiles); the shard hash is
+    overflow-free so the SQL oracle recomputes it exactly."""
+    import hashlib
+
+    from ..sources.mbtiles import write_mbtiles_shards
+
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tiles(b: pa.Table) -> pa.Table:
+        z = 3 + (b["o_orderkey"].to_numpy() % 3)
+        side = np.int64(1) << z
+        col = b["o_custkey"].to_numpy() % side
+        row_tms = np.floor(b["o_totalprice"].to_numpy()).astype(np.int64) \
+            % side
+        blobs = [str(int(k)).encode() for k in b["o_orderkey"].to_numpy()]
+        return pa.table({"zoom": pa.array(z), "col": pa.array(col),
+                         "row": pa.array(row_tms),
+                         "tile_data": pa.array(blobs, pa.large_binary())})
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out_dir = f"/tmp/graft_out/mbtiles_shards_{tag}"
+    manifest = write_mbtiles_shards(
+        o.map_batches(tiles, batch_format="pyarrow"), out_dir, num_shards=8)
+    return manifest.select_columns(["shard", "n_tiles"]).sort("shard")
+
+
+SQL_MBTILES_SINK = """
+SELECT (col * 2654435761 + row_tms * 40503 + z) % 8 AS shard,
+       CAST(count(*) AS BIGINT) AS n_tiles
+FROM (
+  SELECT DISTINCT
+         3 + (o_orderkey % 3) AS z,
+         o_custkey % (1 << (3 + (o_orderkey % 3))) AS col,
+         CAST(floor(o_totalprice) AS BIGINT)
+             % (1 << (3 + (o_orderkey % 3))) AS row_tms
+  FROM orders)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_mbtiles_join(sf_dir: str) -> ray.data.Dataset:
     """The tms_join lookup against a REAL sqlite .mbtiles archive
     (sources.mbtiles: cached-connection actor pool, strict key parse, TMS

@@ -156,3 +156,109 @@ def lookup_mbtiles(requests: ray.data.Dataset, db_path: str,
                                 batch_format="pyarrow",
                                 batch_size=batch_size,
                                 concurrency=concurrency)
+
+
+def write_mbtiles_shards(tiles: ray.data.Dataset, out_dir: str,
+                         num_shards: int = 8,
+                         metadata: dict[str, str] | None = None,
+                         num_partitions: int | None = None
+                         ) -> ray.data.Dataset:
+    """Distributed mbtiles SINK: a tile Dataset (zoom, col, row [TMS],
+    tile_data) -> a directory of real .mbtiles shard archives.
+
+    SQLite is inherently single-writer, so the scale design is SHARDED
+    archives (what production tile pipelines do — one archive per region/
+    key range): tiles hash-partition by their packed key, each shard is
+    written by exactly ONE reducer task (never the driver), atomically
+    (tmp file + rename) so a re-run can skip or safely overwrite finished
+    shards. Deterministic: rows insert in sorted (zoom, col, row,
+    tile_data) order, first-wins on duplicate keys — byte-identical shard
+    files for identical input regardless of upstream block order.
+
+    Returns a small Dataset (shard, path, n_tiles) — the shard manifest.
+    ``merge_mbtiles`` collapses shards into one archive when a single
+    file is required (single-writer by nature; use only for small final
+    archives)."""
+    from ..stages.joins import partitioned_groups
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        # overflow-free mix (coords < 2^29 keep products < 2^61): the
+        # shard function is part of the sink's CONTRACT — resumers and
+        # SQL oracles recompute it exactly
+        z = b["zoom"].to_numpy().astype(np.int64)
+        c = b["col"].to_numpy().astype(np.int64)
+        r = b["row"].to_numpy().astype(np.int64)
+        shard = (c * np.int64(2654435761) + r * np.int64(40503) + z) \
+            % np.int64(num_shards)
+        return b.append_column("shard", pa.array(shard))
+
+    def write_shard(g):
+        import pandas as pd
+        if "shard" not in g.columns or not len(g):
+            return pd.DataFrame({"shard": np.asarray([], np.int64),
+                                 "path": np.asarray([], object),
+                                 "n_tiles": np.asarray([], np.int64)})
+        out = []
+        for shard, df in g.groupby("shard"):
+            df = df.sort_values(["zoom", "col", "row", "tile_data"],
+                                kind="stable")
+            path = os.path.join(out_dir, f"shard-{int(shard):05d}.mbtiles")
+            tmp = path + ".tmp"
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            con = sqlite3.connect(tmp)
+            try:
+                con.executescript(MBTILES_SCHEMA)
+                for k, v in (metadata or {"format": "bin"}).items():
+                    con.execute("INSERT INTO metadata VALUES (?, ?)", (k, v))
+                con.executemany(
+                    "INSERT OR IGNORE INTO tiles VALUES (?, ?, ?, ?)",
+                    [(int(z), int(c), int(r), sqlite3.Binary(d))
+                     for z, c, r, d in zip(df["zoom"], df["col"],
+                                           df["row"], df["tile_data"])])
+                con.commit()
+                n = con.execute("SELECT count(*) FROM tiles").fetchone()[0]
+            finally:
+                con.close()
+            os.replace(tmp, path)
+            out.append((int(shard), path, int(n)))
+        return pd.DataFrame({"shard": [o[0] for o in out],
+                             "path": [o[1] for o in out],
+                             "n_tiles": [o[2] for o in out]})
+
+    parted = partitioned_groups(
+        tiles.map_batches(add_shard, batch_format="pyarrow"),
+        ["shard"], num_partitions or num_shards)
+    return parted.map_groups(write_shard, batch_format="pandas")
+
+
+def merge_mbtiles(shard_paths: list[str], out_path: str) -> str:
+    """Collapse shard archives into ONE .mbtiles via sqlite ATTACH
+    (single-writer by nature — for small final archives; keep shards at
+    scale). Shards merge in sorted-path order, INSERT OR IGNORE keeps the
+    first key seen."""
+    tmp = out_path + ".tmp"
+    if os.path.exists(tmp):
+        os.unlink(tmp)
+    con = sqlite3.connect(tmp)
+    try:
+        con.executescript(MBTILES_SCHEMA)
+        seen_meta = set()
+        for i, p in enumerate(sorted(shard_paths)):
+            con.execute("ATTACH DATABASE ? AS s", (p,))
+            con.execute("INSERT OR IGNORE INTO tiles "
+                        "SELECT * FROM s.tiles "
+                        "ORDER BY zoom_level, tile_column, tile_row")
+            for k, v in con.execute("SELECT name, value FROM s.metadata"):
+                if k not in seen_meta:
+                    con.execute("INSERT INTO metadata VALUES (?, ?)", (k, v))
+                    seen_meta.add(k)
+            con.commit()
+            con.execute("DETACH DATABASE s")
+        con.commit()
+    finally:
+        con.close()
+    os.replace(tmp, out_path)
+    return out_path

@@ -102,3 +102,82 @@ def test_parity_with_parquet_store(ray_session, archive, tmp_path):
                    .take_all())
     got_pq = norm(tilestore.lookup(paths_ds(paths), pq_store).take_all())
     assert got_sql == got_pq
+
+
+def _tile_rows_table(n=300, seed=3):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    z = rng.integers(2, 5, n).astype(np.int64)
+    side = 1 << z
+    c = rng.integers(0, 64, n) % side
+    r = rng.integers(0, 64, n) % side
+    blobs = [f"pix-{zz}-{cc}-{rr}".encode() for zz, cc, rr in zip(z, c, r)]
+    return pa.table({"zoom": pa.array(z, pa.int64()),
+                     "col": pa.array(c, pa.int64()),
+                     "row": pa.array(r, pa.int64()),
+                     "tile_data": pa.array(blobs, pa.large_binary())})
+
+
+def test_sharded_sink_roundtrip(ray_session, tmp_path):
+    """Distributed sink: Dataset -> shard archives (one writer per shard,
+    real sqlite), merge -> single archive, read back through the lookup
+    actor — content identical to the input's first-wins key map."""
+    import ray.data
+    import numpy as np
+
+    t = _tile_rows_table()
+    out = str(tmp_path / "shards")
+    manifest = mbtiles.write_mbtiles_shards(
+        ray.data.from_arrow(t).repartition(6), out, num_shards=4).to_pandas()
+    assert set(manifest["shard"]) <= set(range(4))
+    # every shard is a REAL sqlite mbtiles file
+    total = 0
+    for p in manifest["path"]:
+        con = sqlite3.connect(p)
+        total += con.execute("SELECT count(*) FROM tiles").fetchone()[0]
+        assert con.execute(
+            "SELECT value FROM metadata WHERE name='format'").fetchone()
+        con.close()
+    # distinct keys only (INSERT OR IGNORE dedupe)
+    keys = {(z, c, r) for z, c, r in
+            zip(t["zoom"].to_pylist(), t["col"].to_pylist(),
+                t["row"].to_pylist())}
+    assert total == len(keys) == manifest["n_tiles"].sum()
+
+    merged = mbtiles.merge_mbtiles(list(manifest["path"]),
+                                   str(tmp_path / "all.mbtiles"))
+    con = sqlite3.connect(merged)
+    got = {(z, c, r): bytes(d) for z, c, r, d in
+           con.execute("SELECT zoom_level, tile_column, tile_row, tile_data"
+                       " FROM tiles")}
+    con.close()
+    # expected: sorted-(z,c,r,blob) first-wins per key
+    import pandas as pd
+    df = t.to_pandas().sort_values(["zoom", "col", "row", "tile_data"],
+                                   kind="stable")
+    want = {(z, c, r): bytes(d) for z, c, r, d in
+            zip(df["zoom"], df["col"], df["row"], df["tile_data"])
+            if (z, c, r) not in ()}
+    first = {}
+    for k, v in zip(zip(df["zoom"], df["col"], df["row"]), df["tile_data"]):
+        first.setdefault((int(k[0]), int(k[1]), int(k[2])), bytes(v))
+    assert got == first
+
+
+def test_sharded_sink_deterministic(ray_session, tmp_path):
+    """Byte-identical shard files for identical input, regardless of
+    upstream block order."""
+    import ray.data
+
+    t = _tile_rows_table(120, seed=9)
+    outs = []
+    for rep, nblocks in ((1, 3), (2, 11)):
+        out = str(tmp_path / f"run{rep}")
+        m = mbtiles.write_mbtiles_shards(
+            ray.data.from_arrow(t).repartition(nblocks), out,
+            num_shards=3).to_pandas()
+        outs.append({p.split("/")[-1]: open(p, "rb").read()
+                     for p in m["path"]})
+    assert outs[0].keys() == outs[1].keys()
+    for name in outs[0]:
+        assert outs[0][name] == outs[1][name], name
