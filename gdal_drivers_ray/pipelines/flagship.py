@@ -50,11 +50,17 @@ def check_invariants(tiles: ray.data.Dataset) -> ray.data.Dataset:
         z = batch["lod"].to_numpy()
         tx = batch["tile_x"].to_numpy()
         ty = batch["tile_y"].to_numpy()
-        caps = batch["caption"].to_pylist()
-        cap_ok = np.fromiter(
-            (c.startswith(f"tile {zz}/{xx}/{yy} ")
-             for c, zz, xx, yy in zip(caps, z, tx, ty)),
-            dtype=bool, count=len(caps))
+        # vectorized: parse the caption's own 'tile z/x/y ' address and
+        # compare numerically (no per-row Python in the headline path)
+        m = pc.extract_regex(
+            batch["caption"],
+            r"^tile (?P<z>0|[1-9]\d*)/(?P<x>0|[1-9]\d*)/(?P<y>0|[1-9]\d*) ")
+        ok_shape = pc.is_valid(m).to_numpy(zero_copy_only=False)
+        filled = [pc.cast(pc.fill_null(pc.struct_field(m, f), "0"),
+                          pa.int64()).to_numpy(zero_copy_only=False)
+                  for f in ("z", "x", "y")]
+        cap_ok = ok_shape & (filled[0] == z) & (filled[1] == tx) \
+            & (filled[2] == ty)
         from ..codecs import hamming64
         dist = hamming64(batch["phash"].to_numpy(), batch["stored_phash"].to_numpy())
         lossy = pc.equal(batch["fmt"], "jpeg").to_numpy(zero_copy_only=False)
