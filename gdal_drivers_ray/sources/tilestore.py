@@ -101,12 +101,12 @@ def parse_requests(batch: pa.Table, path_col: str = "path") -> pa.Table:
             if parse_tile_key(tails[int(i)].as_py()) is not None:
                 long_status[int(i)] = "out_of_bounds"
 
-    # bounds vs 2^zoom - 1 (mbtiles.cpp:146-151); zoom >= 60 would overflow
-    # the shift — its mask is effectively infinite, values always pass
-    zcap = np.minimum(zs, 59)
+    # bounds vs 2^zoom - 1 (mbtiles.cpp:146-151). zoom >= 30 exceeds the
+    # packed key's 2^29 grid capacity (grid.pack_zxy) and is out of bounds
+    # by contract — the scalar round-1 path silently wrapped there
+    zcap = np.minimum(zs, 29)
     mask = (np.int64(1) << zcap) - 1
-    mask[zs >= 60] = np.int64(2) ** 62
-    oob = ~bad & ((cs > mask) | (rs > mask))
+    oob = ~bad & ((zs >= 30) | (cs > mask) | (rs > mask))
 
     ok = ~bad & ~oob
     status = np.where(ok, "ok", np.where(bad, "bad_key", "out_of_bounds"))

@@ -87,3 +87,46 @@ def test_zero_key_accepted(ray_session, store):
     out = tilestore.lookup(paths_ds(["t/2-0-0"]), store).take_all()
     assert out[0]["status"] == "ok"
     assert bytes(out[0]["tile_data"]) == b"blob-2-0-3"
+
+
+# --- property: vectorized parse == scalar reference grammar ---------------
+
+from hypothesis import given, settings, strategies as st
+
+_key_part = st.one_of(
+    st.integers(0, 10).map(str),
+    st.integers(0, 10 ** 12).map(str),
+    st.sampled_from(["0", "00", "01", "7", "+3", "-2", "", "a", "1e3",
+                     "007", "999999999999999999999"]),
+)
+_path = st.one_of(
+    st.tuples(_key_part, _key_part, _key_part).map("-".join),
+    st.text(alphabet="0123456789-/x", max_size=20),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_path, min_size=1, max_size=40))
+def test_parse_requests_matches_scalar_grammar(paths):
+    from gdal_drivers_ray.grid import pack_zxy, parse_tile_key
+
+    b = pa.table({"path": pa.array([f"s/{p}" for p in paths])})
+    out = tilestore.parse_requests(b)
+    st_col = out["status"].to_pylist()
+    sk_col = out["skey"].to_pylist()
+    for i, p in enumerate(paths):
+        parsed = parse_tile_key(p)
+        if parsed is None:
+            assert st_col[i] == "bad_key", p
+            assert sk_col[i] == -1
+            continue
+        z, c, r = parsed
+        m = (1 << z) - 1 if z < 30 else 0
+        if z >= 30 or c > m or r > m:
+            # z >= 30 exceeds the packed key's 2^29 grid capacity ->
+            # out_of_bounds by contract (parse_requests docstring)
+            assert st_col[i] == "out_of_bounds", p
+            assert sk_col[i] == -1
+        else:
+            assert st_col[i] == "ok", p
+            assert sk_col[i] == int(pack_zxy(z, c, m - r))
