@@ -26,25 +26,37 @@ def _scaled_n(sf_dir: str, base: int = 200) -> int:
         return base
 
 
-def _cached_table(kind: str, n: int, build) -> str:
-    """Build-once parquet cache for the synth payload fixtures (payload
-    encode is fixture construction, not pipeline work — keep it off the
-    timed path on repeat runs)."""
+def _cached_table(kind: str, n: int, rows_fn) -> str:
+    """Build-once parquet cache for the synth payload fixtures, built IN
+    PARALLEL by Ray tasks (the generators are per-index seeded, so any
+    index slice is reproducible independently). Payload encode is fixture
+    construction, not pipeline work — cached off the timed path."""
     import os
 
-    import pyarrow.parquet as pq
-    path = f"/tmp/graft_fixtures/{kind}_{n}.parquet"
+    path = f"/tmp/graft_fixtures/{kind}_{n}"
     if not os.path.exists(path):
+        import pyarrow as pa
+
         os.makedirs("/tmp/graft_fixtures", exist_ok=True)
-        tmp = path + ".tmp"
-        pq.write_table(build(n), tmp)
-        os.replace(tmp, path)
+        tmp = path + f".tmp{os.getpid()}"
+
+        def build(b: pa.Table) -> pa.Table:
+            return rows_fn(b["id"].to_numpy())
+
+        ray.data.range(n, override_num_blocks=max(n // 128, 1)) \
+            .map_batches(build, batch_format="pyarrow") \
+            .write_parquet(tmp)
+        try:
+            os.replace(tmp, path)
+        except OSError:           # concurrent builder won the rename
+            import shutil
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
 def q_audio_features(sf_dir: str) -> ray.data.Dataset:
     """Audio decode (real WAV; stub otherwise) -> per-clip features."""
-    path = _cached_table("audio", _scaled_n(sf_dir), MM.synth_audio_table)
+    path = _cached_table("audio", _scaled_n(sf_dir), MM.synth_audio_rows)
     return ray.data.read_parquet(path).map_batches(
         MM.DecodeAudio(), batch_size=64, batch_format="pyarrow")
 
@@ -57,7 +69,7 @@ def q_video_frames(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Sum
 
     path = _cached_table("video", _scaled_n(sf_dir, 100),
-                         MM.synth_video_table)
+                         MM.synth_video_rows)
     frames = ray.data.read_parquet(path).map_batches(
         MM.SampleVideoFrames(every_k=30), batch_size=16,
         batch_format="pyarrow")

@@ -207,14 +207,17 @@ class ResizeImages:
         })
 
 
-def synth_audio_table(n: int, seed: int = 7) -> pa.Table:
-    """Deterministic audio rows matching AUDIO_SCHEMA. Most rows carry
+def synth_audio_rows(idx: np.ndarray, seed: int = 7) -> pa.Table:
+    """Deterministic audio rows (AUDIO_SCHEMA) for arbitrary row indices —
+    PER-INDEX seeded, so fixture construction parallelizes across Ray
+    tasks and any slice is reproducible independently. Most rows carry
     REAL 16-bit PCM WAV payloads (sine + noise, stdlib wave container);
     every 5th row is an opaque 'flac' payload exercising the stub path."""
-    rng = np.random.default_rng(seed)
     sr = 16000
     ids, blobs, srs, lens, fmts = [], [], [], [], []
-    for i in range(n):
+    for i in np.asarray(idx, dtype=np.int64):
+        i = int(i)
+        rng = np.random.default_rng([seed, i])
         ns = int(rng.integers(1600, 24000))
         ids.append(f"clip-{i:06d}")
         if i % 5 == 4:
@@ -239,6 +242,10 @@ def synth_audio_table(n: int, seed: int = 7) -> pa.Table:
     }, schema=AUDIO_SCHEMA)
 
 
+def synth_audio_table(n: int, seed: int = 7) -> pa.Table:
+    return synth_audio_rows(np.arange(n), seed)
+
+
 def video_frame_pixels(i: int, j: int, h: int = 48, w: int = 64) -> np.ndarray:
     """Ground-truth luma for fixture video i, frame j (moving gradient +
     frame-index stripe — lets tests pin exact decoded pixels)."""
@@ -246,30 +253,40 @@ def video_frame_pixels(i: int, j: int, h: int = 48, w: int = 64) -> np.ndarray:
     return ((xx * (3 + i % 5) + yy * 2 + j * 7) % 256).astype(np.uint8)
 
 
-def synth_video_table(n: int, seed: int = 11) -> pa.Table:
-    """Deterministic video rows matching VIDEO_SCHEMA. Most rows carry REAL
-    Y4M payloads (mono or 4:2:0 flat-chroma, codecs.encode_y4m); every 5th
-    row is an opaque 'mp4' payload exercising the stub path."""
-    rng = np.random.default_rng(seed)
+def synth_video_rows(idx: np.ndarray, seed: int = 11) -> pa.Table:
+    """Deterministic video rows (VIDEO_SCHEMA) for arbitrary row indices —
+    PER-INDEX seeded (parallel fixture construction, see
+    synth_audio_rows). Most rows carry REAL Y4M payloads (mono or 4:2:0
+    flat-chroma, codecs.encode_y4m); every 5th row is an opaque 'mp4'
+    payload exercising the stub path."""
     w, h = 64, 48
-    nfs = rng.integers(30, 120, n).astype(np.int32)
-    blobs, fmts = [], []
-    for i in range(n):
+    idx = np.asarray(idx, dtype=np.int64)
+    nfs, blobs, fmts = [], [], []
+    for i in idx:
+        i = int(i)
+        rng = np.random.default_rng([seed, i])
+        nf = int(rng.integers(30, 120))
+        nfs.append(nf)
         if i % 5 == 4:
             blobs.append(rng.bytes(128))
             fmts.append("mp4")
         else:
             frames = np.stack([video_frame_pixels(i, j, h, w)
-                               for j in range(int(nfs[i]))])
+                               for j in range(nf)])
             chroma = "mono" if i % 2 == 0 else "420jpeg"
             blobs.append(codecs.encode_y4m(frames, (30, 1), chroma))
             fmts.append("y4m")
+    n = len(idx)
     return pa.table({
-        "video_id": [f"vid-{i:06d}" for i in range(n)],
+        "video_id": [f"vid-{int(i):06d}" for i in idx],
         "bytes": blobs,
         "w": np.full(n, w, dtype=np.int32),
         "h": np.full(n, h, dtype=np.int32),
-        "n_frames": nfs,
+        "n_frames": np.asarray(nfs, dtype=np.int32),
         "fps": np.full(n, 30.0, dtype=np.float32),
         "fmt": fmts,
     }, schema=VIDEO_SCHEMA)
+
+
+def synth_video_table(n: int, seed: int = 11) -> pa.Table:
+    return synth_video_rows(np.arange(n), seed)
