@@ -81,12 +81,17 @@ def sessionize(ev: ray.data.Dataset, gap_us: int,
 
 
 def sessionize_bucketed(ev: ray.data.Dataset, gap_us: int, bucket_us: int,
-                        num_partitions: int = 64) -> ray.data.Dataset:
+                        num_partitions: int = 64,
+                        broadcast_fix_limit: int = 2_000_000
+                        ) -> ray.data.Dataset:
     """Hot-user-bounded sessionization; identical rows to ``sessionize``.
 
     bucket_us must exceed gap_us (a session gap never spans a whole
     empty bucket undetected — times are compared directly, bucket size
-    only bounds reducer memory)."""
+    only bounds reducer memory). The interior-session renumber uses a
+    broadcast of the per-(user, bucket) fix table when it has at most
+    ``broadcast_fix_limit`` rows (no third exchange), else a cogrouped
+    fix-up — both paths produce identical rows."""
     if bucket_us <= gap_us:
         raise ValueError("bucket_us must be greater than gap_us")
 
@@ -239,6 +244,39 @@ def sessionize_bucketed(ev: ray.data.Dataset, gap_us: int, bucket_us: int,
                                        batch_format="pyarrow")
     fixes_rows = stitched.map_batches(keep_kind(1, False),
                                       batch_format="pyarrow")
+
+    # --- pass 3, broadcast fast path: the fix table has ONE row per
+    # (user, non-empty bucket) — usually tiny next to the session rows.
+    # When it fits the broadcast budget, renumber interiors per batch
+    # against a shared ObjectRef instead of a third full exchange.
+    n_fix = fixes_rows.count()
+    if n_fix <= broadcast_fix_limit:
+        fix_df = fixes_rows.to_pandas()       # bounded by the limit
+        fix_df = pd.DataFrame({"user_id": fix_df["user_id"],
+                               "bucket": fix_df["session_id"],
+                               "base": fix_df["n_events"]})
+        fref = ray.put(fix_df)
+
+        def renumber_b(b: pa.Table) -> pa.Table:
+            df = b.to_pandas()
+            if "lsid" not in df.columns or not len(df):
+                return pa.Table.from_pandas(_EMPTY_OUT.copy(),
+                                            preserve_index=False)
+            lsid = df["lsid"].to_numpy()
+            df = df[(lsid > 1) & (lsid < df["s"].to_numpy())]
+            if not len(df):
+                return pa.Table.from_pandas(_EMPTY_OUT.copy(),
+                                            preserve_index=False)
+            m = df.merge(ray.get(fref), on=["user_id", "bucket"],
+                         how="left")
+            m["session_id"] = m["base"].to_numpy().astype(np.int64) \
+                + m["lsid"].to_numpy() - 1
+            return pa.Table.from_pandas(
+                m[["user_id", "session_id", "n_events", "start_us",
+                   "end_us"]], preserve_index=False)
+
+        return merged_rows.union(
+            sess.map_batches(renumber_b, batch_format="pyarrow"))
 
     def sess_tag(b: pa.Table) -> pa.Table:
         return pa.table({

@@ -88,3 +88,17 @@ def test_bucketed_hot_user_parity(ray_session):
                     users, times)
     pd.testing.assert_frame_equal(plain, bucketed, check_dtype=False)
     assert plain["n_events"].sum() == n + 50
+
+
+def test_bucketed_cogroup_fallback_parity(ray_session):
+    """broadcast_fix_limit=0 forces the third-exchange cogroup path; rows
+    must be identical to the broadcast fast path."""
+    rng = np.random.default_rng(3)
+    users = np.repeat(np.arange(1, 20, dtype=np.int64), 60)
+    times = np.sort(rng.integers(0, 10 * BUCKET, len(users)))
+    fast = _run(lambda ev: sessionize_bucketed(ev, GAP, BUCKET),
+                users, times)
+    slow = _run(lambda ev: sessionize_bucketed(ev, GAP, BUCKET,
+                                               broadcast_fix_limit=0),
+                users, times)
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
