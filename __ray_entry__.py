@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tms_join_big": _q.q_tms_join_big,
         "mbtiles_join": _q.q_mbtiles_join,
         "mbtiles_sink": _q.q_mbtiles_sink,
+        "tile_archive": _q.q_tile_archive,
         "weighted_blend": _q.q_weighted_blend,
         "solid_agg": _q.q_solid_agg,
         "pip_rect": _q.q_pip_rect,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "tms_join_big": _q.SQL_TMS_JOIN,
         "mbtiles_join": _q.SQL_TMS_JOIN,
         "mbtiles_sink": _q.SQL_MBTILES_SINK,
+        "tile_archive": _q.SQL_TILE_ARCHIVE,
         "weighted_blend": _q.SQL_WEIGHTED_BLEND,
         "solid_agg": _q.SQL_SOLID_AGG,
         "pip_rect": _q.SQL_PIP_RECT,

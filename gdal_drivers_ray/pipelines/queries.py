@@ -369,6 +369,58 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_tile_archive(sf_dir: str) -> ray.data.Dataset:
+    """END-TO-END archive build: input_hint images -> REAL decode + 2x
+    box-filter resize + re-encode (stages.multimodal.ResizeImages, task
+    pool) -> tile rows at the fixture's deterministic addresses -> sharded
+    real .mbtiles archives (single-writer reducers). Result = shard
+    manifest; the SQL oracle recomputes shard counts from the same image
+    table (addressing + shard hash are overflow-free closed forms)."""
+    import hashlib
+
+    from .. import fixtures
+    from ..sources.mbtiles import write_mbtiles_shards
+    from ..stages.multimodal import ResizeImages
+
+    path = fixtures.images_path_for(sf_dir)
+    lod = fixtures.lod_for_count(fixtures.count_rows(path))
+    side = np.int64(1) << lod
+
+    small = ray.data.read_parquet(
+        path, columns=["image_id", "bytes", "w", "h", "fmt"]) \
+        .map_batches(ResizeImages(factor=2), batch_size=64,
+                     batch_format="pyarrow")
+
+    def tile_rows(b: pa.Table) -> pa.Table:
+        idx = pc.cast(pc.utf8_slice_codeunits(b["image_id"], 4, 99),
+                      pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "zoom": pa.array(np.full(b.num_rows, lod, np.int64)),
+            "col": pa.array(idx % side),
+            "row": pa.array((idx // side) % side),
+            "tile_data": b["bytes"]})
+
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    out_dir = f"/tmp/graft_out/tile_archive_{tag}"
+    manifest = write_mbtiles_shards(
+        small.map_batches(tile_rows, batch_format="pyarrow"),
+        out_dir, num_shards=8)
+    return manifest.select_columns(["shard", "n_tiles"]).sort("shard")
+
+
+# oracle is pinned to the gate's sf0.01 fixture (4000 images -> lod 6,
+# 64x64 grid); the Ray side materializes the fixture first
+SQL_TILE_ARCHIVE = """
+SELECT (col * 2654435761 + row * 40503 + 6) % 8 AS shard,
+       CAST(count(*) AS BIGINT) AS n_tiles
+FROM (
+  SELECT CAST(substring(image_id, 5) AS BIGINT) % 64 AS col,
+         (CAST(substring(image_id, 5) AS BIGINT) // 64) % 64 AS row
+  FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet'))
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_mbtiles_join(sf_dir: str) -> ray.data.Dataset:
     """The tms_join lookup against a REAL sqlite .mbtiles archive
     (sources.mbtiles: cached-connection actor pool, strict key parse, TMS

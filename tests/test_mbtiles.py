@@ -181,3 +181,41 @@ def test_sharded_sink_deterministic(ray_session, tmp_path):
     assert outs[0].keys() == outs[1].keys()
     for name in outs[0]:
         assert outs[0][name] == outs[1][name], name
+
+
+def test_tile_archive_blobs_decode(ray_session):
+    """End-to-end archive: a blob read back from a shard sqlite file
+    decodes to the 2x box-filtered source image."""
+    import numpy as np
+    from gdal_drivers_ray import codecs, fixtures
+    from gdal_drivers_ray.pipelines.queries import q_tile_archive
+
+    sf = "/root/testdata/sf0.001"
+    q_tile_archive(sf).to_pandas()          # builds the shard archives
+    import glob
+    import hashlib
+    tag = hashlib.blake2b(sf.encode(), digest_size=6).hexdigest()
+    shards = sorted(glob.glob(f"/tmp/graft_out/tile_archive_{tag}/*.mbtiles"))
+    assert shards
+    path = fixtures.images_path_for(sf)
+    lod = fixtures.lod_for_count(fixtures.count_rows(path))
+    side = 1 << lod
+    checked = 0
+    for sp in shards[:2]:
+        con = sqlite3.connect(sp)
+        for z, c, r, d in con.execute(
+                "SELECT zoom_level, tile_column, tile_row, tile_data "
+                "FROM tiles LIMIT 3"):
+            assert z == lod
+            i = r * side + c                  # fixture addressing inverse
+            # expected = resize of the DECODED fixture payload (jpeg rows
+            # are lossy: compare against the round-tripped pixels)
+            src = codecs.decode_image(fixtures.image_row(i, lod)["bytes"])
+            want = src[:256, :256].astype(np.float64) \
+                .reshape(128, 2, 128, 2).mean(axis=(1, 3)).astype(np.uint8)
+            got = codecs.decode_image(bytes(d))
+            assert got.shape == (128, 128)
+            np.testing.assert_array_equal(got, want)
+            checked += 1
+        con.close()
+    assert checked >= 3
