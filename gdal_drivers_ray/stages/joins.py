@@ -261,8 +261,22 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         out[tie_col + suffix] = rg[RK].to_numpy()[pos[ok]]
         return out
 
+    # the pandas group view upcasts int columns holding the union's null
+    # markers to float64; cast the matched rows back to the DECLARED
+    # left/right schema so output types equal input types
+    out_schema = pa.schema(
+        [(c, lsch.field(c).type) for c in lcols]
+        + [(time_col + suffix, rt_t), (tie_col + suffix, rk_t)])
+
+    def cast_out(b: pa.Table) -> pa.Table:
+        if any(n not in b.column_names for n in out_schema.names):
+            return out_schema.empty_table()
+        return pa.table({n: b[n].cast(out_schema.field(n).type)
+                         for n in out_schema.names})
+
     return tagged.groupby([key, "_bucket"]).map_groups(
-        match, batch_format="pandas")
+        match, batch_format="pandas").map_batches(
+        cast_out, batch_format="pyarrow")
 
 
 def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
