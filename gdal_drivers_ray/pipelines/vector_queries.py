@@ -115,8 +115,8 @@ def q_vector_tiling(sf_dir: str):
             gt = 3
         rows.append({"fid": i, "layer": ["pts", "lines", "polys"][i % 3],
                      "geom_type": gt, "geometry": geom, "attrs": f"i={i}"})
-    feats = ray.data.from_items(rows)
-    store = VT.build_tiles(feats, world, lod=2)
+    feats = ray.data.from_items(rows).repartition(4)
+    store = VT.build_tiles(feats, world, lod=2, num_partitions=8)
 
     def decode_counts(b: pa.Table) -> pa.Table:
         out = {"zoom": [], "col": [], "row": [], "layer": [], "n": []}

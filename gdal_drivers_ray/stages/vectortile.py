@@ -53,7 +53,8 @@ def _covering_tiles(gx0, gy0, gx1, gy1, world: Extents, lod: int):
 
 
 def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
-                extent: int = 4096) -> ray.data.Dataset:
+                extent: int = 4096,
+                num_partitions: int = 64) -> ray.data.Dataset:
     """Feature rows {fid, layer, geom_type, geometry(list<list<struct x,y>>),
     attrs:str} -> store rows {zoom, col, row (TMS), tile_data}."""
 
@@ -120,5 +121,6 @@ def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
 
     from .joins import partitioned_groups
     covered = features.map_batches(cover, batch_format="pyarrow")
-    return partitioned_groups(covered, ["tile_x", "tile_y"]) \
+    return partitioned_groups(covered, ["tile_x", "tile_y"],
+                              num_partitions) \
         .map_groups(encode_part, batch_format="pandas")
