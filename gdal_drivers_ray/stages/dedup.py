@@ -256,7 +256,10 @@ def cluster_assign(docs: ray.data.Dataset, edges: ray.data.Dataset,
     labels = propagate_min_labels(edges, num_partitions=num_partitions,
                                   task_threshold=task_threshold)
     allr = base if labels is None else base.union(labels)
-    full = allr.groupby("node").aggregate(Min("lab", alias_name="cluster_id"))
+    # narrow (node, lab) rows: coalesce before the sort-based aggregate —
+    # its scheduling cost scales with input block count
+    full = allr.repartition(8) \
+        .groupby("node").aggregate(Min("lab", alias_name="cluster_id"))
 
     def finish(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
