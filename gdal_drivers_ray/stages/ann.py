@@ -169,19 +169,11 @@ class IvfAssign:
         })
 
 
-def ann_ivf_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
-                 qmat: np.ndarray, k: int = 10, n_cells: int = 16,
-                 n_probe: int = 4, sample_n: int = 2048) -> pd.DataFrame:
-    """IVF ANN: train coarse cells on a sample, assign every vector to its
-    cell, then for each query search only the `n_probe` nearest cells with
-    exact cosine; per-batch partial top-k, tiny driver-side finalize.
-
-    -> DataFrame (query_id, neighbor_id, sim) with per-query top-k
-    (self excluded), ties broken by neighbor_id.
-    """
-    # 1. deterministic hash-mod sample -> centroids (driver-side; tiny).
-    # A prefix (limit) would bias k-means on id-sorted or clustered input;
-    # the multiplicative-hash filter picks a uniform, reproducible subset.
+def _train_from_dataset(emb: ray.data.Dataset, n_cells: int,
+                        sample_n: int) -> np.ndarray:
+    """Deterministic hash-mod sample -> centroids (driver-side; tiny).
+    A prefix (limit) would bias k-means on id-sorted or clustered input;
+    the multiplicative-hash filter picks a uniform, reproducible subset."""
     n_total = max(emb.count(), 1)
     rate = min(1.0, (2.0 * sample_n) / n_total)
     mod = max(int(round(1.0 / rate)), 1)
@@ -196,7 +188,20 @@ def ann_ivf_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
         .limit(sample_n).to_pandas()
     mat = np.stack([np.asarray(e, np.float64)
                     for e in samp["embedding"]])
-    cent = train_centroids(mat, n_cells)
+    return train_centroids(mat, n_cells)
+
+
+def ann_ivf_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
+                 qmat: np.ndarray, k: int = 10, n_cells: int = 16,
+                 n_probe: int = 4, sample_n: int = 2048) -> pd.DataFrame:
+    """IVF ANN: train coarse cells on a sample, assign every vector to its
+    cell, then for each query search only the `n_probe` nearest cells with
+    exact cosine; per-batch partial top-k, tiny driver-side finalize.
+
+    -> DataFrame (query_id, neighbor_id, sim) with per-query top-k
+    (self excluded), ties broken by neighbor_id.
+    """
+    cent = _train_from_dataset(emb, n_cells, sample_n)
     cent_ref = ray.put(cent)
 
     # 2. assign cells (actor pool holding centroids)
@@ -236,6 +241,118 @@ def ann_ivf_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
     partials = assigned.map_batches(refine, batch_format="pyarrow") \
         .to_pandas()
     # 5. finalize: global top-k per query (tiny: nq * k * n_batches rows)
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"],
+        ascending=[True, False, True], kind="stable")
+    return partials.groupby("query_id", as_index=False).head(k) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index — build once, query many. The index is a directory of
+# per-CELL parquet files; queries open ONLY the probed cells' files
+# (partition pruning at the read — the 100 TB pattern: the full vector set
+# never streams for a query batch).
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(emb: ray.data.Dataset, out_dir: str, *,
+                    n_cells: int = 16, sample_n: int = 2048) -> pd.DataFrame:
+    """Train centroids, assign every vector, and persist one parquet file
+    per cell (cell=K/part.parquet, written by that cell's partition
+    reducer — single writer per cell, atomic rename) plus centroids.npy.
+    Returns the manifest (cell, n_vecs, path)."""
+    import os
+
+    from .joins import partitioned_groups
+
+    os.makedirs(out_dir, exist_ok=True)
+    cent = _train_from_dataset(emb, n_cells, sample_n)
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    cent_ref = ray.put(cent)
+
+    assigned = emb.map_batches(IvfAssign, fn_constructor_args=(cent_ref,),
+                               batch_format="pyarrow", batch_size=1024,
+                               concurrency=(1, 8))
+
+    def write_cells(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+        if "cell" not in g.columns or not len(g):
+            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                                 "n_vecs": pd.Series([], dtype=np.int64),
+                                 "path": pd.Series([], dtype=object)})
+        out = []
+        for cell, df in g.groupby("cell"):
+            df = df.sort_values("vec_id", kind="stable")
+            d = os.path.join(out_dir, f"cell={int(cell)}")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, "part.parquet")
+            tmp = path + ".tmp"
+            pq.write_table(
+                pa.table({"vec_id": pa.array(df["vec_id"].to_numpy(),
+                                             pa.int64()),
+                          "cell": pa.array(df["cell"].to_numpy(),
+                                           pa.int32()),
+                          "vec": pa.array(list(df["vec"]),
+                                          pa.large_binary())}), tmp)
+            os.replace(tmp, path)
+            out.append((int(cell), len(df), path))
+        return pd.DataFrame({"cell": [o[0] for o in out],
+                             "n_vecs": [o[1] for o in out],
+                             "path": [o[2] for o in out]})
+
+    return partitioned_groups(assigned, ["cell"],
+                              num_partitions=min(n_cells, 16)) \
+        .map_groups(write_cells, batch_format="pandas").to_pandas()
+
+
+def query_ivf_index(index_dir: str, query_ids: np.ndarray, qmat: np.ndarray,
+                    *, k: int = 10, n_probe: int = 4) -> pd.DataFrame:
+    """Query a persisted IVF index: load the (tiny) centroids, pick each
+    query's n_probe nearest cells, and read ONLY those cells' parquet
+    files; exact cosine refine with per-batch partial top-k. Same output
+    contract as ann_ivf_topk."""
+    import os
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    qmat = np.asarray(qmat, dtype=np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
+                             1e-12)
+    probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, probe))
+
+    # partition pruning: open only probed cell files
+    paths = [os.path.join(index_dir, f"cell={c}", "part.parquet")
+             for c in sorted({int(c) for c in probe.ravel()})]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "neighbor_id": pd.Series([], dtype=np.int64),
+                             "sim": pd.Series([], dtype=np.float64)})
+    assigned = ray.data.read_parquet(paths)
+
+    def refine(b: pa.Table) -> pa.Table:
+        qids, qm, pr = ray.get(qref)
+        cells = b["cell"].to_numpy()
+        vids = b["vec_id"].to_numpy()
+        vecs = np.stack([np.frombuffer(v, dtype=np.float64)
+                         for v in b["vec"].to_pylist()])
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            m = np.isin(cells, pr[qi]) & (vids != qids[qi])
+            if not m.any():
+                continue
+            sims = vecs[m] @ qm[qi]
+            ids = vids[m]
+            take = np.argsort(-sims, kind="stable")[:k]
+            out_q.extend([qids[qi]] * len(take))
+            out_n.extend(ids[take].tolist())
+            out_s.extend(sims[take].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = assigned.map_batches(refine, batch_format="pyarrow") \
+        .to_pandas()
     partials = partials.sort_values(
         ["query_id", "sim", "neighbor_id"],
         ascending=[True, False, True], kind="stable")

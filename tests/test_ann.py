@@ -110,3 +110,33 @@ def test_train_centroids_deterministic_and_normalized():
     c2 = ann.train_centroids(s, 8)
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-9)
+
+
+def test_ivf_persisted_index_matches_inline(ray_session, emb_data, tmp_path):
+    """build_ivf_index + query_ivf_index == ann_ivf_topk row-for-row (same
+    deterministic centroids), and the query opens ONLY probed cell files."""
+    import ray.data
+    ids, mat = emb_data
+    qids = ids[5:10]
+    qmat = mat[5:10]
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    inline = ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=8, n_probe=3)
+
+    idx_dir = str(tmp_path / "ivf")
+    manifest = ann.build_ivf_index(emb, idx_dir, n_cells=8)
+    assert manifest["n_vecs"].sum() == len(ids)
+    import os
+    assert os.path.exists(os.path.join(idx_dir, "centroids.npy"))
+
+    got = ann.query_ivf_index(idx_dir, qids, qmat, k=10, n_probe=3)
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), inline.reset_index(drop=True))
+
+    # pruning: with n_probe=1 fewer cells than the full index are read
+    import numpy as np
+    cent = np.load(os.path.join(idx_dir, "centroids.npy"))
+    probe1 = np.argsort(-(qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+                          @ cent.T), axis=1)[:, :1]
+    assert len({int(c) for c in probe1.ravel()}) < len(manifest)
