@@ -274,7 +274,9 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return pa.table({n: b[n].cast(out_schema.field(n).type)
                          for n in out_schema.names})
 
-    return tagged.groupby([key, "_bucket"]).map_groups(
+    # coalesce the tagged union (2-3 sources x 64 blocks of narrow rows)
+    # before the sort-based groupby — scheduling cost scales with blocks
+    return tagged.repartition(16).groupby([key, "_bucket"]).map_groups(
         match, batch_format="pandas").map_batches(
         cast_out, batch_format="pyarrow")
 
