@@ -53,6 +53,45 @@ def _images_lod_rollup(sf_dir: str) -> Any:
     return _flagship.lod_rollup(_flagship.tile_index(path, lod))
 
 
+def _images_parent_rollup(sf_dir: str) -> Any:
+    """North-rule evidence, SQL-checked: tile assignments from the REAL
+    image pipeline (read -> decode actor stage -> per-tile grid math),
+    rolled up one LOD — DuckDB recomputes the same parent counts from the
+    image ids alone, so any assignment drift hash-fails."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    path = fixtures.images_path_for(sf_dir)
+    lod = fixtures.lod_for_count(fixtures.count_rows(path))
+    tiles = _flagship.tile_index(path, lod)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        px = b["tile_x"].to_numpy().astype(np.int64) // 2
+        py = b["tile_y"].to_numpy().astype(np.int64) // 2
+        g = pd.DataFrame({"parent_x": px, "parent_y": py}) \
+            .groupby(["parent_x", "parent_y"], as_index=False) \
+            .size().rename(columns={"size": "n_tiles"})
+        g["n_tiles"] = g["n_tiles"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return tiles.map_batches(partial, batch_format="pyarrow") \
+        .repartition(8).groupby(["parent_x", "parent_y"]) \
+        .aggregate(Sum("n_tiles", alias_name="n_tiles"))
+
+
+# pinned to the gate's sf0.01 fixture (4000 images, lod 6 -> 64x64 grid)
+SQL_IMAGES_PARENT_ROLLUP = """
+SELECT (CAST(substring(image_id, 5) AS BIGINT) % 64) // 2 AS parent_x,
+       ((CAST(substring(image_id, 5) AS BIGINT) // 64) % 64) // 2
+           AS parent_y,
+       CAST(count(*) AS BIGINT) AS n_tiles
+FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet')
+GROUP BY 1, 2
+"""
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # grid / tiling / joins (SQL-checked)
@@ -90,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (binary decode is not SQL-expressible -> rows-only checks)
         "images_flagship": _images_flagship,
         "images_lod_rollup": _images_lod_rollup,
+        "images_parent_rollup": _images_parent_rollup,
         # raster generator sources (binary tiles, NumPy-oracle tested)
         "solid_tiles": _rq.q_solid_tiles,
         "mask_tiles": _rq.q_mask_tiles,
@@ -137,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "tile_assign": _q.SQL_TILE_ASSIGN,
+        "images_parent_rollup": SQL_IMAGES_PARENT_ROLLUP,
         "lod_rollup": _q.SQL_LOD_ROLLUP,
         "zigzag": _q.SQL_ZIGZAG,
         "tms_join": _q.SQL_TMS_JOIN,
