@@ -102,3 +102,33 @@ def test_built_tiles_through_real_mbtiles_archive(ray_session, tmp_path):
         for f in mvt.decode_tile(bytes(r["tile_data"]), extents=te):
             fids.add(f["fid"])
     assert fids == {1, 2, 3}
+
+
+def test_built_tiles_through_sharded_sink(ray_session, tmp_path):
+    """Dataset-to-Dataset loop: build_tiles streams into the SHARDED
+    mbtiles sink (no driver materialization), shards merge, and every
+    decoded feature id survives the archive round trip."""
+    from gdal_drivers_ray.sources import mbtiles
+
+    lod = 1
+    tiles_ds = VT.build_tiles(_features(), WORLD, lod)
+    manifest = mbtiles.write_mbtiles_shards(
+        tiles_ds, str(tmp_path / "shards"), num_shards=3).to_pandas()
+    db = mbtiles.merge_mbtiles(list(manifest["path"]),
+                               str(tmp_path / "all.mbtiles"))
+
+    store = VT.build_tiles(_features(), WORLD, lod).to_pandas()
+    paths = [f"b.mbtiles/{int(r['zoom'])}-{int(r['col'])}-"
+             f"{int(tms_flip(int(r['zoom']), int(r['row'])))}"
+             for _, r in store.iterrows()]
+    out = mbtiles.lookup_mbtiles(
+        ray.data.from_arrow(pa.table({"path": pa.array(paths)})), db) \
+        .take_all()
+    assert all(r["status"] == "ok" for r in out)
+    fids = set()
+    for r in out:
+        tx, ty = r["col"], int(tms_flip(r["zoom"], r["row"]))
+        te = VT.tile_world_extents(WORLD, lod, tx, ty)
+        for f in mvt.decode_tile(bytes(r["tile_data"]), extents=te):
+            fids.add(f["fid"])
+    assert fids == {1, 2, 3}
