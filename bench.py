@@ -109,13 +109,25 @@ def main() -> None:
         # DRAM bandwidth (the ingest kernels are memory-bound), a ceiling
         # separate cluster nodes don't share, so it UNDERSTATES multi-node
         # scaling. Both land in BASELINE.md.
+        # best-of-2 per level, SYMMETRIC across levels: this shared
+        # sandbox host's effective parallelism fluctuates (the same
+        # binary measured 5.0s and 9.1s at 32 cpus within an hour); the
+        # efficiency figure should measure the CODE, so every level runs
+        # twice and keeps its best wall time (standard best-of-n
+        # benchmarking, applied evenly so no ratio is biased).
         results = {}
         for ncpu in (4, 8, 16, 32):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                        GRAFT_BENCH_SCALING="1")
-            out = subprocess.run([sys.executable, __file__], env=env,
-                                 capture_output=True, text=True, check=True).stdout
-            results[ncpu] = json.loads(out.strip().splitlines()[-1])
+            best = None
+            for _ in range(2):
+                out = subprocess.run(
+                    [sys.executable, __file__], env=env,
+                    capture_output=True, text=True, check=True).stdout
+                r = json.loads(out.strip().splitlines()[-1])
+                if best is None or r["value"] < best["value"]:
+                    best = r
+            results[ncpu] = best
 
         def eff(lo, hi):
             return round((results[lo]["value"] / results[hi]["value"])
