@@ -52,9 +52,12 @@ def check_invariants(tiles: ray.data.Dataset) -> ray.data.Dataset:
         ty = batch["tile_y"].to_numpy()
         # vectorized: parse the caption's own 'tile z/x/y ' address and
         # compare numerically (no per-row Python in the headline path)
+        # digit cap keeps every captured value int64-castable; a longer
+        # (corrupt) address simply fails the match -> caption_ok False
         m = pc.extract_regex(
             batch["caption"],
-            r"^tile (?P<z>0|[1-9]\d*)/(?P<x>0|[1-9]\d*)/(?P<y>0|[1-9]\d*) ")
+            r"^tile (?P<z>0|[1-9]\d{0,17})/(?P<x>0|[1-9]\d{0,17})"
+            r"/(?P<y>0|[1-9]\d{0,17}) ")
         ok_shape = pc.is_valid(m).to_numpy(zero_copy_only=False)
         filled = [pc.cast(pc.fill_null(pc.struct_field(m, f), "0"),
                           pa.int64()).to_numpy(zero_copy_only=False)

@@ -26,6 +26,11 @@ def _scaled_n(sf_dir: str, base: int = 200) -> int:
         return base
 
 
+# bump whenever the synth generators' CONTENT changes — the tag is part
+# of the cache path, so stale /tmp fixtures can never be served
+_FIXTURE_VERSION = 2
+
+
 def _cached_table(kind: str, n: int, rows_fn) -> str:
     """Build-once parquet cache for the synth payload fixtures, built IN
     PARALLEL by Ray tasks (the generators are per-index seeded, so any
@@ -33,7 +38,7 @@ def _cached_table(kind: str, n: int, rows_fn) -> str:
     construction, not pipeline work — cached off the timed path."""
     import os
 
-    path = f"/tmp/graft_fixtures/{kind}_{n}"
+    path = f"/tmp/graft_fixtures/{kind}_v{_FIXTURE_VERSION}_{n}"
     if not os.path.exists(path):
         import pyarrow as pa
 

@@ -623,8 +623,12 @@ def q_token_count(sf_dir: str) -> ray.data.Dataset:
 # GPT-2-style pre-tokenizer, simplified to the lookahead-free subset both
 # Python re and DuckDB's RE2 evaluate identically (leftmost-first
 # alternation): contractions, space-prefixed letter/digit/punct runs,
-# whitespace runs.
-_BPE_PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# whitespace runs. Whitespace is the EXPLICIT ASCII class, not \s —
+# Python's \s additionally matches \x0b and unicode spaces while RE2's
+# does not, which would silently diverge the two engines.
+_WS = r" \t\n\f\r"
+_BPE_PAT = ("'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+            "| ?[^" + _WS + "A-Za-z0-9]+|[" + _WS + "]+")
 
 
 def q_bpe_token_count(sf_dir: str) -> ray.data.Dataset:

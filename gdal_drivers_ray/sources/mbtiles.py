@@ -108,7 +108,12 @@ class MbtilesLookup:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         b = parse_requests(batch)
-        status = np.asarray(b["status"].to_pylist())
+        # object dtype: a fixed-width numpy string array would TRUNCATE
+        # 'not_found' to the width of the longest initial status
+        status = np.asarray(b["status"].to_pylist(), dtype=object)
+        if b.num_rows == 0:
+            return b.append_column("tile_data",
+                                   pa.array([], pa.large_binary()))
         ok = status == "ok"
         # parse_requests' skey already carries the TMS flip (skey of the
         # stored, bottom-up row); -1 sentinel rows are never ok

@@ -42,9 +42,8 @@ OUT_SCHEMA = pa.schema([
 ])
 
 
-def _sessions_of_sorted(u: np.ndarray, us: np.ndarray):
-    """Boundary flags over a (user, time)-sorted stream ->
-    (gstart, glen, sid) where sid restarts at 1 per user."""
+def _new_user_flags(u: np.ndarray) -> np.ndarray:
+    """True where a (user-sorted) stream switches to a new user."""
     newu = np.ones(len(u), dtype=bool)
     newu[1:] = u[1:] != u[:-1]
     return newu
@@ -60,7 +59,7 @@ def sessionize(ev: ray.data.Dataset, gap_us: int,
         us = g["us"].to_numpy()
         order = np.lexsort((us, u))
         u, us = u[order], us[order]
-        newu = _sessions_of_sorted(u, us)
+        newu = _new_user_flags(u)
         news = newu.copy()
         news[1:] |= np.diff(us) > gap_us
         sidg = np.cumsum(news)

@@ -152,12 +152,8 @@ def test_sharded_sink_roundtrip(ray_session, tmp_path):
                        " FROM tiles")}
     con.close()
     # expected: sorted-(z,c,r,blob) first-wins per key
-    import pandas as pd
     df = t.to_pandas().sort_values(["zoom", "col", "row", "tile_data"],
                                    kind="stable")
-    want = {(z, c, r): bytes(d) for z, c, r, d in
-            zip(df["zoom"], df["col"], df["row"], df["tile_data"])
-            if (z, c, r) not in ()}
     first = {}
     for k, v in zip(zip(df["zoom"], df["col"], df["row"]), df["tile_data"]):
         first.setdefault((int(k[0]), int(k[1]), int(k[2])), bytes(v))
@@ -219,3 +215,14 @@ def test_tile_archive_blobs_decode(ray_session):
             checked += 1
         con.close()
     assert checked >= 3
+
+
+def test_not_found_in_all_ok_batch(ray_session, archive):
+    """Regression: a batch where every path PARSES ok but one key is
+    absent must report the full 'not_found' string (a fixed-width numpy
+    string array truncated it to the widest initial status, 'ok')."""
+    out = mbtiles.lookup_mbtiles(
+        paths_ds(["a/2-1-0", "a/5-1-1"]), archive).take_all()
+    by = {r["path"]: r["status"] for r in out}
+    assert by["a/2-1-0"] == "ok"
+    assert by["a/5-1-1"] == "not_found"

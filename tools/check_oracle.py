@@ -79,6 +79,13 @@ def main():
         if name not in sqls:
             print(f"ok?  {name}: rows={len(mine)} (rows-only, no oracle)")
             continue
+        # oracles over fixture parquet are pinned to the driver's sf0.01
+        # gate; at any other sf the comparison would read the wrong
+        # fixture — treat as rows-only there
+        if "sf0.01" in sqls[name] and "sf0.01" not in sf_dir:
+            print(f"ok?  {name}: rows={len(mine)} "
+                  "(oracle pinned to sf0.01; rows-only at this sf)")
+            continue
         try:
             orc = canon(con.execute(sqls[name]).df())
         except Exception as ex:
