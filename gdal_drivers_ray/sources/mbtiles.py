@@ -267,3 +267,73 @@ def merge_mbtiles(shard_paths: list[str], out_path: str) -> str:
         con.close()
     os.replace(tmp, out_path)
     return out_path
+
+
+class MbtilesShardedLookup:
+    """Actor-pool stage: lookups against a write_mbtiles_shards DIRECTORY
+    without merging — each request routes to its shard by the sink's
+    (overflow-free) shard hash and resolves through that shard's cached
+    connection/preload. The sharded archive is therefore directly
+    queryable at scale; merge_mbtiles is only for exporting a single
+    file."""
+
+    def __init__(self, shard_dir: str, num_shards: int,
+                 preload_limit: int | None = None):
+        self.num_shards = num_shards
+        self.lookups: dict[int, MbtilesLookup] = {}
+        for k in range(num_shards):
+            p = os.path.join(shard_dir, f"shard-{k:05d}.mbtiles")
+            if os.path.exists(p):
+                self.lookups[k] = MbtilesLookup(p, preload_limit)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parsed = parse_requests(batch)
+        skey = parsed["skey"].to_numpy()
+        z = skey >> 58
+        c = skey & ((np.int64(1) << 29) - 1)
+        r = (skey >> 29) & ((np.int64(1) << 29) - 1)  # stored TMS row
+        shard = (c * np.int64(2654435761) + r * np.int64(40503) + z) \
+            % np.int64(self.num_shards)
+        shard[skey < 0] = -1                      # bad/oob rows route nowhere
+        pieces, order = [], []
+        for s in np.unique(shard):
+            idx = np.nonzero(shard == s)[0]
+            sub = batch.take(pa.array(idx, pa.int64()))
+            lk = self.lookups.get(int(s))
+            if lk is None:                        # absent shard / bad keys
+                sp = parse_requests(sub)
+                status = [("not_found" if st == "ok" else st)
+                          for st in sp["status"].to_pylist()]
+                i = sp.schema.get_field_index("status")
+                out = sp.set_column(i, "status", pa.array(status)) \
+                    .append_column("tile_data",
+                                   pa.nulls(sub.num_rows, pa.large_binary()))
+            else:
+                out = lk(sub)
+            pieces.append(out)
+            order.append(idx)
+        if not pieces:
+            return parse_requests(batch).append_column(
+                "tile_data", pa.nulls(0, pa.large_binary()))
+        combined = pa.concat_tables(pieces)
+        back = np.empty(batch.num_rows, dtype=np.int64)
+        back[np.concatenate(order)] = np.arange(batch.num_rows)
+        return combined.take(pa.array(back, pa.int64()))
+
+
+def lookup_mbtiles_sharded(requests: ray.data.Dataset, shard_dir: str,
+                           num_shards: int, path_col: str = "path",
+                           concurrency: tuple[int, int] = (1, 12),
+                           batch_size: int = 4096) -> ray.data.Dataset:
+    """Request paths ⋈ a sharded archive directory (see write_mbtiles_shards).
+    Same output contract as lookup_mbtiles."""
+    if path_col != "path":
+        requests = requests.map_batches(
+            lambda b: b.rename_columns(
+                [("path" if c == path_col else c) for c in b.column_names]),
+            batch_format="pyarrow")
+    return requests.map_batches(MbtilesShardedLookup,
+                                fn_constructor_args=(shard_dir, num_shards),
+                                batch_format="pyarrow",
+                                batch_size=batch_size,
+                                concurrency=concurrency)

@@ -226,3 +226,39 @@ def test_not_found_in_all_ok_batch(ray_session, archive):
     by = {r["path"]: r["status"] for r in out}
     assert by["a/2-1-0"] == "ok"
     assert by["a/5-1-1"] == "not_found"
+
+
+def test_sharded_lookup_matches_merged(ray_session, tmp_path):
+    """Direct lookup against the shard DIRECTORY (hash routing, no merge)
+    returns exactly the merged-archive lookup rows, including not_found
+    and bad-key statuses."""
+    import ray.data
+
+    t = _tile_rows_table(200, seed=5)
+    out = str(tmp_path / "shards")
+    manifest = mbtiles.write_mbtiles_shards(
+        ray.data.from_arrow(t), out, num_shards=4).to_pandas()
+    merged = mbtiles.merge_mbtiles(list(manifest["path"]),
+                                   str(tmp_path / "all.mbtiles"))
+
+    # requests: every stored tile (top-down row = flip) + misses + bad keys
+    import numpy as np
+    zs = t["zoom"].to_numpy(); cs = t["col"].to_numpy()
+    rs = t["row"].to_numpy()
+    paths = [f"s/{z}-{c}-{(1 << z) - 1 - r}"
+             for z, c, r in zip(zs, cs, rs)]
+    paths += ["s/2-3-9", "s/9-1-1", "bad", "s/2-01-0"]
+
+    def norm(rows):
+        return [(r["path"], r["status"],
+                 bytes(r["tile_data"]) if isinstance(
+                     r["tile_data"], (bytes, bytearray)) else None)
+                for r in sorted(rows, key=lambda r: r["path"])]
+
+    got_sharded = norm(mbtiles.lookup_mbtiles_sharded(
+        paths_ds(paths), out, num_shards=4).take_all())
+    got_merged = norm(mbtiles.lookup_mbtiles(
+        paths_ds(paths), merged).take_all())
+    assert got_sharded == got_merged
+    assert any(s == "not_found" for _, s, _ in got_sharded)
+    assert any(s == "bad_key" for _, s, _ in got_sharded)
