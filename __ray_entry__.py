@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": _dq.q_embed_near_dup,
         "ann_lsh": _dq.q_ann_lsh,
         "ann_ivf": _dq.q_ann_ivf,
+        "ann_ivf_indexed": _dq.q_ann_ivf_indexed,
         "phash_dedup": _dq.q_phash_dedup,
         "cluster_labels": _dq.q_cluster_labels,
         # spatial joins: k-ring kNN (SQL-checked), polygon PIP

@@ -101,6 +101,33 @@ def q_ann_ivf(sf_dir: str):
     return ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=8, n_probe=4)
 
 
+def q_ann_ivf_indexed(sf_dir: str):
+    """The SAME search as q_ann_ivf but through the PERSISTED index:
+    build once per sf under /tmp (one parquet file per cell + centroids),
+    then query by opening only the probed cells' files. Row-identical to
+    q_ann_ivf by construction (shared deterministic training) —
+    parity-asserted in tests/test_ann.py."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", 5)]).sort_by("vec_id")
+    qids = qt["vec_id"].to_numpy()
+    qmat = np.stack([np.asarray(e, np.float64)
+                     for e in qt["embedding"].to_pylist()])
+    tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
+    idx_dir = f"/tmp/graft_out/ivf_index_{tag}"
+    if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
+        emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id", "embedding"]) \
+            .filter(expr="vec_id >= 5")
+        ann.build_ivf_index(emb, idx_dir, n_cells=8)
+    return ann.query_ivf_index(idx_dir, qids, qmat, k=10, n_probe=4)
+
+
 def q_cluster_labels(sf_dir: str) -> ray.data.Dataset:
     """Distributed min-label propagation (the dedup cluster-assembly
     engine) on a deterministic chain graph over documents: edge
