@@ -21,6 +21,9 @@ import ray.data
 
 from .grid import TILE
 from .registry import open_dataset  # noqa: F401  (re-export)
+from .sources.mbtiles import (  # noqa: F401  (archive I/O re-exports)
+    lookup_mbtiles, lookup_mbtiles_sharded, merge_mbtiles,
+    write_mbtiles_shards)
 from .stages.warp import RasterGrid, transform_points, warp_tiles  # noqa: F401
 
 warp = warp_tiles
