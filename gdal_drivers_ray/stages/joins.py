@@ -180,8 +180,17 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return pa.Table.from_pandas(m, schema=out_schema,
                                     preserve_index=False)
 
-    return lt.union(rt).groupby("_part").map_groups(
+    joined = lt.union(rt).groupby("_part").map_groups(
         join_part, batch_format="pyarrow")
+
+    # A typed empty seed block pins the declared output schema for
+    # schema inspection even when no partition matches. Note a Ray Data
+    # framework quirk outside this operator's control: empty partitions
+    # emit SCHEMALESS empty blocks and Ray SKIPS map UDFs on empty
+    # blocks entirely (verified), so an all-empty result's to_pandas()
+    # may still render zero columns. Every non-empty result carries the
+    # declared schema (join_part casts each block).
+    return ray.data.from_arrow(out_schema.empty_table()).union(joined)
 
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,

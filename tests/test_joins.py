@@ -1,0 +1,67 @@
+"""Property tests for the custom join operators (stages/joins.py):
+cogroup_join vs a pandas-merge oracle on randomized tables, including
+empty sides, hot keys, and int64 extremes; asof_join dtype stability."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+from hypothesis import given, settings, strategies as st
+
+from gdal_drivers_ray.stages.joins import asof_join, cogroup_join
+
+_keys = st.lists(
+    st.one_of(st.integers(0, 5),                  # hot, colliding
+              st.integers(-2**62, 2**62),         # int64 extremes
+              st.integers(0, 1000)),
+    min_size=0, max_size=30)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns), kind="stable") \
+             .reset_index(drop=True)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_keys, _keys, st.sampled_from(["inner", "left"]))
+def test_cogroup_join_matches_pandas(lk, rk, how):
+    left = pd.DataFrame({"k": np.asarray(lk, np.int64),
+                         "lv": np.arange(len(lk), dtype=np.int64)})
+    right = pd.DataFrame({"k": np.asarray(rk, np.int64),
+                          "rv": np.arange(len(rk), dtype=np.int64) * 10})
+    got = cogroup_join(
+        ray.data.from_pandas(left), ray.data.from_pandas(right),
+        on="k", how=how, num_partitions=4).to_pandas()
+    want = left.merge(right, on="k", how=how)
+    if len(want) == 0:
+        # empty-result quirk: Ray skips map UDFs on empty blocks, so an
+        # all-empty join may render with no columns (documented in
+        # cogroup_join); rows are what the oracle checks here
+        assert len(got) == 0
+        return
+    if how == "left":
+        # nullable int comes back as pandas nullable / float — compare
+        # values with NaN-tolerant float view
+        got["rv"] = got["rv"].astype("float64")
+        want["rv"] = want["rv"].astype("float64")
+    pd.testing.assert_frame_equal(_canon(got), _canon(want),
+                                  check_dtype=False)
+
+
+def test_asof_join_output_dtypes_are_input_dtypes(ray_session):
+    """Regression: the pandas group view upcast int columns to float64
+    through the union's null markers; output must carry input types."""
+    left = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                     "t": pa.array([10.0, 20.0, 15.0], pa.float64()),
+                     "lid": pa.array([100, 101, 102], pa.int64())})
+    right = pa.table({"k": pa.array([1, 2], pa.int64()),
+                      "t": pa.array([5.0, 14.0], pa.float64()),
+                      "rid": pa.array([7, 8], pa.int64())})
+    out = asof_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                    key="k", time_col="t", tie_col="rid")
+    sch = {f.name: str(f.type)
+           for f in out.schema().base_schema}
+    assert sch["lid"] == "int64" and sch["rid_r"] == "int64"
+    df = out.to_pandas().sort_values("lid").reset_index(drop=True)
+    assert df["rid_r"].tolist() == [7, 7, 8]
