@@ -211,6 +211,8 @@ def oracle_sql() -> dict[str, str]:
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,
+        "pip_poly": _sq.SQL_PIP_POLY,
+        "pip_shuffle": _sq.SQL_PIP_POLY,
         "lang_id": _tq.SQL_LANG_ID,
         "fingerprint": _tq.SQL_FINGERPRINT,
         "jaccard_pairs": _tq.SQL_JACCARD_PAIRS,

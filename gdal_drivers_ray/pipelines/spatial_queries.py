@@ -82,11 +82,48 @@ def _star_polygons(n: int = 8) -> list[tuple[int, list[np.ndarray]]]:
     return out
 
 
+def _pip_poly_sql() -> str:
+    """DuckDB twin of the CONCAVE-polygon PIP: the exact even-odd
+    crossing predicate of spatial.points_in_ring, evaluated edge-by-edge
+    (same expression tree, so IEEE double results are bit-identical; the
+    fixture's integer points never sit on the irrational star edges).
+    Proves the general ray-cast path — not just the rect fast path — at
+    hash level."""
+    rows = []
+    for pid, rings in _star_polygons():
+        ring = rings[0]
+        rx, ry = ring[:, 0], ring[:, 1]
+        for i in range(len(rx)):
+            j = (i + 1) % len(rx)
+            rows.append(f"({pid}, {rx[i]!r}, {ry[i]!r}, "
+                        f"{rx[j]!r}, {ry[j]!r})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH pts AS (
+  SELECT c_custkey AS point_id,
+         CAST((c_custkey * 13) % 1000 AS DOUBLE) AS x,
+         CAST((c_custkey * 29) % 900 AS DOUBLE) AS y
+  FROM customer
+), edges(poly_id, x1, y1, x2, y2) AS (
+  VALUES {values}
+), inside AS (
+  SELECT e.poly_id, p.point_id
+  FROM pts p JOIN edges e
+    ON ((e.y1 > p.y) != (e.y2 > p.y))
+   AND p.x < e.x1 + (p.y - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+  GROUP BY e.poly_id, p.point_id
+  HAVING count(*) % 2 = 1
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM inside GROUP BY poly_id
+"""
+
+
 def q_pip_poly(sf_dir: str) -> ray.data.Dataset:
     """General-polygon PIP with cell prefilter: customer points vs 8 seeded
-    star polygons -> match count per polygon (rows-only; ray-cast oracle
-    tested in tests/test_spatial.py; the rect fast path is SQL-checked as
-    pip_rect)."""
+    star polygons -> match count per polygon, SQL-checked against the
+    exact even-odd crossing predicate (see _pip_poly_sql)."""
     from ray.data.aggregate import Count
 
     matches = spatial.pip_join(_points(sf_dir), _star_polygons(), WORLD, lod=4)
@@ -160,3 +197,7 @@ def q_zonal_shuffle(sf_dir: str):
         "rings": pa.array([pack_rings(r) for _, r in polys],
                           pa.large_binary())}))
     return zonal_stats_shuffle(tiles, poly_ds, world, 2)
+
+
+# built after _star_polygons exists; shared by pip_poly and pip_shuffle
+SQL_PIP_POLY = _pip_poly_sql()
