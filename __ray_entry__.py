@@ -212,6 +212,8 @@ def oracle_sql() -> dict[str, str]:
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,
         "pip_poly": _sq.SQL_PIP_POLY,
+        "zonal_stats": _sq.SQL_ZONAL,
+        "zonal_shuffle": _sq.SQL_ZONAL,
         "pip_shuffle": _sq.SQL_PIP_POLY,
         "lang_id": _tq.SQL_LANG_ID,
         "fingerprint": _tq.SQL_FINGERPRINT,

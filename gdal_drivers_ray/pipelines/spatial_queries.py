@@ -152,9 +152,12 @@ def _zonal_fixture():
 
     from ..grid import Extents
 
-    rng = np.random.default_rng(13)
     world = Extents(0.0, 0.0, 1024.0, 1024.0)
-    full = rng.uniform(0, 100, (1024, 1024))
+    # integer-valued closed form of the pixel address: exact float64 sums
+    # in ANY aggregation order, and a SQL oracle can recompute every pixel
+    gx, gy = np.meshgrid(np.arange(1024, dtype=np.int64),
+                         np.arange(1024, dtype=np.int64))
+    full = ((gx * 7919 + gy * 104729) % 100001).astype(np.float64)
     rows = []
     for ty in range(4):
         for tx in range(4):
@@ -175,8 +178,10 @@ def _zonal_fixture():
 
 def q_zonal_stats(sf_dir: str):
     """Raster<->vector join: per-polygon pixel stats over a deterministic
-    4x4-tile raster (rows-only; exact parity vs the NumPy full-raster
-    oracle in tests/test_spatial.py)."""
+    4x4-tile raster. SQL-checked at hash level (the oracle recomputes
+    every pixel of the closed-form raster and applies the identical
+    crossing predicate, _zonal_sql); NumPy full-raster parity in
+    tests/test_spatial.py."""
     from ..stages.spatial import zonal_stats
 
     tiles, polys, world = _zonal_fixture()
@@ -185,8 +190,8 @@ def q_zonal_stats(sf_dir: str):
 
 def q_zonal_shuffle(sf_dir: str):
     """Same raster<->vector join through the both-sides-large plan
-    (polygons as a Dataset, cell cogroup) — stats must match q_zonal_stats
-    exactly (parity-tested in test_spatial.py)."""
+    (polygons as a Dataset, cell cogroup) — SQL-checked against the same
+    oracle as q_zonal_stats (and cross-plan parity-tested)."""
     import ray.data
 
     from ..stages.spatial import pack_rings, zonal_stats_shuffle
@@ -201,3 +206,48 @@ def q_zonal_shuffle(sf_dir: str):
 
 # built after _star_polygons exists; shared by pip_poly and pip_shuffle
 SQL_PIP_POLY = _pip_poly_sql()
+
+
+def _zonal_sql() -> str:
+    """DuckDB twin of the zonal raster<->vector join: recompute every
+    pixel of the closed-form fixture raster, apply the IDENTICAL even-odd
+    crossing predicate to the pixel centers (y is top-down:
+    y = 1023.5 - row), and aggregate. Pixel values are integers, so the
+    float64 sums are exact in any order — hash-stable across engines."""
+    _, polys, _ = _zonal_fixture()
+    rows = []
+    for pid, rings in polys:
+        for ring in rings:               # hole rings join the same parity
+            rx, ry = ring[:, 0], ring[:, 1]
+            for i in range(len(rx)):
+                j = (i + 1) % len(rx)
+                rows.append(f"({pid}, {rx[i]!r}, {ry[i]!r}, "
+                            f"{rx[j]!r}, {ry[j]!r})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH px AS (
+  SELECT CAST(i % 1024 AS BIGINT) AS gx,
+         CAST(i // 1024 AS BIGINT) AS gy,
+         ((i % 1024) * 7919 + (i // 1024) * 104729) % 100001 AS v
+  FROM range(1048576) t(i)
+), pts AS (
+  SELECT gx + 0.5 AS x, 1023.5 - gy AS y, CAST(v AS DOUBLE) AS v FROM px
+), edges(poly_id, x1, y1, x2, y2) AS (
+  VALUES {values}
+), inside AS (
+  SELECT e.poly_id, p.x, p.y, any_value(p.v) AS v
+  FROM pts p JOIN edges e
+    ON ((e.y1 > p.y) != (e.y2 > p.y))
+   AND p.x < e.x1 + (p.y - e.y1) / (e.y2 - e.y1) * (e.x2 - e.x1)
+  GROUP BY e.poly_id, p.x, p.y
+  HAVING count(*) % 2 = 1
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       CAST(count(*) AS BIGINT) AS n_px,
+       CAST(sum(v) AS DOUBLE) AS px_sum,
+       min(v) AS px_min, max(v) AS px_max
+FROM inside GROUP BY poly_id
+"""
+
+
+SQL_ZONAL = _zonal_sql()
