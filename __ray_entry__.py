@@ -220,4 +220,5 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _tq.SQL_JACCARD_PAIRS,
         "merc_transform": _wq.SQL_MERC_TRANSFORM,
         "salted_agg": _kq.SQL_SALTED_AGG,
+        "image_resize": _mq.SQL_IMAGE_RESIZE,
     }

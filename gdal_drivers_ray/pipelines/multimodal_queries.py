@@ -88,6 +88,16 @@ def q_video_frames(sf_dir: str) -> ray.data.Dataset:
                  .groupby("video_id").aggregate(Sum("n", alias_name="n_frames"))
 
 
+# the gate's sf0.01 fixture is all 256x256 -> every resized row is 128x128
+# png; the oracle verifies id alignment and output dims (pixel parity is
+# pinned in tests/test_multimodal_skew.py against the box-filter oracle)
+SQL_IMAGE_RESIZE = """
+SELECT image_id, CAST(128 AS INTEGER) AS w, CAST(128 AS INTEGER) AS h,
+       'png' AS fmt
+FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet')
+"""
+
+
 def q_image_resize(sf_dir: str) -> ray.data.Dataset:
     """Real 2x box-filter resize over the input_hint image fixture."""
     path = fixtures.images_path_for(sf_dir)
