@@ -182,3 +182,50 @@ def test_parse_tiles_batch_ray(ray_session):
     rows = feats.take_all()
     assert len(rows) == 20
     assert {r["layer"] for r in rows} == {f"l{i}" for i in range(20)}
+
+
+# --- property: wire codec round-trips arbitrary geometries ----------------
+
+from hypothesis import given, settings, strategies as st
+
+_coord = st.integers(0, 4096)
+_pt = st.tuples(_coord, _coord)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(_pt, min_size=1, max_size=12, unique=True))
+def test_point_roundtrip_property(pts):
+    g = mvt.geometry_stream([pts], mvt.GEOM_POINT)
+    buf = tile_with([{"type": mvt.GEOM_POINT, "geometry": g}])
+    rows = mvt.decode_tile(buf, extents=Extents(0, 0, 4096, 4096))
+    got = [(x, 4096.0 - y) for x, y in rows[0]["geometry"][0]]
+    assert got == pytest.approx([(float(x), float(y)) for x, y in pts])
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.lists(_pt, min_size=2, max_size=8, unique=True),
+                min_size=1, max_size=4))
+def test_linestring_roundtrip_property(parts):
+    g = mvt.geometry_stream(parts, mvt.GEOM_LINESTRING)
+    buf = tile_with([{"type": mvt.GEOM_LINESTRING, "geometry": g}])
+    rows = mvt.decode_tile(buf, extents=Extents(0, 0, 4096, 4096))
+    got = rows[0]["geometry"]
+    assert len(got) == len(parts)
+    for gp, wp in zip(got, parts):
+        back = [(x, 4096.0 - y) for x, y in gp]
+        assert back == pytest.approx([(float(x), float(y)) for x, y in wp])
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 3000), st.integers(0, 3000),
+       st.integers(1, 1000), st.integers(1, 1000))
+def test_rect_polygon_roundtrip_property(x0, y0, w, h):
+    ring = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h),
+            (x0, y0)]
+    g = mvt.geometry_stream([ring], mvt.GEOM_POLYGON)
+    buf = tile_with([{"type": mvt.GEOM_POLYGON, "geometry": g}])
+    rows = mvt.decode_tile(buf, extents=Extents(0, 0, 4096, 4096))
+    (got,) = rows[0]["geometry"]
+    assert got[0] == got[-1]                  # closePath restores closure
+    back = [(x, 4096.0 - y) for x, y in got]
+    assert back == pytest.approx([(float(x), float(y)) for x, y in ring])
