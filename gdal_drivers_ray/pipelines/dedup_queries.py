@@ -120,6 +120,8 @@ def q_ann_ivf_indexed(sf_dir: str):
                      for e in qt["embedding"].to_pylist()])
     tag = hashlib.blake2b(sf_dir.encode(), digest_size=6).hexdigest()
     idx_dir = f"/tmp/graft_out/ivf_index_{tag}"
+    # centroids.npy is written LAST by build_ivf_index — its presence
+    # means the cell files are all in place (interrupted builds rebuild)
     if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
         emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                     columns=["vec_id", "embedding"]) \

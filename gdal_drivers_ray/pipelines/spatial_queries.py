@@ -147,6 +147,17 @@ def q_pip_shuffle(sf_dir: str) -> ray.data.Dataset:
     return matches.groupby("poly_id").aggregate(Count(alias_name="n_points"))
 
 
+def _zonal_polys():
+    """Polygon list alone — import-time safe (no Ray, no raster)."""
+    return [
+        (1, [np.array([[100.0, 100.0], [700.0, 150.0], [300.0, 800.0]])]),
+        (2, [np.array([[500.0, 500.0], [1000.0, 500.0],
+                       [1000.0, 1000.0], [500.0, 1000.0]]),
+             np.array([[600.0, 600.0], [800.0, 600.0],
+                       [800.0, 800.0], [600.0, 800.0]])]),
+    ]
+
+
 def _zonal_fixture():
     import ray.data
 
@@ -166,14 +177,7 @@ def _zonal_fixture():
                          "valid_w": 256, "valid_h": 256, "dtype": "float64",
                          "px": block.tobytes()})
     tiles = ray.data.from_items(rows)
-    polys = [
-        (1, [np.array([[100.0, 100.0], [700.0, 150.0], [300.0, 800.0]])]),
-        (2, [np.array([[500.0, 500.0], [1000.0, 500.0],
-                       [1000.0, 1000.0], [500.0, 1000.0]]),
-             np.array([[600.0, 600.0], [800.0, 600.0],
-                       [800.0, 800.0], [600.0, 800.0]])]),
-    ]
-    return tiles, polys, world
+    return tiles, _zonal_polys(), world
 
 
 def q_zonal_stats(sf_dir: str):
@@ -214,7 +218,7 @@ def _zonal_sql() -> str:
     crossing predicate to the pixel centers (y is top-down:
     y = 1023.5 - row), and aggregate. Pixel values are integers, so the
     float64 sums are exact in any order — hash-stable across engines."""
-    _, polys, _ = _zonal_fixture()
+    polys = _zonal_polys()
     rows = []
     for pid, rings in polys:
         for ring in rings:               # hole rings join the same parity

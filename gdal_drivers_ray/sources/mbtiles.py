@@ -30,6 +30,15 @@ import ray.data
 from ..grid import pack_zxy
 from .tilestore import _gunzip_col, parse_requests
 
+def shard_of(z, c, r, num_shards: int):
+    """The sink's shard CONTRACT in one place (overflow-free mix —
+    coords < 2^29 keep products < 2^61): resumers, routed lookups and SQL
+    oracles all recompute exactly this."""
+    return (np.asarray(c, np.int64) * np.int64(2654435761)
+            + np.asarray(r, np.int64) * np.int64(40503)
+            + np.asarray(z, np.int64)) % np.int64(num_shards)
+
+
 MBTILES_SCHEMA = """
 CREATE TABLE IF NOT EXISTS metadata (name TEXT, value TEXT);
 CREATE TABLE IF NOT EXISTS tiles (
@@ -107,7 +116,11 @@ class MbtilesLookup:
                 self.store = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        b = parse_requests(batch)
+        return self._lookup_parsed(parse_requests(batch))
+
+    def _lookup_parsed(self, b: pa.Table) -> pa.Table:
+        """Resolve an ALREADY-PARSED request table (parse_requests
+        output) — lets routed lookups parse once, not per shard."""
         # object dtype: a fixed-width numpy string array would TRUNCATE
         # 'not_found' to the width of the longest initial status
         status = np.asarray(b["status"].to_pylist(), dtype=object)
@@ -189,14 +202,8 @@ def write_mbtiles_shards(tiles: ray.data.Dataset, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
 
     def add_shard(b: pa.Table) -> pa.Table:
-        # overflow-free mix (coords < 2^29 keep products < 2^61): the
-        # shard function is part of the sink's CONTRACT — resumers and
-        # SQL oracles recompute it exactly
-        z = b["zoom"].to_numpy().astype(np.int64)
-        c = b["col"].to_numpy().astype(np.int64)
-        r = b["row"].to_numpy().astype(np.int64)
-        shard = (c * np.int64(2654435761) + r * np.int64(40503) + z) \
-            % np.int64(num_shards)
+        shard = shard_of(b["zoom"].to_numpy(), b["col"].to_numpy(),
+                         b["row"].to_numpy(), num_shards)
         return b.append_column("shard", pa.array(shard))
 
     def write_shard(g):
@@ -280,40 +287,44 @@ class MbtilesShardedLookup:
     def __init__(self, shard_dir: str, num_shards: int,
                  preload_limit: int | None = None):
         self.num_shards = num_shards
+        # the preload budget is PER ACTOR, not per shard: divide it so
+        # opening all shards cannot multiply resident memory by the
+        # shard count (the big-archive point-query guard stays effective)
+        total = (MbtilesLookup.PRELOAD_LIMIT if preload_limit is None
+                 else preload_limit)
+        per_shard = total // max(num_shards, 1)
         self.lookups: dict[int, MbtilesLookup] = {}
         for k in range(num_shards):
             p = os.path.join(shard_dir, f"shard-{k:05d}.mbtiles")
             if os.path.exists(p):
-                self.lookups[k] = MbtilesLookup(p, preload_limit)
+                self.lookups[k] = MbtilesLookup(p, per_shard)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        parsed = parse_requests(batch)
+        parsed = parse_requests(batch)           # parse ONCE; route below
         skey = parsed["skey"].to_numpy()
         z = skey >> 58
         c = skey & ((np.int64(1) << 29) - 1)
         r = (skey >> 29) & ((np.int64(1) << 29) - 1)  # stored TMS row
-        shard = (c * np.int64(2654435761) + r * np.int64(40503) + z) \
-            % np.int64(self.num_shards)
+        shard = shard_of(z, c, r, self.num_shards)
         shard[skey < 0] = -1                      # bad/oob rows route nowhere
         pieces, order = [], []
         for s in np.unique(shard):
             idx = np.nonzero(shard == s)[0]
-            sub = batch.take(pa.array(idx, pa.int64()))
+            sub = parsed.take(pa.array(idx, pa.int64()))
             lk = self.lookups.get(int(s))
             if lk is None:                        # absent shard / bad keys
-                sp = parse_requests(sub)
                 status = [("not_found" if st == "ok" else st)
-                          for st in sp["status"].to_pylist()]
-                i = sp.schema.get_field_index("status")
-                out = sp.set_column(i, "status", pa.array(status)) \
+                          for st in sub["status"].to_pylist()]
+                i = sub.schema.get_field_index("status")
+                out = sub.set_column(i, "status", pa.array(status)) \
                     .append_column("tile_data",
                                    pa.nulls(sub.num_rows, pa.large_binary()))
             else:
-                out = lk(sub)
+                out = lk._lookup_parsed(sub)
             pieces.append(out)
             order.append(idx)
         if not pieces:
-            return parse_requests(batch).append_column(
+            return parsed.append_column(
                 "tile_data", pa.nulls(0, pa.large_binary()))
         combined = pa.concat_tables(pieces)
         back = np.empty(batch.num_rows, dtype=np.int64)
@@ -324,7 +335,9 @@ class MbtilesShardedLookup:
 def lookup_mbtiles_sharded(requests: ray.data.Dataset, shard_dir: str,
                            num_shards: int, path_col: str = "path",
                            concurrency: tuple[int, int] = (1, 12),
-                           batch_size: int = 4096) -> ray.data.Dataset:
+                           batch_size: int = 4096,
+                           preload_limit: int | None = None
+                           ) -> ray.data.Dataset:
     """Request paths ⋈ a sharded archive directory (see write_mbtiles_shards).
     Same output contract as lookup_mbtiles."""
     if path_col != "path":
@@ -333,7 +346,8 @@ def lookup_mbtiles_sharded(requests: ray.data.Dataset, shard_dir: str,
                 [("path" if c == path_col else c) for c in b.column_names]),
             batch_format="pyarrow")
     return requests.map_batches(MbtilesShardedLookup,
-                                fn_constructor_args=(shard_dir, num_shards),
+                                fn_constructor_args=(shard_dir, num_shards,
+                                                     preload_limit),
                                 batch_format="pyarrow",
                                 batch_size=batch_size,
                                 concurrency=concurrency)

@@ -267,7 +267,6 @@ def build_ivf_index(emb: ray.data.Dataset, out_dir: str, *,
 
     os.makedirs(out_dir, exist_ok=True)
     cent = _train_from_dataset(emb, n_cells, sample_n)
-    np.save(os.path.join(out_dir, "centroids.npy"), cent)
     cent_ref = ray.put(cent)
 
     assigned = emb.map_batches(IvfAssign, fn_constructor_args=(cent_ref,),
@@ -300,9 +299,14 @@ def build_ivf_index(emb: ray.data.Dataset, out_dir: str, *,
                              "n_vecs": [o[1] for o in out],
                              "path": [o[2] for o in out]})
 
-    return partitioned_groups(assigned, ["cell"],
-                              num_partitions=min(n_cells, 16)) \
+    manifest = partitioned_groups(assigned, ["cell"],
+                                  num_partitions=min(n_cells, 16)) \
         .map_groups(write_cells, batch_format="pandas").to_pandas()
+    # centroids are written LAST: their presence is the build-complete
+    # marker (an interrupted build must never be mistaken for an index —
+    # query_ivf_index silently skips missing cell files by design)
+    np.save(os.path.join(out_dir, "centroids.npy"), cent)
+    return manifest
 
 
 def query_ivf_index(index_dir: str, query_ids: np.ndarray, qmat: np.ndarray,

@@ -180,17 +180,16 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return pa.Table.from_pandas(m, schema=out_schema,
                                     preserve_index=False)
 
-    joined = lt.union(rt).groupby("_part").map_groups(
-        join_part, batch_format="pyarrow")
-
-    # A typed empty seed block pins the declared output schema for
-    # schema inspection even when no partition matches. Note a Ray Data
-    # framework quirk outside this operator's control: empty partitions
+    # Ray Data quirk outside this operator's control: empty partitions
     # emit SCHEMALESS empty blocks and Ray SKIPS map UDFs on empty
-    # blocks entirely (verified), so an all-empty result's to_pandas()
-    # may still render zero columns. Every non-empty result carries the
-    # declared schema (join_part casts each block).
-    return ray.data.from_arrow(out_schema.empty_table()).union(joined)
+    # blocks entirely (verified), so an ALL-EMPTY result's to_pandas()
+    # may render zero columns. Every non-empty result carries the
+    # declared out_schema (join_part casts each block). A typed seed
+    # block was tried and reverted: it fires a schema-mismatch warning
+    # on every downstream execution and forces an eager ray.put at plan
+    # construction.
+    return lt.union(rt).groupby("_part").map_groups(
+        join_part, batch_format="pyarrow")
 
 
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,

@@ -25,7 +25,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @settings(max_examples=25, deadline=None)
 @given(_keys, _keys, st.sampled_from(["inner", "left"]))
-def test_cogroup_join_matches_pandas(lk, rk, how):
+def test_cogroup_join_matches_pandas(ray_session, lk, rk, how):
     left = pd.DataFrame({"k": np.asarray(lk, np.int64),
                          "lv": np.arange(len(lk), dtype=np.int64)})
     right = pd.DataFrame({"k": np.asarray(rk, np.int64),
