@@ -322,7 +322,12 @@ def _mbtiles_fixture(sf_dir: str) -> str:
     order = np.argsort(payload, kind="stable")
     rows = [(int(z[i]), int(col[i]), int(row_tms[i]),
              str(int(payload[i])).encode()) for i in order]
-    return write_mbtiles(path, rows)
+    # tmp + atomic rename: an interrupted build must never leave a partial
+    # archive that os.path.exists() would reuse forever (the
+    # write_mbtiles_shards / _cached_table pattern)
+    write_mbtiles(path + ".tmp", rows)
+    os.replace(path + ".tmp", path)
+    return path
 
 
 def q_mbtiles_sink(sf_dir: str) -> ray.data.Dataset:
@@ -1055,7 +1060,9 @@ def q_topk_orders(sf_dir: str) -> ray.data.Dataset:
     out = parts.sort_values(["price_cents", "o_orderkey"],
                             ascending=[False, True],
                             kind="stable").head(100).reset_index(drop=True)
-    return pa.Table.from_pandas(out, preserve_index=False)
+    # keep the queries() contract uniform: every entry returns a Dataset
+    return ray.data.from_arrow(pa.Table.from_pandas(out,
+                                                    preserve_index=False))
 
 
 def q_group_topk(sf_dir: str) -> ray.data.Dataset:

@@ -95,8 +95,10 @@ def _pip_poly_sql() -> str:
         rx, ry = ring[:, 0], ring[:, 1]
         for i in range(len(rx)):
             j = (i + 1) % len(rx)
-            rows.append(f"({pid}, {rx[i]!r}, {ry[i]!r}, "
-                        f"{rx[j]!r}, {ry[j]!r})")
+            # float() first: repr(np.float64) under NumPy >= 2.0 renders
+            # 'np.float64(1.5)' — invalid SQL; builtin float repr is stable
+            rows.append(f"({pid}, {float(rx[i])!r}, {float(ry[i])!r}, "
+                        f"{float(rx[j])!r}, {float(ry[j])!r})")
     values = ",\n    ".join(rows)
     return f"""
 WITH pts AS (
@@ -225,8 +227,8 @@ def _zonal_sql() -> str:
             rx, ry = ring[:, 0], ring[:, 1]
             for i in range(len(rx)):
                 j = (i + 1) % len(rx)
-                rows.append(f"({pid}, {rx[i]!r}, {ry[i]!r}, "
-                            f"{rx[j]!r}, {ry[j]!r})")
+                rows.append(f"({pid}, {float(rx[i])!r}, {float(ry[i])!r}, "
+                            f"{float(rx[j])!r}, {float(ry[j])!r})")
     values = ",\n    ".join(rows)
     return f"""
 WITH px AS (

@@ -85,9 +85,13 @@ class MbtilesLookup:
     and reused for every batch (T5 done right; the reference reconnects
     per tile)."""
 
-    PRELOAD_LIMIT = 1_000_000  # tiles; ~payload-bound, per-actor memory
+    PRELOAD_LIMIT = 1_000_000        # tiles (secondary cap)
+    PRELOAD_BYTES = 256 * 1024 * 1024  # payload bytes; the REAL budget —
+    # 1M tiles at the typical 64-512 KiB payload would be tens of GB per
+    # actor, so the preload decision keys on sum(length(tile_data))
 
-    def __init__(self, db_path: str, preload_limit: int | None = None):
+    def __init__(self, db_path: str, preload_limit: int | None = None,
+                 preload_bytes: int | None = None):
         self.con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True,
                                    check_same_thread=False)
         self.q = ("SELECT tile_data FROM tiles WHERE zoom_level=? "
@@ -97,12 +101,15 @@ class MbtilesLookup:
         # the point-query path — the per-lookup cost model of the
         # reference, minus its reconnect
         limit = self.PRELOAD_LIMIT if preload_limit is None else preload_limit
-        n = self.con.execute("SELECT count(*) FROM tiles").fetchone()[0]
+        budget = self.PRELOAD_BYTES if preload_bytes is None else preload_bytes
+        n, nbytes = self.con.execute(
+            "SELECT count(*), coalesce(sum(length(tile_data)), 0) "
+            "FROM tiles").fetchone()
         # keyed by the same packed int64 as parse_requests' skey column, so
         # batch lookups are dict gets on DISTINCT keys only, no per-row
         # tuple building
         self.store: dict[int, bytes] | None = None
-        if n <= limit:
+        if n <= limit and nbytes <= budget:
             rows = self.con.execute(
                 "SELECT zoom_level, tile_column, tile_row, tile_data "
                 "FROM tiles").fetchall()
@@ -285,19 +292,24 @@ class MbtilesShardedLookup:
     file."""
 
     def __init__(self, shard_dir: str, num_shards: int,
-                 preload_limit: int | None = None):
+                 preload_limit: int | None = None,
+                 preload_bytes: int | None = None):
         self.num_shards = num_shards
         # the preload budget is PER ACTOR, not per shard: divide it so
         # opening all shards cannot multiply resident memory by the
         # shard count (the big-archive point-query guard stays effective)
         total = (MbtilesLookup.PRELOAD_LIMIT if preload_limit is None
                  else preload_limit)
+        total_bytes = (MbtilesLookup.PRELOAD_BYTES if preload_bytes is None
+                       else preload_bytes)
         per_shard = total // max(num_shards, 1)
+        per_shard_bytes = total_bytes // max(num_shards, 1)
         self.lookups: dict[int, MbtilesLookup] = {}
         for k in range(num_shards):
             p = os.path.join(shard_dir, f"shard-{k:05d}.mbtiles")
             if os.path.exists(p):
-                self.lookups[k] = MbtilesLookup(p, per_shard)
+                self.lookups[k] = MbtilesLookup(p, per_shard,
+                                                per_shard_bytes)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parsed = parse_requests(batch)           # parse ONCE; route below

@@ -252,29 +252,35 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
             _asof_carry_rows(left, right, key, time_col, tie_col,
                              bucket_of, lsch, lcols, RT, RK, rt_t, rk_t))
 
-    def match(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0]
-        rg = g[g["_side"] == 1].sort_values([RT, RK], kind="stable")
-        if lg.empty or rg.empty:
-            cols = {c: pd.Series([], dtype=g[c].dtype) for c in lcols}
-            cols[time_col + suffix] = pd.Series([], dtype=g[RT].dtype)
-            cols[tie_col + suffix] = pd.Series([], dtype=g[RK].dtype)
-            return pd.DataFrame(cols)
-        rts = rg[RT].to_numpy()
-        pos = np.searchsorted(rts, lg[time_col].to_numpy(),
-                              side="right") - 1
-        ok = pos >= 0
-        out = lg.loc[ok, lcols].reset_index(drop=True)
-        out[time_col + suffix] = rts[pos[ok]]
-        out[tie_col + suffix] = rg[RK].to_numpy()[pos[ok]]
-        return out
-
-    # the pandas group view upcasts int columns holding the union's null
-    # markers to float64; cast the matched rows back to the DECLARED
-    # left/right schema so output types equal input types
     out_schema = pa.schema(
         [(c, lsch.field(c).type) for c in lcols]
         + [(time_col + suffix, rt_t), (tie_col + suffix, rk_t)])
+
+    # ARROW-native match: a pandas group view would upcast the int64
+    # time/tie columns (they hold the union's cross-side nulls) to
+    # float64, silently rounding values above 2^53 (epoch-nanosecond
+    # timestamps, 64-bit hash ids) BEFORE any cast-back could help.
+    # Filtering sides in Arrow first keeps every value exact.
+    def match(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        lmask = pc.equal(g["_side"], 0)
+        lg = g.filter(lmask)
+        rg = g.filter(pc.invert(lmask))
+        if lg.num_rows == 0 or rg.num_rows == 0:
+            return out_schema.empty_table()
+        rt = rg[RT].to_numpy(zero_copy_only=False)
+        rk = rg[RK].to_numpy(zero_copy_only=False)
+        order = np.lexsort((rk, rt))
+        rts, rks = rt[order], rk[order]
+        pos = np.searchsorted(rts, lg[time_col].to_numpy(),
+                              side="right") - 1
+        ok = pos >= 0
+        sel = np.nonzero(ok)[0]
+        out = lg.take(pa.array(sel, pa.int64())).select(lcols)
+        out = out.append_column(time_col + suffix,
+                                pa.array(rts[pos[sel]]).cast(rt_t))
+        return out.append_column(tie_col + suffix,
+                                 pa.array(rks[pos[sel]]).cast(rk_t))
 
     def cast_out(b: pa.Table) -> pa.Table:
         if any(n not in b.column_names for n in out_schema.names):
@@ -285,7 +291,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     # coalesce the tagged union (2-3 sources x 64 blocks of narrow rows)
     # before the sort-based groupby — scheduling cost scales with blocks
     return tagged.repartition(16).groupby([key, "_bucket"]).map_groups(
-        match, batch_format="pandas").map_batches(
+        match, batch_format="pyarrow").map_batches(
         cast_out, batch_format="pyarrow")
 
 
@@ -297,52 +303,95 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
     occupies, one synthetic right row holding the latest right from any
     earlier bucket. Everything here is key/time/tie columns only — no
     payload moves twice."""
-    import pandas as pd
+    key_t = lsch.field(key).type
+
+    # NaN markers would force RT/RK through float64 (rounding int64 times
+    # above 2^53); instead carry an explicit _m marker column and keep
+    # RT/RK in their declared Arrow types end-to-end, with typed zero
+    # placeholders on marker rows.
+    def _summary_empty() -> pa.Table:
+        return pa.schema([(key, key_t), ("_bucket", pa.int64()),
+                          (RT, rt_t), (RK, rk_t),
+                          ("_m", pa.int8())]).empty_table()
 
     def right_summary(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            key: b[key].to_numpy(),
-            "_bucket": bucket_of(b[time_col].to_numpy()),
-            RT: b[time_col].to_numpy(), RK: b[tie_col].to_numpy()})
-        g = df.sort_values([RT, RK]).groupby([key, "_bucket"],
-                                             as_index=False).last()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        if b.num_rows == 0:
+            return _summary_empty()
+        kv = b[key].to_numpy()
+        bk = bucket_of(b[time_col].to_numpy())
+        rt = b[time_col].to_numpy()
+        rk = b[tie_col].to_numpy()
+        # latest (rt, rk) per (key, bucket): lexsort + last-of-group
+        order = np.lexsort((rk, rt, bk, kv))
+        kv, bk, rt, rk = kv[order], bk[order], rt[order], rk[order]
+        grp = (kv[1:] != kv[:-1]) | (bk[1:] != bk[:-1])
+        last = np.concatenate((np.nonzero(grp)[0], [len(kv) - 1]))
+        return pa.table({
+            key: pa.array(kv[last]).cast(key_t),
+            "_bucket": pa.array(bk[last], pa.int64()),
+            RT: pa.array(rt[last]).cast(rt_t),
+            RK: pa.array(rk[last]).cast(rk_t),
+            "_m": pa.array(np.zeros(len(last), dtype=np.int8))})
 
     def left_buckets(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({key: b[key].to_numpy(),
-                           "_bucket": bucket_of(b[time_col].to_numpy())})
-        g = df.drop_duplicates()
-        g[RT] = pd.Series([None] * len(g), dtype="float64")
-        g[RK] = pd.Series([None] * len(g), dtype="float64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        if b.num_rows == 0:
+            return _summary_empty()
+        kv = b[key].to_numpy()
+        bk = bucket_of(b[time_col].to_numpy())
+        order = np.lexsort((bk, kv))
+        kv, bk = kv[order], bk[order]
+        first = np.concatenate(
+            ([True], (kv[1:] != kv[:-1]) | (bk[1:] != bk[:-1])))
+        kv, bk = kv[first], bk[first]
+        n = len(kv)
+        return pa.table({
+            key: pa.array(kv).cast(key_t),
+            "_bucket": pa.array(bk, pa.int64()),
+            RT: pa.array(np.zeros(n, np.int64)).cast(rt_t),
+            RK: pa.array(np.zeros(n, np.int64)).cast(rk_t),
+            "_m": pa.array(np.ones(n, dtype=np.int8))})
 
     rsum = right.map_batches(right_summary, batch_format="pyarrow")
     lbuk = left.map_batches(left_buckets, batch_format="pyarrow")
 
-    def carry(g: pd.DataFrame) -> pd.DataFrame:
-        kval = g[key].iloc[0]
-        out_rows = []
-        best = None                      # (time, tie) of latest earlier right
-        for b in sorted(g["_bucket"].unique()):
-            sub = g[g["_bucket"] == b]
-            # left markers of bucket b see only rights of buckets < b
-            if sub[RT].isna().any() and best is not None:
-                out_rows.append((kval, int(b), best[0], best[1]))
-            rights = sub.dropna(subset=[RT])
-            if len(rights):
-                rr = rights.sort_values([RT, RK]).iloc[-1]
-                cand = (rr[RT], rr[RK])
+    def carry(g: pa.Table) -> pa.Table:
+        kv = g[key].to_numpy()
+        bk = g["_bucket"].to_numpy()
+        rt = g[RT].to_numpy(zero_copy_only=False)
+        rk = g[RK].to_numpy(zero_copy_only=False)
+        mk = g["_m"].to_numpy()
+        # markers first within a bucket: a bucket's marker sees only
+        # rights of strictly EARLIER buckets
+        order = np.lexsort((-mk, bk, kv))
+        out_k, out_b, out_t, out_tie = [], [], [], []
+        best: tuple | None = None
+        prev_key = None
+        for i in order:
+            if kv[i] != prev_key:
+                prev_key = kv[i]
+                best = None
+            if mk[i]:
+                if best is not None:
+                    out_k.append(kv[i])
+                    out_b.append(int(bk[i]))
+                    out_t.append(best[0])
+                    out_tie.append(best[1])
+            else:
+                cand = (rt[i], rk[i])
                 if best is None or cand >= best:
                     best = cand
-        if not out_rows:
-            return pd.DataFrame({key: pd.Series([], dtype=g[key].dtype),
-                                 "_bucket": pd.Series([], dtype=np.int64),
-                                 RT: pd.Series([], dtype=np.float64),
-                                 RK: pd.Series([], dtype=np.float64)})
-        return pd.DataFrame(out_rows, columns=[key, "_bucket", RT, RK])
+        return pa.table({
+            key: pa.array(out_k, key_t),
+            "_bucket": pa.array(out_b, pa.int64()),
+            RT: pa.array(out_t).cast(rt_t) if out_t
+            else pa.nulls(0, rt_t),
+            RK: pa.array(out_tie).cast(rk_t) if out_tie
+            else pa.nulls(0, rk_t)})
 
+    # groupby(key) keeps non-integer keys working; carry() itself walks
+    # multiple keys per group, so a partition-level groupby would also do
     carries = rsum.union(lbuk).groupby(key).map_groups(
-        carry, batch_format="pandas")
+        carry, batch_format="pyarrow")
 
     def expand(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -351,8 +400,8 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
             cols[c] = b[c] if c == key else pa.nulls(n, lsch.field(c).type)
         cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
         cols["_bucket"] = b["_bucket"].cast(pa.int64())
-        cols[RT] = b[RT].cast(rt_t)    # float round-trip from the pandas
-        cols[RK] = b[RK].cast(rk_t)    # NaN markers -> original types
+        cols[RT] = b[RT].cast(rt_t)
+        cols[RK] = b[RK].cast(rk_t)
         return pa.table(cols)
 
     return carries.map_batches(expand, batch_format="pyarrow")

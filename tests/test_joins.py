@@ -65,3 +65,30 @@ def test_asof_join_output_dtypes_are_input_dtypes(ray_session):
     assert sch["lid"] == "int64" and sch["rid_r"] == "int64"
     df = out.to_pandas().sort_values("lid").reset_index(drop=True)
     assert df["rid_r"].tolist() == [7, 7, 8]
+
+
+def test_asof_join_int64_above_2_53_exact(ray_session):
+    """Regression (round-3 advice): bucketed carry rows used to round-trip
+    int64 times/ties through float64 NaN markers, silently rounding values
+    above 2^53 (epoch-ns timestamps, 64-bit hash ids). Exactness must hold
+    on BOTH plans — plain and bucketed — and the carry path must actually
+    fire (right row in an earlier bucket than its left match)."""
+    BIG = (1 << 60) + 12345            # not representable in float64
+    lt = np.array([BIG + 5_000, BIG + 9_000, BIG + 10], np.int64)
+    left = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                     "t": pa.array(lt, pa.int64()),
+                     "lid": pa.array([0, 1, 2], pa.int64())})
+    rt = np.array([BIG + 1, BIG + 7_000, BIG + 3], np.int64)
+    rid = np.array([BIG + 11, BIG + 13, BIG + 17], np.int64)
+    right = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                      "t": pa.array(rt, pa.int64()),
+                      "rid": pa.array(rid, pa.int64())})
+    for bw in (None, 1000.0):          # bucket 1000 splits k=1's history
+        out = asof_join(ray.data.from_arrow(left),
+                        ray.data.from_arrow(right),
+                        key="k", time_col="t", tie_col="rid",
+                        bucket_width=bw) \
+            .to_pandas().sort_values("lid").reset_index(drop=True)
+        assert out["t_r"].tolist() == [BIG + 1, BIG + 7_000, BIG + 3], bw
+        assert out["rid_r"].tolist() == [BIG + 11, BIG + 13, BIG + 17], bw
+        assert out["t"].tolist() == lt.tolist(), bw
