@@ -207,6 +207,18 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _q.SQL_SET_OPS,
         "group_quantile": _q.SQL_GROUP_QUANTILE,
         "knn_brute": _q.SQL_KNN_BRUTE,
+        # raster generator sources: closed-form / independently re-derived
+        "solid_tiles": _rq.SQL_SOLID_TILES,
+        "solid_copy": _rq.SQL_SOLID_COPY,
+        "lod_pyramid": _rq.SQL_LOD_PYRAMID,
+        "mask_tiles": _rq.SQL_MASK_TILES,
+        # blend mosaic: whole-raster NumPy-oracle checksums as VALUES
+        "blend_mosaic": _bq.SQL_BLEND,
+        "blend_shuffle": _bq.SQL_BLEND,
+        # vector path: closed-form fixture math / independent cover counts
+        "mvt_pipeline": _vq.SQL_MVT_PIPELINE,
+        "mvt_errors": _vq.SQL_MVT_ERRORS,
+        "vector_tiling": _vq.SQL_VECTOR_TILING,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,

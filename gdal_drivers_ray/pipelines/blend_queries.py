@@ -1,5 +1,8 @@
-"""Rows-only query entry for the blend mosaic pipeline (blender.cpp
-semantics; NumPy-oracle tested in tests/test_blend.py)."""
+"""Query entries for the blend mosaic pipeline (blender.cpp semantics),
+SQL-checked: the oracle embeds per-tile-row checksums computed by the
+WHOLE-RASTER NumPy oracle (stages.blend.blend_oracle — one accumulation
+over the full output, no tile decomposition, no shuffle, no Ray), so any
+drift in the distributed J1 join / A1-A3 aggregation paths hash-fails."""
 
 from __future__ import annotations
 
@@ -57,7 +60,7 @@ def _blend_stats(tiles: ray.data.Dataset) -> ray.data.Dataset:
             msk = np.frombuffer(m, np.uint8).reshape(256, 256)
             sums.append(int(arr[:vh, :vw].astype(np.int64).sum()))
             valid.append(int((msk[:vh, :vw] == 255).sum()))
-        return pa.table({"tile_y": b["tile_y"],
+        return pa.table({"tile_y": b["tile_y"].cast(pa.int64()),
                          "px_sum": pa.array(sums, pa.int64()),
                          "valid_px": pa.array(valid, pa.int64())})
 
@@ -65,3 +68,32 @@ def _blend_stats(tiles: ray.data.Dataset) -> ray.data.Dataset:
                 .groupby("tile_y").aggregate(
                     Sum("px_sum", alias_name="px_sum"),
                     Sum("valid_px", alias_name="valid_px"))
+
+
+def _sql_blend() -> str:
+    """Whole-raster render of the fixture mosaic -> per-tile-row sums as a
+    VALUES table. blend_oracle accumulates every source over the FULL
+    output extents in one shot — the 256x256 tiling, the tile x source
+    join (both physical plans) and the groupby reduction under test play
+    no part in producing these numbers."""
+    spec, sources = _fixture_mosaic()
+    plan = bl.plan_blend(spec, sources)
+    out, vmask = bl.blend_oracle(plan, sources)
+    if out.ndim == 3:
+        out = out[:, :, 0]
+    nx, ny = plan.size
+    rows = []
+    for ty in range((ny + 255) // 256):
+        band = slice(ty * 256, min((ty + 1) * 256, ny))
+        rows.append(f"({ty}, {int(out[band].astype(np.int64).sum())}, "
+                    f"{int((vmask[band] == 255).sum())})")
+    values = ",\n    ".join(rows)
+    return f"""
+SELECT CAST(tile_y AS BIGINT) AS tile_y,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(valid_px AS BIGINT) AS valid_px
+FROM (VALUES {values}) t(tile_y, px_sum, valid_px)
+"""
+
+
+SQL_BLEND = _sql_blend()

@@ -85,6 +85,40 @@ def q_mvt_errors(sf_dir: str) -> ray.data.Dataset:
     return tilestore.lookup(reqs, store).groupby("status").count()
 
 
+# closed-form twin of q_mvt_pipeline, derived from the fixture DEFINITION
+# (one pts feature of 1+(c+r)%4 points and one closed 5-vertex square
+# polygon per tile; fid coalesces to the 'id' attribute for pts,
+# mvt.cpp:569-581, and to feature.id = c for polys): per (layer,
+# geom_type) the feature count, decoded vertex count (closePath re-appends
+# the start point, mvt.cpp:316-349) and max fid are SQL over the tile grid
+SQL_MVT_PIPELINE = """
+WITH tiles AS (
+  SELECT c.g AS c, r.g AS r
+  FROM generate_series(0, 7) c(g), generate_series(0, 7) r(g)
+)
+SELECT 'pts' AS layer, CAST(1 AS BIGINT) AS geom_type,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(1 + (c + r) % 4) AS BIGINT) AS n_vertices,
+       CAST(max(c * 8 + r) AS BIGINT) AS max_fid
+FROM tiles
+UNION ALL
+SELECT 'polys', CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(count(*) * 5 AS BIGINT), CAST(max(c) AS BIGINT)
+FROM tiles
+"""
+
+# the request stream is 64 valid keys + three planted errors whose
+# statuses follow the strict-parse / bounds / lookup rules of
+# detail/mbtiles.cpp:63-110 and :146-151: '3-9-0' exceeds 2^3-1 ->
+# out_of_bounds, '3-01-2' has a leading zero -> bad_key, '4-1-1' names a
+# zoom absent from the store -> not_found
+SQL_MVT_ERRORS = """
+SELECT status, CAST(n AS BIGINT) AS "count()"
+FROM (VALUES ('ok', 64), ('bad_key', 1), ('not_found', 1),
+             ('out_of_bounds', 1)) t(status, n)
+"""
+
+
 def q_vector_tiling(sf_dir: str):
     """Inverse vector path: deterministic features -> MVT tiles
     (flat_map cover -> groupby(tile) encode) -> decode back -> per-tile
@@ -142,3 +176,47 @@ def q_vector_tiling(sf_dir: str):
                          "n": pa.array(out["n"], pa.int64())})
 
     return store.map_batches(decode_counts, batch_format="pyarrow")
+
+
+def _sql_vector_tiling() -> str:
+    """Independent cover re-derivation for q_vector_tiling: regenerate the
+    seeded features and count, per (tile, layer), the features whose bbox
+    touches the tile — straight floor/clamp interval math on the 4x4 grid
+    plus the TMS row flip. None of stages/vectortile.py (cover flat_map,
+    groupby encode, MVT codec) is involved; a feature lost or duplicated
+    anywhere in build_tiles -> decode_tile would shift a count."""
+    import collections
+
+    rng = np.random.default_rng(21)
+    counts: dict[tuple[int, int, str], int] = collections.Counter()
+    side, tw = 4, 256.0
+    for i in range(200):
+        x, y = rng.uniform(0, 1024, 2)
+        if i % 3 == 0:
+            xs, ys = [x], [y]
+        elif i % 3 == 1:
+            xs = [x, min(x + 50, 1023)]
+            ys = [y, min(y + 30, 1023)]
+        else:
+            s = 40.0
+            xs = [x, min(x + s, 1023), min(x + s, 1023), x, x]
+            ys = [y, y, min(y + s, 1023), min(y + s, 1023), y]
+        layer = ["pts", "lines", "polys"][i % 3]
+        tx0 = max(0, int(np.floor(min(xs) / tw)))
+        tx1 = min(side - 1, int(np.floor(max(xs) / tw)))
+        ty0 = max(0, int(np.floor((1024.0 - max(ys)) / tw)))
+        ty1 = min(side - 1, int(np.floor((1024.0 - min(ys)) / tw)))
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                counts[(tx, side - 1 - ty, layer)] += 1
+    rows = [f"({tx}, {row}, '{layer}', {n})"
+            for (tx, row, layer), n in sorted(counts.items())]
+    values = ",\n    ".join(rows)
+    return f"""
+SELECT CAST(2 AS INTEGER) AS zoom, CAST(col AS INTEGER) AS col,
+       CAST(row AS INTEGER) AS row, layer, CAST(n AS BIGINT) AS n
+FROM (VALUES {values}) t(col, row, layer, n)
+"""
+
+
+SQL_VECTOR_TILING = _sql_vector_tiling()
