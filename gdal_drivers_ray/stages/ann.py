@@ -35,6 +35,99 @@ def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return out
 
 
+def _vec_matrix(col, dim: int) -> np.ndarray:
+    """(n, dim) float64 matrix from a column of packed-float64 binary
+    blobs, zero-copy when the Arrow data buffer is contiguous and every
+    blob is exactly dim*8 bytes (always true for our writers); falls back
+    to a per-row frombuffer loop otherwise."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty((0, dim), np.float64)
+    try:
+        width = 8 if pa.types.is_large_binary(col.type) else 4
+        odt = np.int64 if width == 8 else np.int32
+        offs = np.frombuffer(col.buffers()[1], dtype=odt, count=n + 1,
+                             offset=col.offset * width)
+        if int(offs[-1] - offs[0]) == n * dim * 8:
+            flat = np.frombuffer(col.buffers()[2], dtype=np.float64,
+                                 count=n * dim, offset=int(offs[0]))
+            return flat.reshape(n, dim)
+    except (ValueError, TypeError):
+        pass
+    return np.stack([np.frombuffer(v, np.float64) for v in col.to_pylist()])
+
+
+def _cell_csr(probe: np.ndarray):
+    """(nq, n_probe) probed cell ids -> sorted-key CSR cell->queries
+    (keys, starts, lens, qidx) — the same shape ann_lsh_topk uses for
+    bucket membership, so refine cost is O(matched pairs), never
+    O(n_queries x batch)."""
+    nq, npb = probe.shape
+    flat = probe.ravel().astype(np.int64)
+    qidx = np.repeat(np.arange(nq, dtype=np.int64), npb)
+    o = np.argsort(flat, kind="stable")
+    flat, qidx = flat[o], qidx[o]
+    keys, starts, lens = np.unique(flat, return_index=True,
+                                   return_counts=True)
+    return keys, starts.astype(np.int64), lens.astype(np.int64), qidx
+
+
+def _make_cell_refine(qref, k: int):
+    """Shared exact-refine stage for BOTH IVF paths (inline + persisted
+    index): CSR-expand (candidate row x probing query) pairs, one einsum,
+    vectorized per-query partial top-k. No per-query Python loop."""
+    from .spatial import _csr_expand
+
+    def refine(b: pa.Table) -> pa.Table:
+        qids, qm, keys, starts, lens, qidx = ray.get(qref)
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if b.num_rows == 0:
+            return empty
+        cells = b["cell"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(keys, cells)
+        ok = pos < len(keys)
+        pos_c = np.where(ok, pos, 0)
+        ok &= keys[pos_c] == cells
+        rows = np.nonzero(ok)[0]
+        if len(rows) == 0:
+            return empty
+        vids = b["vec_id"].to_numpy()
+        vecs = _vec_matrix(b["vec"], qm.shape[1])[rows]
+        ln = lens[pos[rows]]
+        local = np.repeat(np.arange(len(rows)), ln)
+        qi = qidx[_csr_expand(starts[pos[rows]], ln)]
+        nid = vids[rows][local]
+        keep = nid != qids[qi]          # self-exclusion
+        local, qi, nid = local[keep], qi[keep], nid[keep]
+        if len(qi) == 0:
+            return empty
+        sims = np.einsum("ij,ij->i", vecs[local], qm[qi])
+        o = np.lexsort((nid, -sims, qi))
+        qi, nid, sims = qi[o], nid[o], sims[o]
+        _, gstart, gcnt = np.unique(qi, return_index=True,
+                                    return_counts=True)
+        rank_in = np.arange(len(qi)) - np.repeat(gstart, gcnt)
+        sel = rank_in < k
+        return pa.table({"query_id": pa.array(qids[qi[sel]]),
+                         "neighbor_id": pa.array(nid[sel]),
+                         "sim": pa.array(sims[sel])})
+
+    return refine
+
+
+def _finalize_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Global per-query top-k over the (tiny) partial stream."""
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"],
+        ascending=[True, False, True], kind="stable")
+    return partials.groupby("query_id", as_index=False).head(k) \
+        .reset_index(drop=True)
+
+
 def ann_lsh_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
                  query_mat: np.ndarray, *, k: int = 10, n_bits: int = 8,
                  dim: int = 64, multiprobe: int = 1) -> pd.DataFrame:
@@ -89,9 +182,7 @@ def ann_lsh_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
         if len(rows) == 0:
             return empty
         vid = b["vec_id"].to_numpy()
-        blobs = b["vec"].to_pylist()
-        vecs = np.stack([np.frombuffer(blobs[int(i)], np.float64)
-                         for i in rows])
+        vecs = _vec_matrix(b["vec"], mat_q.shape[1])[rows]
         ln = lens[pos[rows]]
         local = np.repeat(np.arange(len(rows)), ln)   # candidate row index
         qi = qidx[_csr_expand(starts[pos[rows]], ln)]  # query per pair
@@ -209,43 +300,20 @@ def ann_ivf_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
                                batch_format="pyarrow", batch_size=1024,
                                concurrency=(1, 8))
 
-    # 3. queries -> probed cells (driver-side: query set is small)
+    # 3. queries -> probed cells (driver-side: query set is small), shipped
+    # as a cell->queries CSR so refine never loops per query
     qmat = np.asarray(qmat, dtype=np.float64)
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
                              1e-12)
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]  # (nq, n_probe)
-    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, probe))
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat)
+                   + _cell_csr(probe))
 
     # 4. per-batch exact refine within probed cells + partial top-k
-    def refine(b: pa.Table) -> pa.Table:
-        qids, qm, pr = ray.get(qref)
-        cells = b["cell"].to_numpy()
-        vids = b["vec_id"].to_numpy()
-        vecs = np.stack([np.frombuffer(v, dtype=np.float64)
-                         for v in b["vec"].to_pylist()])
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(qids)):
-            m = np.isin(cells, pr[qi]) & (vids != qids[qi])
-            if not m.any():
-                continue
-            sims = vecs[m] @ qm[qi]
-            ids = vids[m]
-            take = np.argsort(-sims, kind="stable")[:k]
-            out_q.extend([qids[qi]] * len(take))
-            out_n.extend(ids[take].tolist())
-            out_s.extend(sims[take].tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})
-
-    partials = assigned.map_batches(refine, batch_format="pyarrow") \
-        .to_pandas()
+    partials = assigned.map_batches(_make_cell_refine(qref, k),
+                                    batch_format="pyarrow").to_pandas()
     # 5. finalize: global top-k per query (tiny: nq * k * n_batches rows)
-    partials = partials.sort_values(
-        ["query_id", "sim", "neighbor_id"],
-        ascending=[True, False, True], kind="stable")
-    return partials.groupby("query_id", as_index=False).head(k) \
-        .reset_index(drop=True)
+    return _finalize_topk(partials, k)
 
 
 # ---------------------------------------------------------------------------
@@ -256,12 +324,18 @@ def ann_ivf_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def build_ivf_index(emb: ray.data.Dataset, out_dir: str, *,
-                    n_cells: int = 16, sample_n: int = 2048) -> pd.DataFrame:
-    """Train centroids, assign every vector, and persist one parquet file
-    per cell (cell=K/part.parquet, written by that cell's partition
-    reducer — single writer per cell, atomic rename) plus centroids.npy.
-    Returns the manifest (cell, n_vecs, path)."""
+                    n_cells: int = 16, sample_n: int = 2048,
+                    max_rows_per_file: int = 65536) -> pd.DataFrame:
+    """Train centroids, assign every vector, and persist each cell as
+    `cell=K/part-N.parquet` files of at most `max_rows_per_file` rows
+    (single writer per cell, tmp + atomic rename — a hot cell from a
+    skewed embedding space becomes MANY bounded files, never one
+    unbounded writer buffer), plus `manifest.parquet` and centroids.npy.
+    Returns the manifest (cell, part, n_vecs, path); the query path
+    prunes on it."""
     import os
+
+    import pyarrow.parquet as pq
 
     from .joins import partitioned_groups
 
@@ -274,34 +348,41 @@ def build_ivf_index(emb: ray.data.Dataset, out_dir: str, *,
                                concurrency=(1, 8))
 
     def write_cells(g: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow.parquet as pq
+        empty = pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
+                              "part": pd.Series([], dtype=np.int64),
+                              "n_vecs": pd.Series([], dtype=np.int64),
+                              "path": pd.Series([], dtype=object)})
         if "cell" not in g.columns or not len(g):
-            return pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
-                                 "n_vecs": pd.Series([], dtype=np.int64),
-                                 "path": pd.Series([], dtype=object)})
+            return empty
         out = []
         for cell, df in g.groupby("cell"):
             df = df.sort_values("vec_id", kind="stable")
             d = os.path.join(out_dir, f"cell={int(cell)}")
             os.makedirs(d, exist_ok=True)
-            path = os.path.join(d, "part.parquet")
-            tmp = path + ".tmp"
-            pq.write_table(
-                pa.table({"vec_id": pa.array(df["vec_id"].to_numpy(),
-                                             pa.int64()),
-                          "cell": pa.array(df["cell"].to_numpy(),
-                                           pa.int32()),
-                          "vec": pa.array(list(df["vec"]),
-                                          pa.large_binary())}), tmp)
-            os.replace(tmp, path)
-            out.append((int(cell), len(df), path))
+            for pi, start in enumerate(range(0, len(df),
+                                             max_rows_per_file)):
+                ch = df.iloc[start:start + max_rows_per_file]
+                path = os.path.join(d, f"part-{pi}.parquet")
+                tmp = path + ".tmp"
+                pq.write_table(
+                    pa.table({"vec_id": pa.array(ch["vec_id"].to_numpy(),
+                                                 pa.int64()),
+                              "cell": pa.array(ch["cell"].to_numpy(),
+                                               pa.int32()),
+                              "vec": pa.array(list(ch["vec"]),
+                                              pa.large_binary())}), tmp)
+                os.replace(tmp, path)
+                out.append((int(cell), pi, len(ch), path))
         return pd.DataFrame({"cell": [o[0] for o in out],
-                             "n_vecs": [o[1] for o in out],
-                             "path": [o[2] for o in out]})
+                             "part": [o[1] for o in out],
+                             "n_vecs": [o[2] for o in out],
+                             "path": [o[3] for o in out]})
 
     manifest = partitioned_groups(assigned, ["cell"],
                                   num_partitions=min(n_cells, 16)) \
         .map_groups(write_cells, batch_format="pandas").to_pandas()
+    pq.write_table(pa.Table.from_pandas(manifest, preserve_index=False),
+                   os.path.join(out_dir, "manifest.parquet"))
     # centroids are written LAST: their presence is the build-complete
     # marker (an interrupted build must never be mistaken for an index —
     # query_ivf_index silently skips missing cell files by design)
@@ -313,8 +394,10 @@ def query_ivf_index(index_dir: str, query_ids: np.ndarray, qmat: np.ndarray,
                     *, k: int = 10, n_probe: int = 4) -> pd.DataFrame:
     """Query a persisted IVF index: load the (tiny) centroids, pick each
     query's n_probe nearest cells, and read ONLY those cells' parquet
-    files; exact cosine refine with per-batch partial top-k. Same output
-    contract as ann_ivf_topk."""
+    files (selected via manifest.parquet when present, glob fallback for
+    pre-manifest indexes); shared exact-cosine CSR refine with per-batch
+    partial top-k. Same output contract as ann_ivf_topk."""
+    import glob
     import os
 
     cent = np.load(os.path.join(index_dir, "centroids.npy"))
@@ -322,11 +405,20 @@ def query_ivf_index(index_dir: str, query_ids: np.ndarray, qmat: np.ndarray,
     qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True),
                              1e-12)
     probe = np.argsort(-(qmat @ cent.T), axis=1)[:, :n_probe]
-    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat, probe))
+    qref = ray.put((np.asarray(query_ids, dtype=np.int64), qmat)
+                   + _cell_csr(probe))
 
-    # partition pruning: open only probed cell files
-    paths = [os.path.join(index_dir, f"cell={c}", "part.parquet")
-             for c in sorted({int(c) for c in probe.ravel()})]
+    # partition pruning: open only probed cells' files
+    probed = sorted({int(c) for c in probe.ravel()})
+    man_path = os.path.join(index_dir, "manifest.parquet")
+    if os.path.exists(man_path):
+        import pyarrow.parquet as pq
+        man = pq.read_table(man_path, columns=["cell", "path"]).to_pandas()
+        paths = sorted(man.loc[man["cell"].isin(probed), "path"].tolist())
+    else:
+        paths = sorted(p for c in probed for p in
+                       glob.glob(os.path.join(index_dir, f"cell={c}",
+                                              "part*.parquet")))
     paths = [p for p in paths if os.path.exists(p)]
     if not paths:
         return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
@@ -334,31 +426,6 @@ def query_ivf_index(index_dir: str, query_ids: np.ndarray, qmat: np.ndarray,
                              "sim": pd.Series([], dtype=np.float64)})
     assigned = ray.data.read_parquet(paths)
 
-    def refine(b: pa.Table) -> pa.Table:
-        qids, qm, pr = ray.get(qref)
-        cells = b["cell"].to_numpy()
-        vids = b["vec_id"].to_numpy()
-        vecs = np.stack([np.frombuffer(v, dtype=np.float64)
-                         for v in b["vec"].to_pylist()])
-        out_q, out_n, out_s = [], [], []
-        for qi in range(len(qids)):
-            m = np.isin(cells, pr[qi]) & (vids != qids[qi])
-            if not m.any():
-                continue
-            sims = vecs[m] @ qm[qi]
-            ids = vids[m]
-            take = np.argsort(-sims, kind="stable")[:k]
-            out_q.extend([qids[qi]] * len(take))
-            out_n.extend(ids[take].tolist())
-            out_s.extend(sims[take].tolist())
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "neighbor_id": pa.array(out_n, pa.int64()),
-                         "sim": pa.array(out_s, pa.float64())})
-
-    partials = assigned.map_batches(refine, batch_format="pyarrow") \
-        .to_pandas()
-    partials = partials.sort_values(
-        ["query_id", "sim", "neighbor_id"],
-        ascending=[True, False, True], kind="stable")
-    return partials.groupby("query_id", as_index=False).head(k) \
-        .reset_index(drop=True)
+    partials = assigned.map_batches(_make_cell_refine(qref, k),
+                                    batch_format="pyarrow").to_pandas()
+    return _finalize_topk(partials, k)

@@ -140,3 +140,38 @@ def test_ivf_persisted_index_matches_inline(ray_session, emb_data, tmp_path):
     probe1 = np.argsort(-(qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
                           @ cent.T), axis=1)[:, :1]
     assert len({int(c) for c in probe1.ravel()}) < len(manifest)
+
+
+def test_ivf_multifile_hot_cell_parity(ray_session, emb_data, tmp_path):
+    """A forced hot cell (max_rows_per_file far below the cell size) must
+    split into several bounded part files — and the query result stays
+    row-identical to the inline plan (the manifest prune hides the file
+    layout)."""
+    import glob
+    import os
+
+    import pandas as pd
+    import ray.data
+
+    ids, mat = emb_data
+    qids = ids[5:10]
+    qmat = mat[5:10]
+    emb = ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    inline = ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=4, n_probe=2)
+
+    idx_dir = str(tmp_path / "ivf_hot")
+    manifest = ann.build_ivf_index(emb, idx_dir, n_cells=4,
+                                   max_rows_per_file=32)
+    assert manifest["n_vecs"].sum() == len(ids)
+    assert manifest["n_vecs"].max() <= 32
+    # at least one cell actually split into multiple files
+    n_files = {c: len(glob.glob(os.path.join(idx_dir, f"cell={c}",
+                                             "part-*.parquet")))
+               for c in manifest["cell"].unique()}
+    assert max(n_files.values()) > 1
+    assert os.path.exists(os.path.join(idx_dir, "manifest.parquet"))
+
+    got = ann.query_ivf_index(idx_dir, qids, qmat, k=10, n_probe=2)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), inline.reset_index(drop=True))
