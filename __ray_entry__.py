@@ -30,6 +30,7 @@ from gdal_drivers_ray.pipelines import text_queries as _tq  # noqa: E402
 from gdal_drivers_ray.pipelines import warp_queries as _wq  # noqa: E402
 from gdal_drivers_ray.pipelines import skew_queries as _kq  # noqa: E402
 from gdal_drivers_ray.pipelines import multimodal_queries as _mq  # noqa: E402
+from gdal_drivers_ray.pipelines import oracle_derive as _od  # noqa: E402
 
 
 def entry() -> Any:
@@ -220,6 +221,18 @@ def oracle_sql() -> dict[str, str]:
         "mvt_errors": _vq.SQL_MVT_ERRORS,
         "vector_tiling": _vq.SQL_VECTOR_TILING,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
+        # dedup + ANN: plain in-memory re-derivations of the gate's sf0.01
+        # result (pure kernels reused; NONE of the distributed machinery)
+        "minhash_dedup": _od.sql_minhash_dedup(),
+        "simhash_dedup": _od.sql_simhash_dedup(),
+        "ann_lsh": _od.sql_ann_lsh(),
+        "ann_ivf": _od.sql_ann_ivf(),
+        "ann_ivf_indexed": _od.sql_ann_ivf(),
+        # multimodal + warp: independent re-derivations (codec round-trip
+        # math inline / whole-raster warp_oracle / closed-form sampling)
+        "audio_features": _od.sql_audio_features(),
+        "video_frames": _od.sql_video_frames(),
+        "warp_tiles": _wq.SQL_WARP_TILES,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

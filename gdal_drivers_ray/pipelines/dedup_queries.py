@@ -16,13 +16,16 @@ def _docs(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_minhash_dedup(sf_dir: str):
-    """MinHash+LSH near-dup clustering of documents (rows-only; recall
-    measured against planted dups in tests/test_dedup.py)."""
+    """MinHash+LSH near-dup clustering of documents. SQL-checked: the
+    oracle (oracle_derive.sql_minhash_dedup) re-derives the cluster table
+    with plain dict buckets + in-memory union-find from the pure per-doc
+    signature kernel; recall vs planted dups in tests/test_dedup.py."""
     return dedup.minhash_lsh_dedup(_docs(sf_dir), threshold=0.7)
 
 
 def q_simhash_dedup(sf_dir: str):
-    """SimHash near-dup clustering (rows-only)."""
+    """SimHash near-dup clustering, SQL-checked against the in-memory
+    re-derivation (oracle_derive.sql_simhash_dedup)."""
     return dedup.simhash_dedup(_docs(sf_dir), max_hamming=3)
 
 
@@ -72,8 +75,9 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed top-10 (rows-only; recall vs brute force measured in
-    tests). Same queries as knn_brute: vec_id < 5."""
+    """LSH-bucketed top-10, SQL-checked against a plain-loop re-derivation
+    (oracle_derive.sql_ann_lsh); recall vs brute force measured in tests.
+    Same queries as knn_brute: vec_id < 5."""
     import pyarrow.parquet as pq
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"],
@@ -86,9 +90,20 @@ def q_ann_lsh(sf_dir: str):
     return ann.ann_lsh_topk(emb, qids, qmat, k=10, n_bits=4, multiprobe=2)
 
 
+def _rank_form(df):
+    """(query_id, neighbor_id, sim) already sorted by (query_id, sim desc,
+    neighbor_id) -> (query_id, neighbor_id, rank): integer output the
+    independent re-derivation oracle (oracle_derive.sql_ann_ivf) can
+    hash-match without float bytes in the hash."""
+    df = df.copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "neighbor_id", "rank"]]
+
+
 def q_ann_ivf(sf_dir: str):
-    """IVF ANN top-10 (rows-only; recall + probe-all exactness vs brute
-    force in tests/test_ann.py). Same query set as knn_brute/ann_lsh."""
+    """IVF ANN top-10, SQL-checked against a plain-loop re-derivation
+    (oracle_derive.sql_ann_ivf); recall + probe-all exactness vs brute
+    force in tests/test_ann.py. Same query set as knn_brute/ann_lsh."""
     import pyarrow.parquet as pq
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
                        columns=["vec_id", "embedding"],
@@ -98,7 +113,8 @@ def q_ann_ivf(sf_dir: str):
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
                                 columns=["vec_id", "embedding"]) \
         .filter(expr="vec_id >= 5")
-    return ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=8, n_probe=4)
+    return _rank_form(ann.ann_ivf_topk(emb, qids, qmat, k=10, n_cells=8,
+                                       n_probe=4))
 
 
 def q_ann_ivf_indexed(sf_dir: str):
@@ -127,7 +143,8 @@ def q_ann_ivf_indexed(sf_dir: str):
                                     columns=["vec_id", "embedding"]) \
             .filter(expr="vec_id >= 5")
         ann.build_ivf_index(emb, idx_dir, n_cells=8)
-    return ann.query_ivf_index(idx_dir, qids, qmat, k=10, n_probe=4)
+    return _rank_form(ann.query_ivf_index(idx_dir, qids, qmat, k=10,
+                                          n_probe=4))
 
 
 def q_cluster_labels(sf_dir: str) -> ray.data.Dataset:

@@ -89,3 +89,36 @@ def q_warp_tiles(sf_dir: str) -> ray.data.Dataset:
                          "px_sum": pa.array(sums, type=pa.int64())})
 
     return out.map_batches(stats, batch_format="pyarrow")
+
+
+def _sql_warp_tiles() -> str:
+    """Whole-raster NumPy warp (stages.warp.warp_oracle — ONE 768x768
+    sample pass, no tiling, no cover join, no groupby shuffle) of the same
+    fixture -> per-tile valid counts + checksums as a VALUES table. The
+    tile-keyed shuffle plan under test must agree exactly."""
+    sg_extents = Extents(-180.0, -80.0, 180.0, 80.0)
+    sg = W.RasterGrid(sg_extents, "EPSG:4326", 1024, 512)
+    my0, my1 = W.transform_points(np.array([0.0, 0.0]),
+                                  np.array([-80.0, 80.0]),
+                                  "EPSG:4326", "EPSG:3857")[1]
+    m = np.pi * 6378137.0
+    dg = W.RasterGrid(Extents(-m, float(my0), m, float(my1)), "EPSG:3857",
+                      768, 768)
+    src = np.full((512, 1024), 37.0)
+    out = W.warp_oracle(src, sg, dg, resampling="nearest", nodata=-1.0)
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            t = out[ty * 256:(ty + 1) * 256, tx * 256:(tx + 1) * 256]
+            ok = t >= 0
+            rows.append(f"({tx}, {ty}, {int(ok.sum())}, "
+                        f"{int(t[ok].sum())})")
+    values = ",\n    ".join(rows)
+    return f"""
+SELECT CAST(tile_x AS INTEGER) AS tile_x, CAST(tile_y AS INTEGER) AS tile_y,
+       CAST(valid_n AS BIGINT) AS valid_n, CAST(px_sum AS BIGINT) AS px_sum
+FROM (VALUES {values}) t(tile_x, tile_y, valid_n, px_sum)
+"""
+
+
+SQL_WARP_TILES = _sql_warp_tiles()
