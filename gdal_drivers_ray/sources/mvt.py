@@ -87,7 +87,33 @@ def _enc_len(field: int, payload: bytes) -> bytes:
     return _enc_tag(field, 2) + _enc_uvarint(len(payload)) + payload
 
 
+def encode_uvarints(vals: np.ndarray) -> bytes:
+    """Vectorized uvarint encoding of a uint array (values < 2^35 — MVT
+    geometry streams are u32): per-value byte counts, one scatter per
+    byte position instead of a Python loop per integer."""
+    v = np.asarray(vals, dtype=np.uint64)
+    if len(v) == 0:
+        return b""
+    nb = np.ones(len(v), dtype=np.int64)
+    for kk in range(1, 5):
+        nb += (v >= (np.uint64(1) << np.uint64(7 * kk))).astype(np.int64)
+    out = np.zeros(int(nb.sum()), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    rem = v.copy()
+    for kk in range(5):
+        m = nb > kk
+        if not m.any():
+            break
+        cont = (nb[m] > kk + 1).astype(np.uint8)
+        out[starts[m] + kk] = (rem[m] & np.uint64(0x7F)).astype(np.uint8) \
+            | (cont << 7)
+        rem[m] >>= np.uint64(7)
+    return out.tobytes()
+
+
 def _enc_packed(field: int, values) -> bytes:
+    if isinstance(values, np.ndarray):
+        return _enc_len(field, encode_uvarints(values))
     return _enc_len(field, b"".join(_enc_uvarint(int(v)) for v in values))
 
 

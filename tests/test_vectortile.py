@@ -132,3 +132,58 @@ def test_built_tiles_through_sharded_sink(ray_session, tmp_path):
         for f in mvt.decode_tile(bytes(r["tile_data"]), extents=te):
             fids.add(f["fid"])
     assert fids == {1, 2, 3}
+
+
+def test_typed_attrs_roundtrip(ray_session):
+    """Dict attrs encode through REAL per-layer key/value dictionaries
+    (dedup + 7-way typed Value mapping) and decode back typed: int stays
+    int, float double, bool bool, string string — and shared values are
+    stored once per layer."""
+    import json
+
+    rows = [
+        {"fid": 1, "layer": "pts", "geom_type": 1,
+         "geometry": [[{"x": 100.0, "y": 200.0}]],
+         "attrs": {"name": "alpha", "count": 7, "score": 1.5,
+                   "flag": True}},
+        {"fid": 2, "layer": "pts", "geom_type": 1,
+         "geometry": [[{"x": 150.0, "y": 250.0}]],
+         "attrs": {"name": "beta", "count": 7, "neg": -3}},
+    ]
+    store = VT.build_tiles(ray.data.from_items(rows), WORLD, 0).to_pandas()
+    assert len(store) == 1
+    blob = bytes(store["tile_data"][0])
+
+    te = VT.tile_world_extents(WORLD, 0, 0, 0)
+    feats = {f["fid"]: json.loads(f["attrs"])
+             for f in mvt.decode_tile(blob, extents=te)}
+    assert feats[1] == {"name": "alpha", "count": 7, "score": 1.5,
+                        "flag": True}
+    assert feats[2] == {"name": "beta", "count": 7, "neg": -3}
+
+    # dictionary dedup: 'count' key once, value 7 once in the layer body
+    from gdal_drivers_ray.sources.mvt import _fields
+    for field, _, layer_body in _fields(blob):
+        if field != 3:
+            continue
+        keys = [v.decode() for f2, _, v in _fields(layer_body) if f2 == 3]
+        vals = [mvt.decode_value(v) for f2, _, v in _fields(layer_body)
+                if f2 == 4]
+        assert keys.count("count") == 1
+        assert vals.count((4, 7)) == 1
+        # 7-way kinds actually exercised: string, double, int, bool
+        assert {k for k, _ in vals} >= {1, 3, 4, 7}
+
+
+def test_explicit_kind_values_roundtrip(ray_session):
+    """Explicit (kind, value) pairs reach the float/uint/sint slots the
+    type inference can't: kind 2 float32, kind 5 uint, kind 6 sint."""
+    import json
+
+    rows = [{"fid": 1, "layer": "l", "geom_type": 1,
+             "geometry": [[{"x": 1.0, "y": 1.0}]],
+             "attrs": {"f32": (2, 0.25), "u": (5, 12), "s": (6, -9)}}]
+    store = VT.build_tiles(ray.data.from_items(rows), WORLD, 0).to_pandas()
+    te = VT.tile_world_extents(WORLD, 0, 0, 0)
+    [feat] = mvt.decode_tile(bytes(store["tile_data"][0]), extents=te)
+    assert json.loads(feat["attrs"]) == {"f32": 0.25, "u": 12, "s": -9}
