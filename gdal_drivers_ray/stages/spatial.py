@@ -324,23 +324,38 @@ def knn_kring(points: ray.data.Dataset, queries: pd.DataFrame, *, k: int,
                              np.zeros(len(qy))])
     clamp_off = np.hypot(dxc, dyc)
 
+    # Block-vectorized over queries (no per-query Python, no per-query
+    # argsort): for a block of B queries the radius bound r0 comes from a
+    # per-RADIUS count histogram — one bincount over (query, cheb) pairs,
+    # O(B x n_cells) NumPy with ~B*C*8-byte peak, so a 10^6-query batch
+    # streams through in bounded blocks. cum(r) only increases at radii
+    # that hold cells, so the first radius with cum >= k equals the
+    # sorted-scan r0 of the scalar formulation exactly.
     acc_cells: list[np.ndarray] = []
     acc_qidx: list[np.ndarray] = []
     dmax = np.zeros(len(qx), dtype=np.float64)
-    for qi in range(len(qx)):
-        if len(ckey) == 0:
-            continue
-        cheb = np.maximum(np.abs(ccx - qtx[qi]), np.abs(ccy - qty[qi]))
-        order = np.argsort(cheb, kind="stable")
-        cum = np.cumsum(cn[order])
-        pos = int(np.searchsorted(cum, k))
-        r0 = int(cheb[order[min(pos, len(order) - 1)]])
-        d = np.hypot((r0 + 1) * cw, (r0 + 1) * ch) + clamp_off[qi]
-        dmax[qi] = d
-        r_max = int(np.ceil(d / min_cell)) + 1
-        sel = cheb <= r_max
-        acc_cells.append(ckey[sel])
-        acc_qidx.append(np.full(int(sel.sum()), qi, dtype=np.int64))
+    blk = 1024
+    for s in range(0, len(qx) if len(ckey) else 0, blk):
+        e = min(s + blk, len(qx))
+        nb = e - s
+        cheb = np.maximum(np.abs(ccx[None, :] - qtx[s:e, None]),
+                          np.abs(ccy[None, :] - qty[s:e, None]))
+        flat = (np.arange(nb)[:, None] * side + cheb).ravel()
+        hist = np.bincount(flat,
+                           weights=np.broadcast_to(
+                               cn, (nb, len(cn))).ravel().astype(np.float64),
+                           minlength=nb * side).reshape(nb, side)
+        cum = np.cumsum(hist, axis=1)
+        # first radius whose cumulative count reaches k; if the whole
+        # world holds < k points, fall back to the max radius (superset
+        # stays correct, just unpruned — the degenerate n_points < k case)
+        r0 = np.minimum((cum < k).sum(axis=1), side - 1)
+        d = np.hypot((r0 + 1) * cw, (r0 + 1) * ch) + clamp_off[s:e]
+        dmax[s:e] = d
+        r_max = np.ceil(d / min_cell).astype(np.int64) + 1
+        bi, ci = np.nonzero(cheb <= r_max[:, None])
+        acc_cells.append(ckey[ci])
+        acc_qidx.append(bi.astype(np.int64) + s)
 
     if not acc_cells:
         return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
