@@ -24,20 +24,75 @@ import ray
 import ray.data
 
 
+def _csr_expand_local(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """concat(arange(s, s+l)) — flat gather indices for CSR ranges."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    shift = np.repeat(starts - np.concatenate(([0], np.cumsum(lens)[:-1])),
+                      lens)
+    return shift + np.arange(total, dtype=np.int64)
+
+
 def broadcast_join(left: ray.data.Dataset, small_df: pd.DataFrame,
                    left_on: str, right_on: str,
                    how: str = "inner") -> ray.data.Dataset:
-    """Hash-join `left` (a Dataset) against a small pandas side, broadcast
-    once via ray.put and merged per batch inside map_batches."""
-    ref = ray.put(small_df)
+    """Hash-join `left` (a Dataset) against a small side, broadcast once
+    via ray.put and probed per batch WITHOUT leaving Arrow: the small
+    side is key-sorted once on the driver (unique keys + CSR ranges for
+    duplicates); each batch does one searchsorted + two takes. `how` is
+    'inner' or 'left'. Right-side name collisions get a '_y' suffix; when
+    the key columns share a name only the left copy is kept (pandas-merge
+    `on=` semantics)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"broadcast_join supports inner/left, got {how!r}")
+    small = pa.Table.from_pandas(small_df, preserve_index=False) \
+        if isinstance(small_df, pd.DataFrame) else small_df
+    keys = small[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    uk, starts, lens = np.unique(keys[order], return_index=True,
+                                 return_counts=True)
+    ref = ray.put((uk, starts.astype(np.int64), lens.astype(np.int64),
+                   small.take(pa.array(order))))
+    drop_rkey = right_on == left_on
 
     def merge(batch: pa.Table) -> pa.Table:
-        s = ray.get(ref)
-        df = batch.to_pandas()
-        m = df.merge(s, left_on=left_on, right_on=right_on, how=how)
-        return pa.Table.from_pandas(m, preserve_index=False)
+        ks, st, ln, s = ray.get(ref)
+        bk = batch[left_on].to_numpy().astype(np.int64)
+        pos = np.searchsorted(ks, bk)
+        ok = pos < len(ks)
+        pos_c = np.where(ok, pos, 0)
+        ok &= ks[pos_c] == bk
+        rows = np.nonzero(ok)[0]
+        n_m = ln[pos[rows]]
+        li = np.repeat(rows, n_m)
+        ri = _csr_expand_local(st[pos[rows]], n_m)
+        if how == "left":
+            miss = np.nonzero(~ok)[0]
+            li = np.concatenate([li, miss])
+            ri = np.concatenate([ri, np.zeros(len(miss), np.int64)])
+            valid = np.concatenate([np.ones(len(ri) - len(miss), bool),
+                                    np.zeros(len(miss), bool)])
+            o = np.argsort(li, kind="stable")   # preserve left row order
+            li, ri, valid = li[o], ri[o], valid[o]
+            r_idx = pa.array(ri, mask=~valid)   # null idx -> null right row
+        else:
+            r_idx = pa.array(ri)
+        out = batch.take(pa.array(li, pa.int64()))
+        for c in s.column_names:
+            if drop_rkey and c == right_on:
+                continue
+            name = c + "_y" if c in batch.column_names else c
+            out = out.append_column(name, pc_take(s[c], r_idx))
+        return out
 
     return left.map_batches(merge, batch_format="pyarrow")
+
+
+def pc_take(col, idx):
+    import pyarrow.compute as pc
+    return pc.take(col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                   else col, idx)
 
 
 def shuffle_join(left: ray.data.Dataset, right: ray.data.Dataset,
@@ -195,13 +250,16 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
 def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
               key: str, time_col: str, *, tie_col: str,
               suffix: str = "_r",
-              bucket_width: Optional[float] = None) -> ray.data.Dataset:
+              bucket_width: Optional[float] = None,
+              payload_cols: Optional[list[str]] = None) -> ray.data.Dataset:
     """AS-OF join: each left row matches the latest right row with
     right.time <= left.time within the same key (inner: unmatched left rows
     drop). A custom operator Ray Data lacks; composed as
     union(schema-aligned tagged sides) -> groupby.map_groups(vectorized
     searchsorted). Left/right may have DIFFERENT schemas; output = left
-    columns + right's time/tie columns suffixed.
+    columns + right's time/tie columns suffixed + any ``payload_cols``
+    (arbitrary-typed right columns, carried through BOTH the plain and the
+    bucketed plan and suffixed likewise — the enrichment-join shape).
 
     Hot keys: with ``bucket_width`` set, rows group by (key, time bucket)
     instead of key alone, so one key's history splits across reducers.
@@ -218,6 +276,9 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     lcols = list(lsch.names)
     rt_t, rk_t = rsch.field(time_col).type, rsch.field(tie_col).type
     RT, RK = "__rt", "__rk"        # right time/tie carried through the union
+    pcols = list(payload_cols or [])
+    ptypes = [rsch.field(c).type for c in pcols]
+    PNAMES = [f"__rp_{c}" for c in pcols]
 
     def bucket_of(times: np.ndarray) -> np.ndarray:
         if bucket_width is None:
@@ -230,6 +291,8 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         cols["_bucket"] = pa.array(bucket_of(b[time_col].to_numpy()))
         cols[RT] = pa.nulls(b.num_rows, rt_t)
         cols[RK] = pa.nulls(b.num_rows, rk_t)
+        for pn, pt in zip(PNAMES, ptypes):
+            cols[pn] = pa.nulls(b.num_rows, pt)
         return pa.table(cols)
 
     def tag_right(b: pa.Table) -> pa.Table:
@@ -241,6 +304,8 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         cols["_bucket"] = pa.array(bucket_of(b[time_col].to_numpy()))
         cols[RT] = b[time_col]
         cols[RK] = b[tie_col]
+        for pn, pc_, pt in zip(PNAMES, pcols, ptypes):
+            cols[pn] = b[pc_].cast(pt)
         return pa.table(cols)
 
     l = left.map_batches(tag_left, batch_format="pyarrow")
@@ -250,11 +315,13 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     if bucket_width is not None:
         tagged = tagged.union(
             _asof_carry_rows(left, right, key, time_col, tie_col,
-                             bucket_of, lsch, lcols, RT, RK, rt_t, rk_t))
+                             bucket_of, lsch, lcols, RT, RK, rt_t, rk_t,
+                             pcols, PNAMES, ptypes))
 
     out_schema = pa.schema(
         [(c, lsch.field(c).type) for c in lcols]
-        + [(time_col + suffix, rt_t), (tie_col + suffix, rk_t)])
+        + [(time_col + suffix, rt_t), (tie_col + suffix, rk_t)]
+        + [(c + suffix, t) for c, t in zip(pcols, ptypes)])
 
     # ARROW-native match: a pandas group view would upcast the int64
     # time/tie columns (they hold the union's cross-side nulls) to
@@ -279,8 +346,16 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
         out = lg.take(pa.array(sel, pa.int64())).select(lcols)
         out = out.append_column(time_col + suffix,
                                 pa.array(rts[pos[sel]]).cast(rt_t))
-        return out.append_column(tie_col + suffix,
-                                 pa.array(rks[pos[sel]]).cast(rk_t))
+        out = out.append_column(tie_col + suffix,
+                                pa.array(rks[pos[sel]]).cast(rk_t))
+        if PNAMES:
+            # matched right rows by POSITION (Arrow take, no numpy round
+            # trip — payloads keep their type, binary/list included)
+            ridx = pa.array(order[pos[sel]], pa.int64())
+            for pn, pc_, pt in zip(PNAMES, pcols, ptypes):
+                out = out.append_column(pc_ + suffix,
+                                        pc_take(rg[pn], ridx).cast(pt))
+        return out
 
     def cast_out(b: pa.Table) -> pa.Table:
         if any(n not in b.column_names for n in out_schema.names):
@@ -296,7 +371,8 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
 
 def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
-                     lsch, lcols, RT, RK, rt_t, rk_t) -> ray.data.Dataset:
+                     lsch, lcols, RT, RK, rt_t, rk_t,
+                     pcols=(), PNAMES=(), ptypes=()) -> ray.data.Dataset:
     """Narrow carry-row builder for the bucketed as-of join: per (key,
     bucket) reduce the rights to their latest (time, tie) row, then per key
     walk the bucket summaries and emit, for every bucket the LEFT side
@@ -312,7 +388,8 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
     def _summary_empty() -> pa.Table:
         return pa.schema([(key, key_t), ("_bucket", pa.int64()),
                           (RT, rt_t), (RK, rk_t),
-                          ("_m", pa.int8())]).empty_table()
+                          ("_m", pa.int8())]
+                         + list(zip(PNAMES, ptypes))).empty_table()
 
     def right_summary(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -326,12 +403,17 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
         kv, bk, rt, rk = kv[order], bk[order], rt[order], rk[order]
         grp = (kv[1:] != kv[:-1]) | (bk[1:] != bk[:-1])
         last = np.concatenate((np.nonzero(grp)[0], [len(kv) - 1]))
-        return pa.table({
+        t = pa.table({
             key: pa.array(kv[last]).cast(key_t),
             "_bucket": pa.array(bk[last], pa.int64()),
             RT: pa.array(rt[last]).cast(rt_t),
             RK: pa.array(rk[last]).cast(rk_t),
             "_m": pa.array(np.zeros(len(last), dtype=np.int8))})
+        # payload of the latest row, by POSITION (typed Arrow take)
+        lidx = pa.array(order[last], pa.int64())
+        for pn, pc_, pt in zip(PNAMES, pcols, ptypes):
+            t = t.append_column(pn, pc_take(b[pc_], lidx).cast(pt))
+        return t
 
     def left_buckets(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
@@ -344,12 +426,15 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
             ([True], (kv[1:] != kv[:-1]) | (bk[1:] != bk[:-1])))
         kv, bk = kv[first], bk[first]
         n = len(kv)
-        return pa.table({
+        t = pa.table({
             key: pa.array(kv).cast(key_t),
             "_bucket": pa.array(bk, pa.int64()),
             RT: pa.array(np.zeros(n, np.int64)).cast(rt_t),
             RK: pa.array(np.zeros(n, np.int64)).cast(rk_t),
             "_m": pa.array(np.ones(n, dtype=np.int8))})
+        for pn, pt in zip(PNAMES, ptypes):
+            t = t.append_column(pn, pa.nulls(n, pt))
+        return t
 
     rsum = right.map_batches(right_summary, batch_format="pyarrow")
     lbuk = left.map_batches(left_buckets, batch_format="pyarrow")
@@ -363,8 +448,9 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
         # markers first within a bucket: a bucket's marker sees only
         # rights of strictly EARLIER buckets
         order = np.lexsort((-mk, bk, kv))
-        out_k, out_b, out_t, out_tie = [], [], [], []
+        out_k, out_b, out_t, out_tie, out_src = [], [], [], [], []
         best: tuple | None = None
+        best_i = -1
         prev_key = None
         for i in order:
             if kv[i] != prev_key:
@@ -376,17 +462,23 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
                     out_b.append(int(bk[i]))
                     out_t.append(best[0])
                     out_tie.append(best[1])
+                    out_src.append(best_i)
             else:
                 cand = (rt[i], rk[i])
                 if best is None or cand >= best:
                     best = cand
-        return pa.table({
+                    best_i = int(i)
+        t = pa.table({
             key: pa.array(out_k, key_t),
             "_bucket": pa.array(out_b, pa.int64()),
             RT: pa.array(out_t).cast(rt_t) if out_t
             else pa.nulls(0, rt_t),
             RK: pa.array(out_tie).cast(rk_t) if out_tie
             else pa.nulls(0, rk_t)})
+        sidx = pa.array(out_src, pa.int64())
+        for pn, pt in zip(PNAMES, ptypes):
+            t = t.append_column(pn, pc_take(g[pn], sidx).cast(pt))
+        return t
 
     # groupby(key) keeps non-integer keys working; carry() itself walks
     # multiple keys per group, so a partition-level groupby would also do
@@ -402,6 +494,8 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
         cols["_bucket"] = b["_bucket"].cast(pa.int64())
         cols[RT] = b[RT].cast(rt_t)
         cols[RK] = b[RK].cast(rk_t)
+        for pn, pt in zip(PNAMES, ptypes):
+            cols[pn] = b[pn].cast(pt)
         return pa.table(cols)
 
     return carries.map_batches(expand, batch_format="pyarrow")

@@ -92,3 +92,64 @@ def test_asof_join_int64_above_2_53_exact(ray_session):
         assert out["t_r"].tolist() == [BIG + 1, BIG + 7_000, BIG + 3], bw
         assert out["rid_r"].tolist() == [BIG + 11, BIG + 13, BIG + 17], bw
         assert out["t"].tolist() == lt.tolist(), bw
+
+
+def test_broadcast_join_left_and_duplicate_keys(ray_session):
+    """Arrow-native probe: duplicate right keys expand, left join keeps
+    unmatched rows with null right columns, left row order preserved."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.joins import broadcast_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([3, 1, 2, 9], pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d"])}))
+    small = pd.DataFrame({"rk": [1, 2, 2, 3],
+                          "rv": ["x", "y1", "y2", "z"]})
+
+    inner = broadcast_join(left, small, "k", "rk").to_pandas()
+    assert list(zip(inner["k"], inner["rv"])) == [
+        (3, "z"), (1, "x"), (2, "y1"), (2, "y2")]
+
+    lj = broadcast_join(left, small, "k", "rk", how="left").to_pandas()
+    assert list(lj["k"]) == [3, 1, 2, 2, 9]
+    assert lj["rv"].isna().tolist() == [False, False, False, False, True]
+
+
+def test_asof_payload_carry_plain_and_bucketed(ray_session):
+    """Arbitrary right payload columns (string + float) survive the as-of
+    join on BOTH plans, including a match carried across bucket borders."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    left = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([100, 950, 500], pa.int64())}))
+    # user 1: rights at 90 and 120 -> ts=100 matches 90, ts=950 matches
+    # 120 (carried across buckets of width 200); user 2: right at 499
+    right = ray.data.from_arrow(pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([90, 120, 499], pa.int64()),
+        "click_id": pa.array([7, 8, 9], pa.int64()),
+        "page": pa.array(["home", "cart", "promo"]),
+        "score": pa.array([0.5, 1.25, -2.0], pa.float64())}))
+
+    from gdal_drivers_ray.stages.joins import asof_join
+
+    want = pd.DataFrame({
+        "user_id": [1, 1, 2], "ts": [100, 950, 500],
+        "ts_r": [90, 120, 499], "click_id_r": [7, 8, 9],
+        "page_r": ["home", "cart", "promo"],
+        "score_r": [0.5, 1.25, -2.0]})
+
+    for bw in (None, 200.0):
+        out = asof_join(left, right, key="user_id", time_col="ts",
+                        tie_col="click_id",
+                        payload_cols=["page", "score"],
+                        bucket_width=bw).to_pandas() \
+            .sort_values(["user_id", "ts"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out[list(want.columns)], want, check_dtype=False)
