@@ -145,29 +145,89 @@ def unpack_rings(blob: bytes) -> list[np.ndarray]:
     return out
 
 
+def salted_cell_keys(cells: np.ndarray, hot_cells: np.ndarray,
+                     n_salts: int) -> np.ndarray:
+    """Fold a per-row salt into the cell key: rows of HOT cells spread
+    round-robin over `n_salts` sub-keys (bounding any one reducer group to
+    ~|hot cell| / n_salts rows), cold cells keep salt 0. Key space is
+    cell * n_salts + salt, so downstream cogroup logic is unchanged."""
+    salt = np.zeros(len(cells), dtype=np.int64)
+    if len(hot_cells):
+        m = np.isin(cells, hot_cells)
+        salt[m] = np.arange(int(m.sum()), dtype=np.int64) % n_salts
+    return cells * n_salts + salt
+
+
+def _hot_cells_of(counts: "pd.DataFrame", num_partitions: int,
+                  hot_threshold: Optional[int], what: str) -> np.ndarray:
+    """Partition-size accounting -> hot cell ids (stages/skew.py pattern:
+    the pre-pass is column-pruned and its result is metadata-scale)."""
+    import sys
+    total = int(counts["n"].sum()) if len(counts) else 0
+    thr = hot_threshold if hot_threshold is not None \
+        else max((4 * total) // max(num_partitions, 1), 1024)
+    hot = counts.loc[counts["n"] > thr, "cell"].to_numpy(np.int64)
+    if len(hot):
+        print(f"[skew] {what}: {len(hot)} hot cells (> {thr} rows) of "
+              f"{len(counts)}; max {int(counts['n'].max())}",
+              file=sys.stderr)
+    return hot
+
+
 def pip_join_shuffle(points: ray.data.Dataset, polygons: ray.data.Dataset,
                      world: Extents, lod: int = 4,
                      x_col: str = "x", y_col: str = "y",
                      id_col: str = "point_id",
-                     num_partitions: int = 64) -> ray.data.Dataset:
+                     num_partitions: int = 64,
+                     n_salts: int = 8,
+                     hot_threshold: Optional[int] = None) -> ray.data.Dataset:
     """Both-sides-large PIP: polygons are a DATASET {poly_id:int64,
     rings:large_binary (pack_rings)}, not a broadcast list. Each polygon
     flat_maps to its covering cells (the quad-constraint prefilter), points
     key by their cell, and the two sides cogroup per hash partition of the
     cell — one vectorized ray-cast per (cell, polygon) against that cell's
-    points. Every row moves once; no side needs to fit anywhere whole."""
+    points. Every row moves once; no side needs to fit anywhere whole.
+
+    Skew: a column-pruned accounting pass counts points per cell; cells
+    over `hot_threshold` (default ~4x the mean partition share) SALT the
+    point side across `n_salts` sub-keys and REPLICATE the covering
+    polygon rows to every salt — each point still lives in exactly one
+    sub-key, so matches stay exact and disjoint while no reducer sees a
+    whole hot cell."""
+    from ray.data.aggregate import Sum
+
     from .joins import partitioned_groups
 
+    side_n = 1 << lod
+
+    def cell_counts(b: pa.Table) -> pa.Table:
+        tx, ty = tile_of_points(b[x_col].to_numpy(), b[y_col].to_numpy(),
+                                world, lod)
+        key, cnt = np.unique(tx * side_n + ty, return_counts=True)
+        return pa.table({"cell": pa.array(key),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (points.map_batches(cell_counts, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    hot = _hot_cells_of(counts, num_partitions, hot_threshold, "pip points")
+    hot_ref = ray.put(hot)
+
     def poly_cells_rows(b: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
+        hot_set = set(hot_arr.tolist())
         pids, cells, blobs = [], [], []
         ids = b["poly_id"].to_numpy()
         rb = b["rings"].to_pylist()
         for i in range(len(ids)):
             rings = unpack_rings(rb[i])
             for (cx, cy) in polygon_cells(rings, world, lod):
-                pids.append(int(ids[i]))
-                cells.append(cx * (1 << lod) + cy)
-                blobs.append(rb[i])
+                cell = cx * side_n + cy
+                reps = range(n_salts) if cell in hot_set else (0,)
+                for s in reps:
+                    pids.append(int(ids[i]))
+                    cells.append(cell * n_salts + s)
+                    blobs.append(rb[i])
         n = len(pids)
         return pa.table({
             "cell": pa.array(cells, pa.int64()),
@@ -180,12 +240,14 @@ def pip_join_shuffle(points: ray.data.Dataset, polygons: ray.data.Dataset,
         })
 
     def point_rows(b: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
         xs = b[x_col].to_numpy().astype(np.float64)
         ys = b[y_col].to_numpy().astype(np.float64)
         tx, ty = tile_of_points(xs, ys, world, lod)
         n = len(xs)
         return pa.table({
-            "cell": pa.array(tx * (1 << lod) + ty),
+            "cell": pa.array(salted_cell_keys(tx * side_n + ty, hot_arr,
+                                              n_salts)),
             "_kind": pa.array(np.zeros(n, dtype=np.int8)),
             "poly_id": pa.nulls(n, pa.int64()),
             "rings": pa.nulls(n, pa.large_binary()),
@@ -525,13 +587,23 @@ def zonal_stats(tiles: ray.data.Dataset,
 
 def zonal_stats_shuffle(tiles: ray.data.Dataset, polygons: ray.data.Dataset,
                         world: Extents, lod: int,
-                        num_partitions: int = 64) -> ray.data.Dataset:
+                        num_partitions: int = 64,
+                        n_salts: int = 8,
+                        hot_threshold: Optional[int] = None) -> ray.data.Dataset:
     """Both-sides-large raster<->vector join: polygons are a DATASET
     {poly_id, rings (pack_rings)} instead of a broadcast list. Polygons
     flat_map to covering cells; tiles already ARE their (tile_x, tile_y)
     cell; one hash-cogroup partition pass computes the per-(tile, polygon)
     partials (each tile's pixels move exactly once), then the same tiny
-    groupby(poly_id) reduce. Same kernel, same results as zonal_stats."""
+    groupby(poly_id) reduce. Same kernel, same results as zonal_stats.
+
+    Skew: here the unbounded side of a hot cell is the POLYGON cover
+    (urban-core density — every cell has at most a few tile rows but may
+    have thousands of covering polygons). The accounting pass counts
+    polygon-cover rows per cell; hot cells salt the polygon side and
+    replicate the tile rows to every salt. Each (poly, tile) partial is
+    still computed exactly once (a poly row lives in one sub-key) and the
+    existing groupby(poly_id) reduce is unchanged."""
     from ray.data.aggregate import Max, Min, Sum
 
     from .joins import partitioned_groups
@@ -540,7 +612,25 @@ def zonal_stats_shuffle(tiles: ray.data.Dataset, polygons: ray.data.Dataset,
     rx = world.width / (side * 256)
     ry = world.height / (side * 256)
 
+    def cover_counts(b: pa.Table) -> pa.Table:
+        cells = []
+        for blob in b["rings"].to_pylist():
+            for (cx, cy) in polygon_cells(unpack_rings(blob), world, lod):
+                cells.append(cx * side + cy)
+        key, cnt = np.unique(np.asarray(cells, np.int64),
+                             return_counts=True)
+        return pa.table({"cell": pa.array(key),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = (polygons.map_batches(cover_counts, batch_format="pyarrow")
+              .groupby("cell").aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    hot = _hot_cells_of(counts, num_partitions, hot_threshold,
+                        "zonal polygon cover")
+    hot_ref = ray.put(hot)
+
     def poly_rows(b: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
         pids, cells, blobs = [], [], []
         ids = b["poly_id"].to_numpy()
         rb = b["rings"].to_pylist()
@@ -551,7 +641,8 @@ def zonal_stats_shuffle(tiles: ray.data.Dataset, polygons: ray.data.Dataset,
                 blobs.append(rb[i])
         n = len(pids)
         return pa.table({
-            "cell": pa.array(cells, pa.int64()),
+            "cell": pa.array(salted_cell_keys(
+                np.asarray(cells, np.int64), hot_arr, n_salts)),
             "_kind": pa.array(np.ones(n, dtype=np.int8)),
             "poly_id": pa.array(pids, pa.int64()),
             "rings": pa.array(blobs, pa.large_binary()),
@@ -564,11 +655,20 @@ def zonal_stats_shuffle(tiles: ray.data.Dataset, polygons: ray.data.Dataset,
         })
 
     def tile_rows(b: pa.Table) -> pa.Table:
+        hot_arr = ray.get(hot_ref)
         tx = b["tile_x"].to_numpy().astype(np.int64)
         ty = b["tile_y"].to_numpy().astype(np.int64)
+        cell = tx * side + ty
+        # replicate tiles of HOT cells to every salt sub-key
+        reps = np.where(np.isin(cell, hot_arr), n_salts, 1)
+        ridx = np.repeat(np.arange(len(cell)), reps)
+        salt = np.arange(len(ridx)) \
+            - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps)
+        b = b.take(pa.array(ridx, pa.int64()))
+        tx, ty, cell = tx[ridx], ty[ridx], cell[ridx]
         n = len(tx)
         return pa.table({
-            "cell": pa.array(tx * side + ty),
+            "cell": pa.array(cell * n_salts + salt),
             "_kind": pa.array(np.zeros(n, dtype=np.int8)),
             "poly_id": pa.nulls(n, pa.int64()),
             "rings": pa.nulls(n, pa.large_binary()),

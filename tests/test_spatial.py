@@ -343,3 +343,90 @@ def test_zonal_stats_vs_numpy_oracle(ray_session):
     for col in ("n_px", "px_min", "px_max"):
         assert (got_s[col] == got[col]).all()
     np.testing.assert_allclose(got_s["px_sum"], got["px_sum"], rtol=1e-12)
+
+
+def test_pip_shuffle_salted_hot_cell(ray_session):
+    """50% of points in ONE cell: forced salting (hot_threshold=100,
+    n_salts=4) must (a) return exactly the broadcast plan's matches and
+    (b) bound every cogroup sub-key to ~|hot cell| / n_salts point rows."""
+    import ray.data
+    rng = np.random.default_rng(77)
+    n = 2000
+    # half the points inside one lod-4 cell (cell width 100/16 = 6.25)
+    xs = np.concatenate([rng.uniform(50.0, 56.2, n // 2),
+                         rng.uniform(0, 100, n - n // 2)])
+    ys = np.concatenate([rng.uniform(50.0, 56.2, n // 2),
+                         rng.uniform(0, 100, n - n // 2)])
+    polys = []
+    for pid in range(4):
+        cx, cy = rng.uniform(30, 70, 2)
+        ang = np.sort(rng.uniform(0, 2 * np.pi, 8))
+        rad = rng.uniform(5, 15, 8)
+        ring = np.stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)],
+                        axis=1)
+        polys.append((pid, [ring]))
+    pts = ray.data.from_arrow(pa.table({
+        "point_id": pa.array(range(n), pa.int64()),
+        "x": pa.array(xs), "y": pa.array(ys)}))
+    poly_ds = ray.data.from_arrow(pa.table({
+        "poly_id": pa.array([p for p, _ in polys], pa.int64()),
+        "rings": pa.array([spatial.pack_rings(r) for _, r in polys],
+                          pa.large_binary())}))
+    want = {(r["point_id"], r["poly_id"]) for r in
+            spatial.pip_join(pts, polys, WORLD, lod=4).take_all()}
+    got = {(r["point_id"], r["poly_id"]) for r in
+           spatial.pip_join_shuffle(pts, poly_ds, WORLD, lod=4,
+                                    num_partitions=8, n_salts=4,
+                                    hot_threshold=100).take_all()}
+    assert got == want and len(want) > 20
+
+    # boundedness of the salted keys, on the same inputs the plan uses
+    from gdal_drivers_ray.grid import tile_of_points
+    tx, ty = tile_of_points(xs, ys, WORLD, 4)
+    cells = tx * 16 + ty
+    uc, cnt = np.unique(cells, return_counts=True)
+    hot = uc[cnt > 100]
+    assert len(hot) >= 1
+    keys = spatial.salted_cell_keys(cells, hot, 4)
+    _, kc = np.unique(keys, return_counts=True)
+    assert kc.max() <= max(cnt[cnt <= 100].max(initial=0),
+                           int(np.ceil(cnt.max() / 4)) + 4)
+
+
+def test_zonal_shuffle_salted_hot_cell(ray_session):
+    """Many polygons covering one cell: forced salting keeps the shuffle
+    plan's stats identical to the broadcast plan."""
+    import pandas as pd
+    import ray.data
+
+    from gdal_drivers_ray.grid import Extents
+    from gdal_drivers_ray.sources import solid
+    from gdal_drivers_ray.stages.spatial import (pack_rings, zonal_stats,
+                                                 zonal_stats_shuffle)
+
+    world = Extents(0.0, 0.0, 1024.0, 1024.0)
+    lod = 2
+    spec = solid.SolidSpec(srs="local", size=(1024, 1024), extents=world,
+                           bands=[solid.Band(9.0, "Byte")])
+    tiles = solid.solid_dataset(spec, include_overviews=False)
+    rng = np.random.default_rng(5)
+    polys = []
+    for pid in range(30):
+        # all polygons inside ONE lod-2 cell (cell width 256)
+        cx, cy = rng.uniform(300, 460, 2)
+        s = rng.uniform(10, 40)
+        ring = np.array([[cx, cy], [cx + s, cy], [cx + s, cy + s],
+                         [cx, cy + s], [cx, cy]])
+        polys.append((pid, [ring]))
+    poly_ds = ray.data.from_arrow(pa.table({
+        "poly_id": pa.array([p for p, _ in polys], pa.int64()),
+        "rings": pa.array([pack_rings(r) for _, r in polys],
+                          pa.large_binary())}))
+    want = zonal_stats(tiles, polys, world, lod).to_pandas() \
+        .sort_values("poly_id").reset_index(drop=True)
+    got = zonal_stats_shuffle(tiles, poly_ds, world, lod,
+                              num_partitions=8, n_salts=4,
+                              hot_threshold=5).to_pandas() \
+        .sort_values("poly_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(want) == 30
