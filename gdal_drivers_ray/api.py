@@ -31,15 +31,23 @@ warp = warp_tiles
 
 def read_images(path: str, **kwargs) -> ray.data.Dataset:
     """Input-table reader seam (BASELINE input_hint names a Lance table of
-    image+caption rows): `ray.data.read_lance` when the lance package is
-    present, parquet otherwise (this container ships parquet only). Every
-    pipeline that opens the input table goes through here, so swapping the
-    storage format is a one-line environment change, not a code change."""
-    try:
-        import lance  # noqa: F401
+    image+caption rows). Dispatch is by PATH, not by what happens to be
+    importable: a `.lance` dataset goes through `ray.data.read_lance`
+    (raising a clear ImportError when the lance package is absent — this
+    container ships parquet only, never a silent parquet fallback on a
+    Lance path), anything else reads as parquet. Every pipeline that
+    opens the input table goes through here, so swapping the storage
+    format is a path change, not a code change."""
+    if str(path).rstrip("/").endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                f"{path!r} is a Lance dataset but the `lance` package is "
+                "not installed in this environment; install pylance or "
+                "point read_images at the parquet mirror") from e
         return ray.data.read_lance(path, **kwargs)
-    except ImportError:
-        return ray.data.read_parquet(path, **kwargs)
+    return ray.data.read_parquet(path, **kwargs)
 
 
 def to_rasterio(tiles: ray.data.Dataset, grid: RasterGrid, path: str, *,

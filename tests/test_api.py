@@ -1,6 +1,8 @@
 """Public API facade: open -> warp -> read (S15/S16 parity surface)."""
 
 import numpy as np
+import pyarrow as pa
+import pytest
 
 from gdal_drivers_ray import api
 from gdal_drivers_ray.grid import Extents
@@ -87,3 +89,40 @@ def test_interop_sinks_guard_missing_libs(ray_session):
     if not has_gdal:
         with pytest.raises(ImportError, match="gdal"):
             api.open_gdal("/tmp/nonexistent.tif")
+
+
+def test_read_images_lance_dispatch_contract(ray_session, monkeypatch,
+                                             tmp_path):
+    """The input_hint names a Lance table; this contract pins the seam:
+    a .lance path MUST reach ray.data.read_lance (never a silent parquet
+    fallback), a parquet path must not. The container lacks the lance
+    package, so the read_lance leg is exercised through an injected stub
+    module — the dispatch logic is identical either way."""
+    import sys
+    import types
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gdal_drivers_ray import api
+
+    # parquet path: real read, no lance involvement
+    p = tmp_path / "imgs"
+    p.mkdir()
+    pq.write_table(pa.table({"image_id": ["a"], "w": [1]}),
+                   p / "part-0.parquet")
+    assert api.read_images(str(p)).count() == 1
+
+    # .lance path without the package: loud ImportError, no fallback
+    if "lance" not in sys.modules:
+        with pytest.raises(ImportError, match="[Ll]ance"):
+            api.read_images("/tmp/nonexistent/images.lance")
+
+    # .lance path with (stub) package present: must call read_lance
+    calls = {}
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    monkeypatch.setattr(ray.data, "read_lance",
+                        lambda path, **kw: calls.setdefault("path", path),
+                        raising=False)
+    api.read_images("/tmp/x/images.lance")
+    assert calls["path"] == "/tmp/x/images.lance"
