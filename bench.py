@@ -7,10 +7,11 @@
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
      RAY_GRAFT_CPUS (default 32).
 
-`--scaling` runs the headline pipeline in two fresh processes
-(num_cpus=8 and num_cpus=32) on the same input and reports both
-throughputs + scaling efficiency (the sandbox stand-in for N vs 4N
-nodes; see BASELINE.md).
+`--scaling` runs the headline ingest pipeline at num_cpus 4/8/16/32 in
+fresh processes on the same input and reports throughputs + N->4N
+scaling efficiency (the sandbox stand-in for N vs 4N nodes; see
+BASELINE.md). `--scaling-shuffle` does the same for the one-exchange
+both-sides-large keyed join, the shuffle-bound regime.
 """
 
 from __future__ import annotations
@@ -63,6 +64,84 @@ def run_scaling() -> tuple[float, int]:
     return time.perf_counter() - t0, SCALING_IMAGES
 
 
+# 96x sf0.1 = 57.6M lineitem + 14.4M orders rows (~2 GB tagged): big
+# enough that the exchange dominates the timed section at every level
+SHUFFLE_REPS = int(os.environ.get("GRAFT_SHUFFLE_REPS", "96"))
+
+
+def _shuffle_input(table: str, cols: list[str], key: str,
+                   n_files: int = 64) -> str:
+    """Materialize the SHUFFLE_REPS x key-shift replicated table ONCE as a
+    many-file parquet dir (cached across the per-NCPU processes, built
+    untimed). Key cardinality grows with the replication, so exchange
+    reducers stay balanced — and a many-file input fans the timed read
+    out across tasks at every parallelism level."""
+    import pyarrow as pa
+
+    import ray.data
+
+    out = f"/tmp/graft_fixtures/shuffle_{SHUFFLE_REPS}x_{table}"
+    if os.path.exists(out):
+        return out
+
+    def rep(b: pa.Table) -> pa.Table:
+        import numpy as np
+        v = b[key].to_numpy()
+        reps = []
+        for i in range(SHUFFLE_REPS):
+            reps.append(b.set_column(
+                b.schema.get_field_index(key), key,
+                pa.array(v + np.int64(i) * np.int64(50_000_000))))
+        return pa.concat_tables(reps)
+
+    tmp = out + ".tmp"
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    ray.data.read_parquet(f"{SF_DIR}/{table}.parquet", columns=cols) \
+        .repartition(n_files) \
+        .map_batches(rep, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(tmp)
+    os.replace(tmp, out)
+    return out
+
+
+def run_scaling_shuffle() -> tuple[float, int]:
+    """Shuffle scaling workload: the generic both-sides-large cogroup_join
+    on the HIGH-CARDINALITY orderkey (14.4M distinct keys, ~4 rows/key)
+    over a pre-materialized SHUFFLE_REPS x replicated input (built
+    untimed, cached across processes). High cardinality matters: it makes
+    the exchange combiner-proof — a per-key aggregate (q_tms_join_big's
+    1,344-key space) collapses to partials map-side and stops measuring
+    the shuffle at all, while a join must move every row."""
+    import ray.data
+    from gdal_drivers_ray.stages.joins import cogroup_join
+
+    o_cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    l_cols = ["l_orderkey", "l_partkey", "l_suppkey"]
+    o_dir = _shuffle_input("orders", o_cols, "o_orderkey")
+    l_dir = _shuffle_input("lineitem", l_cols, "l_orderkey")
+    for d in (o_dir, l_dir):
+        for f in os.listdir(d):
+            _warm(os.path.join(d, f))
+
+    def plan():
+        return cogroup_join(ray.data.read_parquet(o_dir),
+                            ray.data.read_parquet(l_dir),
+                            on="o_orderkey", right_on="l_orderkey",
+                            num_partitions=256)
+
+    # warmup: same full plan, untimed (JIT/import/actor spin-up)
+    plan().count()
+
+    import pyarrow.parquet as pq
+    n_req = sum(pq.read_metadata(os.path.join(l_dir, f)).num_rows
+                for f in os.listdir(l_dir) if f.endswith(".parquet"))
+    t0 = time.perf_counter()
+    n = plan().count()
+    assert n > 0
+    return time.perf_counter() - t0, n_req
+
+
 def run_headline() -> tuple[float, int]:
     """Flagship: decode 256x256 tiles on an actor pool, assign cells, check
     per-row invariants, roll up one LOD, and reduce. Returns (sec, tiles)."""
@@ -101,6 +180,42 @@ def run_queries() -> dict[str, float]:
 
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    if "--scaling-shuffle" in sys.argv:
+        # Same N-vs-4N protocol as --scaling, but on the ONE-EXCHANGE
+        # both-sides-large keyed join (the shuffle-bound regime the
+        # north rule's efficiency criterion is really about). Best-of-2
+        # per level, symmetric — see the --scaling comment below.
+        results = {}
+        for ncpu in (4, 8, 16, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_SHUFFLE="1")
+            best = None
+            for _ in range(2):
+                out = subprocess.run(
+                    [sys.executable, __file__], env=env,
+                    capture_output=True, text=True, check=True).stdout
+                r = json.loads(out.strip().splitlines()[-1])
+                if best is None or r["value"] < best["value"]:
+                    best = r
+            results[ncpu] = best
+
+        def seff(lo, hi):
+            return round((results[lo]["value"] / results[hi]["value"])
+                         / (hi / lo), 3)
+
+        print(json.dumps({
+            "workload": "cogroup_join on orderkey (both sides large, "
+                        f"high-cardinality, {SHUFFLE_REPS}x replicated)",
+            "sec": {str(n): results[n]["value"] for n in results},
+            "rows_per_sec": {str(n): results[n]["rows_per_sec"]
+                             for n in results},
+            "scaling_efficiency": seff(4, 16),
+            "scaling_pair": "4->16 cpus (N vs 4N)",
+            "scaling_efficiency_8_32": seff(8, 32),
+            "sf": SF_DIR, "request_rows": results[4]["rows"],
+        }))
+        return
 
     if "--scaling" in sys.argv:
         # N vs 4N in fresh processes on identical input (the sandbox
@@ -155,6 +270,17 @@ def main() -> None:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+
+    if os.environ.get("GRAFT_BENCH_SHUFFLE"):
+        shuffle_sec, rows = run_scaling_shuffle()
+        ray.shutdown()
+        print(json.dumps({
+            "metric": "cogroup_join wall time (post-warmup)",
+            "value": round(shuffle_sec, 3), "unit": "sec", "queries": {},
+            "sf": SF_DIR, "num_cpus": NCPU, "rows": rows,
+            "rows_per_sec": round(rows / shuffle_sec, 1),
+        }))
+        return
 
     if os.environ.get("GRAFT_BENCH_SCALING"):
         headline_sec, tiles = run_scaling()

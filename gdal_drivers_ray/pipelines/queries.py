@@ -234,38 +234,73 @@ def q_tms_join_big(sf_dir: str) -> ray.data.Dataset:
     (The round-2 three-exchange plan — store groupby, cogroup sort, final
     aggregate — measured 3x slower on pure barrier overhead.) Shares
     q_tms_join's SQL oracle by construction."""
+    return tms_join_big_from(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]))
+
+
+def tms_join_big_from(o: ray.data.Dataset,
+                      li: ray.data.Dataset) -> ray.data.Dataset:
+    """Dataset-parameterized core of q_tms_join_big (bench.py's scaling
+    workloads feed replicated inputs through the same plan).
+
+    MAP-SIDE COMBINER plan: every per-key aggregate here is associative
+    (store-side min, request-side count/max), so each input block first
+    collapses to one partial row per (key, side) and only PARTIALS cross
+    the exchange. Profiled on the 96x bench input, the row-level plan
+    spent 56 of 70 CPU-seconds sorting 72M rows the reducer then threw
+    away; partials cap the exchange at blocks x live keys regardless of
+    input scale."""
     from ..stages.joins import partitioned_groups
 
-    o = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-
-    def store_rows(b: pa.Table) -> pa.Table:
+    def store_partials(b: pa.Table) -> pa.Table:
+        import pandas as pd
         z = 3 + (b["o_orderkey"].to_numpy() % 3)
         side = np.int64(1) << z
         col = b["o_custkey"].to_numpy() % side
         row_tms = np.floor(b["o_totalprice"].to_numpy()).astype(np.int64) \
             % side
         k = z * PACK_Z + row_tms * PACK_Y + col
+        g = pd.DataFrame({"k": k, "val": b["o_orderkey"].to_numpy()}) \
+            .groupby("k", as_index=False)["val"].min()
+        n = len(g)
         return pa.table({
-            "k": pa.array(k),
-            "side": pa.array(np.zeros(len(k), dtype=np.int64)),
-            "val": pa.array(b["o_orderkey"].to_numpy())})
+            "k": pa.array(g["k"].to_numpy()),
+            "side": pa.array(np.zeros(n, dtype=np.int64)),
+            "cnt": pa.array(np.zeros(n, dtype=np.int64)),
+            "mn": pa.array(g["val"].to_numpy().astype(np.int64)),
+            "mx": pa.array(np.zeros(n, dtype=np.int64))})
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
-
-    def requests(b: pa.Table) -> pa.Table:
+    def request_partials(b: pa.Table) -> pa.Table:
+        import pandas as pd
         z = 3 + (b["l_orderkey"].to_numpy() % 3)
         side = np.int64(1) << z
         col = b["l_partkey"].to_numpy() % side
         row_tms = (side - 1) - (b["l_suppkey"].to_numpy() % side)
         k = z * PACK_Z + row_tms * PACK_Y + col
+        g = pd.DataFrame({"k": k, "val": b["l_orderkey"].to_numpy()}) \
+            .groupby("k", as_index=False).agg(
+                cnt=("k", "size"), mx=("val", "max"))
+        n = len(g)
         return pa.table({
-            "k": pa.array(k),
-            "side": pa.array(np.ones(len(k), dtype=np.int64)),
-            "val": pa.array(b["l_orderkey"].to_numpy())})
+            "k": pa.array(g["k"].to_numpy()),
+            "side": pa.array(np.ones(n, dtype=np.int64)),
+            "cnt": pa.array(g["cnt"].to_numpy().astype(np.int64)),
+            "mn": pa.array(np.zeros(n, dtype=np.int64)),
+            "mx": pa.array(g["mx"].to_numpy().astype(np.int64))})
 
-    rows = o.map_batches(store_rows, batch_format="pyarrow") \
-        .union(li.map_batches(requests, batch_format="pyarrow")) \
-        .repartition(16)
+    # coalesce the union's many tiny partial blocks before the exchange,
+    # but never below cluster parallelism (a fixed repartition(16) measured
+    # 2x wall at 32 cpus: 16 add_part/sort tasks cap the whole downstream)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        ncpu = 16
+    rows = o.map_batches(store_partials, batch_format="pyarrow",
+                         batch_size=None) \
+        .union(li.map_batches(request_partials, batch_format="pyarrow",
+                              batch_size=None)) \
+        .repartition(max(16, 2 * ncpu))
 
     def reduce_part(t: pa.Table) -> pa.Table:
         import pandas as pd
@@ -275,14 +310,14 @@ def q_tms_join_big(sf_dir: str) -> ray.data.Dataset:
                           "max_req": pa.array([], pa.int64())})
         if "k" not in t.column_names or t.num_rows == 0:
             return empty
-        k = t["k"].to_numpy()
-        side = t["side"].to_numpy()
-        val = t["val"].to_numpy()
-        s = pd.DataFrame({"key": k[side == 0], "payload": val[side == 0]}) \
-            .groupby("key", as_index=False)["payload"].min()
-        r = pd.DataFrame({"key": k[side == 1], "req": val[side == 1]}) \
-            .groupby("key", as_index=False).agg(
-                n_hits=("key", "size"), max_req=("req", "max"))
+        df = t.to_pandas()
+        sdf = df[df["side"] == 0]
+        rdf = df[df["side"] == 1]
+        s = sdf.groupby("k", as_index=False)["mn"].min() \
+            .rename(columns={"k": "key", "mn": "payload"})
+        r = rdf.groupby("k", as_index=False).agg(
+            n_hits=("cnt", "sum"), max_req=("mx", "max")) \
+            .rename(columns={"k": "key"})
         g = r.merge(s, on="key", how="inner")
         if not len(g):
             return empty

@@ -275,8 +275,13 @@ def _train_from_dataset(emb: ray.data.Dataset, n_cells: int,
             h = (v * np.int64(2654435761)) % np.int64(mod)
         return b.filter(pa.array(h == 0))
 
-    samp = emb.map_batches(keep_sample, batch_format="pyarrow") \
-        .limit(sample_n).to_pandas()
+    # NO .limit() here: with preserve_order=False (the default) a limit
+    # keeps whichever blocks finish first, so two training runs over the
+    # same data saw different samples (flaky persisted-vs-inline parity).
+    # The hash filter alone bounds the pull to ~2*sample_n expected rows;
+    # sorting by vec_id makes the final truncation order-independent.
+    samp = emb.map_batches(keep_sample, batch_format="pyarrow").to_pandas()
+    samp = samp.sort_values("vec_id", kind="stable").head(sample_n)
     mat = np.stack([np.asarray(e, np.float64)
                     for e in samp["embedding"]])
     return train_centroids(mat, n_cells)

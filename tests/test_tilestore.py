@@ -115,7 +115,10 @@ def test_parse_requests_matches_scalar_grammar(paths):
     st_col = out["status"].to_pylist()
     sk_col = out["skey"].to_pylist()
     for i, p in enumerate(paths):
-        parsed = parse_tile_key(p)
+        # the key is the path BASENAME (mbtiles.cpp takes the filename
+        # component), so the scalar model splits at the last '/' exactly
+        # like parse_requests does
+        parsed = parse_tile_key(p.rsplit("/", 1)[-1])
         if parsed is None:
             assert st_col[i] == "bad_key", p
             assert sk_col[i] == -1
