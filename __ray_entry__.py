@@ -162,9 +162,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _tq.q_lang_id,
         "fingerprint": _tq.q_fingerprint,
         "jaccard_pairs": _tq.q_jaccard_pairs,
-        # warp / reprojection (S16/T6): SQL-checked transform kernel +
+        # warp / reprojection (S16/T6): SQL-checked transform kernels +
         # rows-only full tile warp (pixel parity in tests/test_warp.py)
         "merc_transform": _wq.q_merc_transform,
+        "utm_transform": _wq.q_utm_transform,
         "warp_tiles": _wq.q_warp_tiles,
         # skew: salted two-phase aggregation (SQL-checked vs plain GROUP BY)
         "salted_agg": _kq.q_salted_agg,
@@ -244,6 +245,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": _tq.SQL_FINGERPRINT,
         "jaccard_pairs": _tq.SQL_JACCARD_PAIRS,
         "merc_transform": _wq.SQL_MERC_TRANSFORM,
+        "utm_transform": _wq.SQL_UTM_TRANSFORM,
         "salted_agg": _kq.SQL_SALTED_AGG,
         "image_resize": _mq.SQL_IMAGE_RESIZE,
     }

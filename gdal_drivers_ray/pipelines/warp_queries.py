@@ -122,3 +122,67 @@ FROM (VALUES {values}) t(tile_x, tile_y, valid_n, px_sum)
 
 
 SQL_WARP_TILES = _sql_warp_tiles()
+
+def q_utm_transform(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic lon/lat inside UTM zone 33 derived from customer keys
+    -> EPSG:32633 meters through the engine's real transformer path
+    (projections.tmerc_forward via warp.get_transformer). Integer-floored
+    so the value-hash compare is exact; the DuckDB twin recomputes the
+    Snyder series in SQL with the IDENTICAL constants."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def tx(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        lon = 12.0 + ((ck * 29) % 6000).astype(np.float64) / 1000.0
+        lat = ((ck * 31) % 15000).astype(np.float64) / 100.0 - 75.0
+        ux, uy = W.transform_points(lon, lat, "EPSG:4326", "EPSG:32633")
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "utm_e_m": pa.array(np.floor(ux).astype(np.int64)),
+            "utm_n_m": pa.array(np.floor(uy).astype(np.int64)),
+        })
+
+    return cust.map_batches(tx, batch_format="pyarrow")
+
+
+def _sql_utm_transform() -> str:
+    """DuckDB twin of the zone-33 Transverse Mercator forward: the Snyder
+    series (projections.tmerc_forward) transcribed to SQL with the module's
+    own constants embedded, mirroring the numpy expression structure."""
+    from .. import projections as P
+
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         radians(12.0 + CAST((c_custkey * 29) % 6000 AS DOUBLE) / 1000.0)
+             AS lon,
+         radians(CAST((c_custkey * 31) % 15000 AS DOUBLE) / 100.0 - 75.0)
+             AS lat
+  FROM customer
+), terms AS (
+  SELECT c_custkey, lat,
+         {P.A!r} / sqrt(1.0 - {P.E2!r} * sin(lat) * sin(lat)) AS nn,
+         tan(lat) * tan(lat) AS t,
+         {P.EP2!r} * cos(lat) * cos(lat) AS c,
+         (lon - radians(15.0)) * cos(lat) AS aa,
+         {P.A!r} * ({P.M_C0!r} * lat - {P.M_C2!r} * sin(2.0 * lat)
+                    + {P.M_C4!r} * sin(4.0 * lat)
+                    - {P.M_C6!r} * sin(6.0 * lat)) AS m
+  FROM pts
+)
+SELECT c_custkey,
+       CAST(floor(500000.0 + 0.9996 * nn *
+            (aa + (1.0 - t + c) * pow(aa, 3) / 6.0
+                + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * {P.EP2!r})
+                  * pow(aa, 5) / 120.0)) AS BIGINT) AS utm_e_m,
+       CAST(floor(0.9996 * (m + nn * tan(lat) *
+            (aa * aa / 2.0
+             + (5.0 - t + 9.0 * c + 4.0 * c * c) * pow(aa, 4) / 24.0
+             + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * {P.EP2!r})
+               * pow(aa, 6) / 720.0))) AS BIGINT) AS utm_n_m
+FROM terms
+"""
+
+
+SQL_UTM_TRANSFORM = _sql_utm_transform()

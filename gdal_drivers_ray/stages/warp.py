@@ -12,16 +12,17 @@ through GDAL's in-memory warper; here it is a tile-keyed shuffle:
 SRS state (the transformer) mirrors the reference's once-parsed SRS holder
 (/root/reference/gdal-drivers/detail/srsholder.hpp:54-61, T6 in SURVEY §2.3):
 transformers are built once per worker process via an lru_cache, never per
-batch. pyproj is not available in this container, so the supported SRS set is
-implemented from the public spherical-Mercator formulas (EPSG:3857 <-> 4326)
-plus "local" (identity): the plumbing — warm per-worker transform state,
-cover join, group resample — is the real, scale-relevant part, and adding a
-full projection library later only swaps the two formula functions.
+batch. No projection library ships in this container, so the transforms are
+implemented from the public formulas: the spherical-Mercator pair
+(EPSG:3857 <-> 4326) here, and the ellipsoidal family — UTM / Transverse
+Mercator and Lambert Conformal Conic on WGS84 for any EPSG / proj4 / WKT
+spelling — in gdal_drivers_ray.projections (Snyder, USGS PP 1395), composed
+through a lon/lat hub.
 
 Scale notes (100 TB):
 - the shuffle key is the *dst* tile id; pixel payloads move exactly once;
-- the cover join is computed from tile extents (corners only — both supported
-  projections are axis-separable and monotone), no pixel reads;
+- the cover join is computed from tile extents (a 3x3 sample stencil per
+  tile bounds curved-graticule projections at tile scale), no pixel reads;
 - resample math is vectorized NumPy over the whole 256x256 block;
 - accumulation is float64 regardless of storage dtype, matching the
   reference blender's compute dtype (blender.cpp:223).
@@ -45,7 +46,10 @@ from ..grid import TILE, Extents
 
 _R = 6378137.0  # WGS84 / spherical-Mercator radius (public EPSG:3857 definition)
 
-SUPPORTED_SRS = ("local", "EPSG:4326", "EPSG:3857")
+SUPPORTED_SRS = ("local", "EPSG:4326", "EPSG:3857",
+                 "EPSG:32601-32660 (UTM north)", "EPSG:32701-32760 (south)",
+                 "+proj=tmerc/lcc/utm (WGS84)",
+                 "WKT Transverse_Mercator / Lambert_Conformal_Conic_2SP")
 
 # dtype tags: numpy names or the reference's GDAL names (solid.cpp:408-440)
 _GDAL_DTYPES = {"Byte": np.uint8, "UInt16": np.uint16, "Int16": np.int16,
@@ -76,10 +80,16 @@ def get_transformer(src_srs: str, dst_srs: str):
 
     SRS arguments accept ANY spelling the reference accepts — WKT, proj4,
     'EPSG:nnnn', bare code (srsholder.hpp delegates to geo::SrsDefinition;
-    here gdal_drivers_ray.srs does the parse/normalize). A VALID CRS
-    outside the built-in transform table raises 'no transform path' with
-    its canonical name; an INVALID string raises the parse error.
+    here gdal_drivers_ray.srs does the parse/normalize). Transform paths:
+    the spherical-Mercator pair keeps its original closed forms (their
+    exact expression order is pinned by SQL oracles); every other pair
+    resolves both sides to a pure-NumPy ProjDef (projections.py: UTM /
+    Transverse Mercator / Lambert Conformal Conic on WGS84) and composes
+    through the lon/lat hub: src.inverse -> dst.forward. A VALID CRS
+    outside that table raises 'no transform path' with its canonical
+    name; an INVALID string raises the parse error.
     """
+    from ..projections import projection_of
     from ..srs import resolve_srs
 
     src_c = resolve_srs(src_srs)
@@ -91,9 +101,22 @@ def get_transformer(src_srs: str, dst_srs: str):
         return _ll_to_merc
     if (src_c, dst_c) == ("EPSG:3857", "EPSG:4326"):
         return _merc_to_ll
-    raise ValueError(
-        f"no transform path {src_c!r} -> {dst_c!r} (built-in table covers "
-        f"{SUPPORTED_SRS}; a projection library extends it)")
+
+    src_p = projection_of(src_srs)    # raises 'no transform path' on
+    dst_p = projection_of(dst_srs)    # unsupported-but-valid CRSs
+
+    def via_lonlat(xs, ys):
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        if src_p.kind == "merc_sph":
+            lon, lat = _merc_to_ll(xs, ys)
+        else:
+            lon, lat = src_p.inverse(xs, ys)
+        if dst_p.kind == "merc_sph":
+            return _ll_to_merc(lon, lat)
+        return dst_p.forward(lon, lat)
+
+    return via_lonlat
 
 
 def transform_points(xs, ys, src_srs: str, dst_srs: str):
@@ -204,36 +227,50 @@ def warp_oracle(src: np.ndarray, src_grid: RasterGrid, dst_grid: RasterGrid,
 
 def _cover_flat_map(src_grid: RasterGrid, dst_grid: RasterGrid):
     """Batch fn: src tile rows -> one row per (dst_tx, dst_ty) the tile may
-    feed. Corner transform only — both supported projections are separable
-    and monotone, so the bbox of corners bounds the warped tile."""
+    feed. Transforms a 3x3 sample grid per tile (corners + edge midpoints
+    + center): corners alone bound only axis-separable monotone
+    projections (the Mercator pair); Transverse Mercator / LCC bend the
+    tile edges, and the midpoints recover a bounding box for any
+    projection whose curvature is mild at tile scale (true within each
+    projection's validity zone). One vectorized transform per batch —
+    tile EXTENTS only, never pixels."""
     tr = get_transformer(src_grid.srs, dst_grid.srs)
     ntx, nty = dst_grid.n_tiles()
 
     def fn(b: pa.Table) -> pa.Table:
         txs = b["tile_x"].to_numpy()
         tys = b["tile_y"].to_numpy()
+        n = b.num_rows
+        x0 = np.empty(n); x1 = np.empty(n)
+        y0 = np.empty(n); y1 = np.empty(n)
+        w = src_grid.extents
+        for i in range(n):
+            # src tile extents padded by 2 src px so bilinear stencils that
+            # straddle a tile seam still find the neighbor tile in the
+            # group; clamped to the raster (edge tiles' 256-block footprint
+            # can reach past the extents / outside the projection domain)
+            e = src_grid.tile_extents(int(txs[i]), int(tys[i]), pad_px=2.0)
+            x0[i], x1[i] = max(e.llx, w.llx), min(e.urx, w.urx)
+            y0[i], y1[i] = max(e.lly, w.lly), min(e.ury, w.ury)
+        xm, ym = (x0 + x1) / 2.0, (y0 + y1) / 2.0
+        # 9 sample points per tile, all tiles in ONE transform call
+        sx = np.stack([x0, xm, x1, x0, xm, x1, x0, xm, x1], axis=1)
+        sy = np.stack([y0, y0, y0, ym, ym, ym, y1, y1, y1], axis=1)
+        wx, wy = tr(sx.ravel(), sy.ravel())
+        pfx, pfy = dst_grid.world_to_pixelf(wx, wy)
+        pfx = pfx.reshape(n, 9); pfy = pfy.reshape(n, 9)
+        tx0 = np.maximum(0, np.floor(pfx.min(axis=1) / TILE).astype(int))
+        tx1 = np.minimum(ntx - 1,
+                         np.floor(pfx.max(axis=1) / TILE).astype(int))
+        ty0 = np.maximum(0, np.floor(pfy.min(axis=1) / TILE).astype(int))
+        ty1 = np.minimum(nty - 1,
+                         np.floor(pfy.max(axis=1) / TILE).astype(int))
         out_idx: list[int] = []
         out_dx: list[int] = []
         out_dy: list[int] = []
-        for i in range(b.num_rows):
-            # src tile extents padded by 2 src px so bilinear stencils that
-            # straddle a tile seam still find the neighbor tile in the group
-            e = src_grid.tile_extents(int(txs[i]), int(tys[i]), pad_px=2.0)
-            # clamp to the raster: edge tiles' 256-block footprint can reach
-            # past the extents (even outside the projection domain)
-            w = src_grid.extents
-            x0, x1 = max(e.llx, w.llx), min(e.urx, w.urx)
-            y0, y1 = max(e.lly, w.lly), min(e.ury, w.ury)
-            cx = np.array([x0, x1, x0, x1])
-            cy = np.array([y0, y0, y1, y1])
-            wx, wy = tr(cx, cy)
-            pfx, pfy = dst_grid.world_to_pixelf(wx, wy)
-            tx0 = max(0, int(np.floor(pfx.min() / TILE)))
-            tx1 = min(ntx - 1, int(np.floor(pfx.max() / TILE)))
-            ty0 = max(0, int(np.floor(pfy.min() / TILE)))
-            ty1 = min(nty - 1, int(np.floor(pfy.max() / TILE)))
-            for dy in range(ty0, ty1 + 1):
-                for dx in range(tx0, tx1 + 1):
+        for i in range(n):
+            for dy in range(ty0[i], ty1[i] + 1):
+                for dx in range(tx0[i], tx1[i] + 1):
                     out_idx.append(i)
                     out_dx.append(dx)
                     out_dy.append(dy)

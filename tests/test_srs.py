@@ -72,9 +72,11 @@ def test_transformer_accepts_any_spelling():
 
 
 def test_transformer_valid_but_unsupported_crs():
-    # parses fine; transform table lacks it -> clear canonical-name error
-    with pytest.raises(ValueError, match="no transform path.*EPSG:32633"):
-        warp.get_transformer("EPSG:32633", "EPSG:4326")
+    # parses fine; projection table lacks it -> clear canonical-name error
+    # (EPSG:32633 moved to the supported set in gdal_drivers_ray.projections,
+    # so the unsupported example is a non-WGS84 national grid)
+    with pytest.raises(ValueError, match="no transform path.*EPSG:2180"):
+        warp.get_transformer("EPSG:2180", "EPSG:4326")
     # same CRS in different spellings = identity, even when unsupported
-    f = warp.get_transformer("+init=epsg:32633", "EPSG:32633")
+    f = warp.get_transformer("2180", "EPSG:2180")
     np.testing.assert_array_equal(f([1.0], [2.0])[0], [1.0])

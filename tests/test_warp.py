@@ -57,11 +57,17 @@ def test_transformer_roundtrip():
     np.testing.assert_allclose(y[0], 0.0, atol=1e-9)
 
 
-def test_local_pair_only():
+def test_no_transform_path_raises():
+    # 'local' never reprojects (not geographic), and CRSs outside the
+    # built-in projection table stay honest errors
     with pytest.raises(ValueError):
         W.get_transformer("local", "EPSG:3857")
     with pytest.raises(ValueError):
-        W.get_transformer("EPSG:32633", "EPSG:4326")
+        W.get_transformer("EPSG:2180", "EPSG:4326")
+    # ...but the UTM family transforms now (gdal_drivers_ray.projections)
+    x, y = W.get_transformer("EPSG:32633", "EPSG:4326")(
+        np.array([500000.0]), np.array([0.0]))
+    assert abs(float(x[0]) - 15.0) < 1e-9 and abs(float(y[0])) < 1e-9
 
 
 def test_identity_warp_exact(ray_session):
@@ -109,3 +115,29 @@ def test_warp_preserves_float32_source(ray_session):
                        "nearest", nodata=-1.0)
     res = _assemble(out, g, -1.0)
     np.testing.assert_array_equal(res, src.astype(np.float64))
+
+
+def test_utm_warp_tiled_matches_oracle(ray_session):
+    # lat/lon source raster -> UTM zone 33 grid: the tiled shuffle plan
+    # must equal the whole-raster oracle EXACTLY. This exercises the 3x3
+    # cover stencil on a curved-graticule projection (corner-only cover
+    # under-covers Transverse Mercator tiles and would leave nodata holes
+    # the oracle fills).
+    src = _src(ny=512, nx=768)
+    sg = W.RasterGrid(Extents(12.0, 40.0, 18.0, 44.0), "EPSG:4326",
+                      768, 512)
+    # zone-33 footprint of the same box (corners transformed manually)
+    ux, uy = W.transform_points(
+        np.array([12.0, 18.0, 12.0, 18.0]), np.array([40.0, 40.0, 44.0, 44.0]),
+        "EPSG:4326", "EPSG:32633")
+    dg = W.RasterGrid(Extents(float(ux.min()), float(uy.min()),
+                              float(ux.max()), float(uy.max())),
+                      "EPSG:32633", 512, 512)
+    for resampling in ("nearest", "bilinear"):
+        out = W.warp_tiles(_tiles_from_array(src), sg, dg, resampling,
+                           nodata=-1.0)
+        res = _assemble(out, dg, -1.0)
+        want = W.warp_oracle(src, sg, dg, resampling, nodata=-1.0)
+        np.testing.assert_array_equal(res, want)
+        # the UTM box contains real data (not all nodata)
+        assert (want >= 0).mean() > 0.5
