@@ -192,14 +192,15 @@ def propagate_min_labels(edges: ray.data.Dataset,
         return pa.table({"node": pa.array(np.concatenate([a, bb])),
                          "nbr": pa.array(np.concatenate([bb, a]))})
 
-    orient = edges.map_batches(orient_batch, batch_format="pyarrow") \
+    orient = edges.map_batches(orient_batch, batch_format="pyarrow",
+                               batch_size=None) \
         .materialize()
     if orient.count() == 0:
         return None
 
     labels = orient.map_batches(
         lambda b: pa.table({"node": b["node"], "lab": b["node"]}),
-        batch_format="pyarrow") \
+        batch_format="pyarrow", batch_size=None) \
         .groupby("node").aggregate(Min("lab", alias_name="lab")).materialize()
     prev = int(labels.sum("lab"))
 
@@ -215,16 +216,18 @@ def propagate_min_labels(edges: ray.data.Dataset,
                             num_partitions=num_partitions) \
             .map_batches(lambda t: pa.table({"node": t["nbr"],
                                              "lab": t["lab"]}),
-                         batch_format="pyarrow").materialize()
+                         batch_format="pyarrow",
+                         batch_size=None).materialize()
         # pointer jump: lab <- lab(lab) (path halving)
         l2 = labels.map_batches(
             lambda t: pa.table({"node2": t["node"], "lab2": t["lab"]}),
-            batch_format="pyarrow")
+            batch_format="pyarrow", batch_size=None)
         jump = cogroup_join(labels, l2, on="lab", right_on="node2",
                             num_partitions=num_partitions) \
             .map_batches(lambda t: pa.table({"node": t["node"],
                                              "lab": t["lab2"]}),
-                         batch_format="pyarrow").materialize()
+                         batch_format="pyarrow",
+                         batch_size=None).materialize()
         # repartition bounds the label block count: without it the union's
         # block count compounds ~5x per round (measured 1->937 in 4 rounds)
         # and task overhead, not data, dominates
@@ -252,7 +255,7 @@ def cluster_assign(docs: ray.data.Dataset, edges: ray.data.Dataset,
     base = docs.map_batches(
         lambda b: pa.table({"node": b[id_col].cast(pa.int64()),
                             "lab": b[id_col].cast(pa.int64())}),
-        batch_format="pyarrow")
+        batch_format="pyarrow", batch_size=None)
     labels = propagate_min_labels(edges, num_partitions=num_partitions,
                                   task_threshold=task_threshold)
     allr = base if labels is None else base.union(labels)
@@ -267,7 +270,8 @@ def cluster_assign(docs: ray.data.Dataset, edges: ray.data.Dataset,
                          "cluster_id": b["cluster_id"],
                          "is_keeper": pc.equal(b["node"], b["cluster_id"])})
 
-    return full.map_batches(finish, batch_format="pyarrow")
+    return full.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)
 
 
 def minhash_lsh_dedup(docs: ray.data.Dataset, *, n_perm: int = 64,

@@ -86,7 +86,8 @@ def broadcast_join(left: ray.data.Dataset, small_df: pd.DataFrame,
             out = out.append_column(name, pc_take(s[c], r_idx))
         return out
 
-    return left.map_batches(merge, batch_format="pyarrow")
+    return left.map_batches(merge, batch_format="pyarrow",
+                            batch_size=None)
 
 
 def pc_take(col, idx):
@@ -328,8 +329,10 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
             cols[pn] = b[pc_].cast(pt)
         return pa.table(cols)
 
-    l = left.map_batches(tag_left, batch_format="pyarrow")
-    r = right.map_batches(tag_right, batch_format="pyarrow")
+    l = left.map_batches(tag_left, batch_format="pyarrow",
+                         batch_size=None)
+    r = right.map_batches(tag_right, batch_format="pyarrow",
+                          batch_size=None)
     tagged = l.union(r)
 
     if bucket_width is not None:
@@ -387,7 +390,7 @@ def asof_join(left: ray.data.Dataset, right: ray.data.Dataset,
     # before the sort-based groupby — scheduling cost scales with blocks
     return tagged.repartition(16).groupby([key, "_bucket"]).map_groups(
         match, batch_format="pyarrow").map_batches(
-        cast_out, batch_format="pyarrow")
+        cast_out, batch_format="pyarrow", batch_size=None)
 
 
 def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
@@ -456,8 +459,10 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
             t = t.append_column(pn, pa.nulls(n, pt))
         return t
 
-    rsum = right.map_batches(right_summary, batch_format="pyarrow")
-    lbuk = left.map_batches(left_buckets, batch_format="pyarrow")
+    rsum = right.map_batches(right_summary, batch_format="pyarrow",
+                             batch_size=None)
+    lbuk = left.map_batches(left_buckets, batch_format="pyarrow",
+                            batch_size=None)
 
     def carry(g: pa.Table) -> pa.Table:
         kv = g[key].to_numpy()
@@ -518,7 +523,8 @@ def _asof_carry_rows(left, right, key, time_col, tie_col, bucket_of,
             cols[pn] = b[pn].cast(pt)
         return pa.table(cols)
 
-    return carries.map_batches(expand, batch_format="pyarrow")
+    return carries.map_batches(expand, batch_format="pyarrow",
+                               batch_size=None)
 
 
 def range_join(points: ray.data.Dataset, intervals,
@@ -584,4 +590,5 @@ def range_join(points: ray.data.Dataset, intervals,
         return pa.Table.from_pandas(pd.concat([left, right], axis=1),
                                     preserve_index=False)
 
-    return points.map_batches(probe, batch_format="pyarrow")
+    return points.map_batches(probe, batch_format="pyarrow",
+                              batch_size=None)

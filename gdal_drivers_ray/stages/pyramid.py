@@ -113,7 +113,8 @@ def _parent_level(level_tiles: ray.data.Dataset, lod: int, fill: float,
             "px": pa.array(out_px, type=pa.large_binary()),
         })
 
-    return level_tiles.map_batches(add_parent, batch_format="pyarrow") \
+    return level_tiles.map_batches(add_parent, batch_format="pyarrow",
+                                   batch_size=None) \
         .groupby("_part").map_groups(assemble_part, batch_format="pyarrow")
 
 

@@ -117,7 +117,8 @@ def pip_join(points: ray.data.Dataset, polygons: list[tuple[int, list[np.ndarray
         return pa.table({"point_id": pa.array(np.concatenate(out_pt)),
                          "poly_id": pa.array(np.concatenate(out_poly))})
 
-    return points.map_batches(refine, batch_format="pyarrow")
+    return points.map_batches(refine, batch_format="pyarrow",
+                              batch_size=None)
 
 
 def pack_rings(rings: list[np.ndarray]) -> bytes:

@@ -310,7 +310,8 @@ def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
         })
 
     from .joins import partitioned_groups
-    covered = features.map_batches(cover, batch_format="pyarrow")
+    covered = features.map_batches(cover, batch_format="pyarrow",
+                                   batch_size=None)
     return partitioned_groups(covered, ["tile_x", "tile_y"],
                               num_partitions) \
         .map_groups(encode_part, batch_format="pyarrow")

@@ -131,7 +131,8 @@ def sessionize_bucketed(ev: ray.data.Dataset, gap_us: int, bucket_us: int,
             "end_us": us[sstart + slen - 1]})
 
     sess = partitioned_groups(
-        ev.map_batches(add_bucket, batch_format="pyarrow"),
+        ev.map_batches(add_bucket, batch_format="pyarrow",
+                       batch_size=None),
         ["user_id", "bucket"], num_partitions) \
         .map_groups(bucket_sessions, batch_format="pandas") \
         .materialize()
@@ -227,7 +228,8 @@ def sessionize_bucketed(ev: ray.data.Dataset, gap_us: int, bucket_us: int,
         return pd.concat([merged, fixes], ignore_index=True)
 
     stitched = partitioned_groups(
-        sess.map_batches(summarize, batch_format="pyarrow"),
+        sess.map_batches(summarize, batch_format="pyarrow",
+                         batch_size=None),
         ["user_id"], num_partitions) \
         .map_groups(stitch, batch_format="pandas") \
         .materialize()
@@ -239,9 +241,9 @@ def sessionize_bucketed(ev: ray.data.Dataset, gap_us: int, bucket_us: int,
             return t.drop_columns(["kind"]) if drop else t
         return f
 
-    merged_rows = stitched.map_batches(keep_kind(0, True),
+    merged_rows = stitched.map_batches(keep_kind(0, True), batch_size=None,
                                        batch_format="pyarrow")
-    fixes_rows = stitched.map_batches(keep_kind(1, False),
+    fixes_rows = stitched.map_batches(keep_kind(1, False), batch_size=None,
                                       batch_format="pyarrow")
 
     # --- pass 3, broadcast fast path: the fix table has ONE row per
@@ -275,7 +277,8 @@ def sessionize_bucketed(ev: ray.data.Dataset, gap_us: int, bucket_us: int,
                    "end_us"]], preserve_index=False)
 
         return merged_rows.union(
-            sess.map_batches(renumber_b, batch_format="pyarrow"))
+            sess.map_batches(renumber_b, batch_format="pyarrow",
+                             batch_size=None))
 
     def sess_tag(b: pa.Table) -> pa.Table:
         return pa.table({
@@ -292,8 +295,10 @@ def sessionize_bucketed(ev: ray.data.Dataset, gap_us: int, bucket_us: int,
             "lsid": z, "s": z, "n_events": z,
             "start_us": z, "end_us": z, "base": b["n_events"]})
 
-    both = sess.map_batches(sess_tag, batch_format="pyarrow").union(
-        fixes_rows.map_batches(fix_tag, batch_format="pyarrow"))
+    both = sess.map_batches(sess_tag, batch_format="pyarrow",
+                            batch_size=None).union(
+        fixes_rows.map_batches(fix_tag, batch_format="pyarrow",
+                               batch_size=None))
 
     def renumber(g: pd.DataFrame) -> pd.DataFrame:
         if "base" not in g.columns or not len(g):
