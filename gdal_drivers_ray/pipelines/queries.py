@@ -225,15 +225,16 @@ def q_tms_join(sf_dir: str) -> ray.data.Dataset:
 
 def q_tms_join_big(sf_dir: str) -> ray.data.Dataset:
     """Same keyed lookup as q_tms_join but BOTH sides large and
-    dataset-native: the store is built distributed (groupby(skey) first-
-    wins, never a driver frame) and the whole store-dedupe + join +
-    per-key aggregate runs in ONE hash exchange: both sides tag and
-    partition by key hash, and each partition reducer (a) first-wins the
-    store rows, (b) joins the requests, (c) emits FINAL per-key aggregates
-    — every key lives in exactly one partition, so no second exchange.
-    (The round-2 three-exchange plan — store groupby, cogroup sort, final
-    aggregate — measured 3x slower on pure barrier overhead.) Shares
-    q_tms_join's SQL oracle by construction."""
+    dataset-native: the store is built distributed (never a driver frame)
+    and the whole store-dedupe + join + per-key aggregate runs in ONE
+    hash exchange of MAP-SIDE PARTIALS — every per-key aggregate here is
+    associative, so each block collapses to one row per (key, side)
+    before the exchange and the partition reducer merges partials and
+    joins the sides. (The round-2 row-level single-exchange plan profiled
+    56 of 70 CPU-seconds sorting rows the reducer immediately
+    re-aggregated; the round-2 three-exchange plan before it measured 3x
+    slower again on pure barrier overhead.) Shares q_tms_join's SQL
+    oracle by construction."""
     return tms_join_big_from(
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_suppkey"]))
