@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only full tile warp (pixel parity in tests/test_warp.py)
         "merc_transform": _wq.q_merc_transform,
         "utm_transform": _wq.q_utm_transform,
+        "lcc_transform": _wq.q_lcc_transform,
         "warp_tiles": _wq.q_warp_tiles,
         # skew: salted two-phase aggregation (SQL-checked vs plain GROUP BY)
         "salted_agg": _kq.q_salted_agg,
@@ -246,6 +247,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _tq.SQL_JACCARD_PAIRS,
         "merc_transform": _wq.SQL_MERC_TRANSFORM,
         "utm_transform": _wq.SQL_UTM_TRANSFORM,
+        "lcc_transform": _wq.SQL_LCC_TRANSFORM,
         "salted_agg": _kq.SQL_SALTED_AGG,
         "image_resize": _mq.SQL_IMAGE_RESIZE,
     }

@@ -186,3 +186,78 @@ FROM terms
 
 
 SQL_UTM_TRANSFORM = _sql_utm_transform()
+
+# the classic CONUS Lambert cone (the public "US NA 2SP" parameter set)
+_LCC_SRS = ("+proj=lcc +lat_1=33 +lat_2=45 +lat_0=39 +lon_0=-96 "
+            "+x_0=0 +y_0=0 +datum=WGS84")
+
+
+def q_lcc_transform(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic CONUS-box lon/lat from customer keys -> Lambert
+    Conformal Conic 2SP meters through the engine's transformer
+    (projections.lcc_forward resolved from the proj4 spelling). Floored
+    to integer meters; the DuckDB twin recomputes Snyder 15-1..15-4 with
+    the module's constants."""
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def tx(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy()
+        lon = -120.0 + ((ck * 37) % 4800).astype(np.float64) / 100.0
+        lat = 24.0 + ((ck * 41) % 2500).astype(np.float64) / 100.0
+        lx, ly = W.transform_points(lon, lat, "EPSG:4326", _LCC_SRS)
+        return pa.table({
+            "c_custkey": b["c_custkey"],
+            "lcc_x_m": pa.array(np.floor(lx).astype(np.int64)),
+            "lcc_y_m": pa.array(np.floor(ly).astype(np.int64)),
+        })
+
+    return cust.map_batches(tx, batch_format="pyarrow")
+
+
+def _sql_lcc_transform() -> str:
+    """DuckDB twin of the LCC 2SP forward. The cone constants (n, F,
+    rho0) are scalars of the projection, precomputed HERE with the same
+    Python/NumPy code path the engine uses and embedded as literals; the
+    per-row part (t(lat), rho, theta) is recomputed in SQL."""
+    import math
+
+    from .. import projections as P
+
+    l1, l2, l0 = map(math.radians, (33.0, 45.0, 39.0))
+    m1 = float(P._lcc_m(np.float64(l1)))
+    m2 = float(P._lcc_m(np.float64(l2)))
+    t1 = float(P._lcc_t(np.float64(l1)))
+    t2 = float(P._lcc_t(np.float64(l2)))
+    t0 = float(P._lcc_t(np.float64(l0)))
+    n = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    f_ = m1 / (n * t1 ** n)
+    rho0 = P.A * f_ * t0 ** n
+    af = P.A * f_      # one literal: DuckDB would DECIMAL-overflow A * f
+
+    return f"""
+WITH pts AS (
+  SELECT c_custkey,
+         radians(-120.0 + CAST((c_custkey * 37) % 4800 AS DOUBLE) / 100.0)
+             AS lon,
+         radians(24.0 + CAST((c_custkey * 41) % 2500 AS DOUBLE) / 100.0)
+             AS lat
+  FROM customer
+), terms AS (
+  SELECT c_custkey,
+         {af!r} * pow(
+             tan(pi() / 4.0 - lat / 2.0)
+             / pow((1.0 - {P.E!r} * sin(lat)) / (1.0 + {P.E!r} * sin(lat)),
+                   {P.E!r} / 2.0),
+             {n!r}) AS rho,
+         {n!r} * (lon - radians(-96.0)) AS th
+  FROM pts
+)
+SELECT c_custkey,
+       CAST(floor(rho * sin(th)) AS BIGINT) AS lcc_x_m,
+       CAST(floor({rho0!r} - rho * cos(th)) AS BIGINT) AS lcc_y_m
+FROM terms
+"""
+
+
+SQL_LCC_TRANSFORM = _sql_lcc_transform()
