@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q.q_events_window,
         "asof_join": _q.q_asof_join,
         "range_join": _q.q_range_join,
+        "semi_join": _q.q_semi_join,
+        "anti_join": _q.q_anti_join,
         "sessionize": _q.q_sessionize,
         "sessionize_bucketed": _q.q_sessionize_bucketed,
         "hopping_window": _q.q_hopping_window,
@@ -162,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _tq.q_lang_id,
         "fingerprint": _tq.q_fingerprint,
         "jaccard_pairs": _tq.q_jaccard_pairs,
+        "decontaminate": _tq.q_decontaminate,
         # warp / reprojection (S16/T6): SQL-checked transform kernels +
         # rows-only full tile warp (pixel parity in tests/test_warp.py)
         "merc_transform": _wq.q_merc_transform,
@@ -199,6 +202,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window": _q.SQL_EVENTS_WINDOW,
         "asof_join": _q.SQL_ASOF_JOIN,
         "range_join": _q.SQL_RANGE_JOIN,
+        "semi_join": _q.SQL_SEMI_JOIN,
+        "anti_join": _q.SQL_ANTI_JOIN,
         "sessionize": _q.SQL_SESSIONIZE,
         "sessionize_bucketed": _q.SQL_SESSIONIZE,
         "hopping_window": _q.SQL_HOPPING_WINDOW,
@@ -245,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _tq.SQL_LANG_ID,
         "fingerprint": _tq.SQL_FINGERPRINT,
         "jaccard_pairs": _tq.SQL_JACCARD_PAIRS,
+        "decontaminate": _tq.SQL_DECONTAMINATE,
         "merc_transform": _wq.SQL_MERC_TRANSFORM,
         "utm_transform": _wq.SQL_UTM_TRANSFORM,
         "lcc_transform": _wq.SQL_LCC_TRANSFORM,

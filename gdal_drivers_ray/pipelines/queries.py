@@ -1352,3 +1352,46 @@ SELECT l_returnflag,
        count(*) AS n
 FROM lineitem GROUP BY l_returnflag
 """
+
+
+def q_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Allowlist membership filter: lineitem rows of URGENT orders via the
+    broadcast semi-join (key set ray.put once, searchsorted per block)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_semi_join
+
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_orderpriority"])
+    keys = ot.filter(pc.equal(ot["o_orderpriority"], "1-URGENT"))["o_orderkey"]
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    return broadcast_semi_join(li, keys.to_numpy(), "l_orderkey")
+
+
+def q_anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Blocklist filter: lineitem rows whose order is NOT urgent — the
+    dedup-against-blocklist shape of training-data pipelines."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.joins import broadcast_semi_join
+
+    ot = pq.read_table(f"{sf_dir}/orders.parquet",
+                       columns=["o_orderkey", "o_orderpriority"])
+    keys = ot.filter(pc.equal(ot["o_orderpriority"], "1-URGENT"))["o_orderkey"]
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey", "l_quantity"])
+    return broadcast_semi_join(li, keys.to_numpy(), "l_orderkey", anti=True)
+
+
+SQL_SEMI_JOIN = """
+SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+"""
+
+SQL_ANTI_JOIN = """
+SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+"""

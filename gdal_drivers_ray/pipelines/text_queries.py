@@ -152,3 +152,36 @@ SELECT a.doc_id AS a, b.doc_id AS b,
        END * 1000000) AS BIGINT) AS sim_micro
 FROM grams a JOIN grams b ON b.doc_id = a.doc_id + 1
 """
+
+
+def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: distinct shared 8-gram counts of every
+    non-benchmark document vs the benchmark slice (doc_id % 97 == 0)."""
+    return T.decontaminate(_docs(sf_dir), bench_mod=97, n=8)
+
+
+# The DuckDB twin re-derives the n-grams relationally: UNNEST a
+# generate_series over each token list, slice 8-token windows, distinct
+# the benchmark grams, and count distinct shared grams per document.
+# string_split(text, ' ') == Python str.split(' ') including empty tokens.
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i.x:i.x + 7], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS i(x)
+  WHERE len(t) >= 8
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0
+), hits AS (
+  SELECT gr.doc_id, count(DISTINCT gr.g) AS n_shared
+  FROM grams gr JOIN bench USING (g)
+  WHERE gr.doc_id % 97 <> 0
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       coalesce(h.n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""

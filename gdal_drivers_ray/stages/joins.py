@@ -592,3 +592,32 @@ def range_join(points: ray.data.Dataset, intervals,
 
     return points.map_batches(probe, batch_format="pyarrow",
                               batch_size=None)
+
+
+def broadcast_semi_join(left: ray.data.Dataset, keys, left_on: str,
+                        *, anti: bool = False) -> ray.data.Dataset:
+    """Semi-join (membership filter) / anti-join (blocklist filter)
+    against a broadcast key set: the classic training-data ops "keep rows
+    matching an allowlist" and "drop rows hitting a blocklist".
+
+    ``keys`` (1-D integer array-like) is deduped + sorted ONCE on the
+    driver and shipped via ``ray.put``; every map task probes it with one
+    vectorized searchsorted per block. No shuffle, no row movement —
+    right for key sets that fit in worker memory (x one object-store copy
+    per node at cluster scale). For a both-sides-large semi-join, project
+    the key side to its key column and use ``cogroup_join`` instead."""
+    ks = np.unique(np.asarray(keys, dtype=np.int64))
+    ref = ray.put(ks)
+
+    def fil(b: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        v = b[left_on].to_numpy().astype(np.int64)
+        if len(s) == 0:
+            hit = np.zeros(len(v), dtype=bool)
+        else:
+            pos = np.searchsorted(s, v)
+            pos_c = np.minimum(pos, len(s) - 1)
+            hit = s[pos_c] == v
+        return b.filter(pa.array(hit ^ anti))
+
+    return left.map_batches(fil, batch_format="pyarrow", batch_size=None)

@@ -113,3 +113,61 @@ def fingerprint_batch(df: pd.DataFrame) -> pd.DataFrame:
         "doc_id": df["doc_id"].to_numpy(),
         "fp": np.asarray([fingerprint(t) for t in df["text"]], dtype=np.int64),
     })
+
+
+def split_ngrams(text: str, n: int = 8) -> set:
+    """Distinct space-joined word n-grams under RAW single-space
+    tokenization (str.split(' ') — exact parity with DuckDB's
+    string_split(text, ' '), including empty tokens on repeated spaces)."""
+    ws = text.split(" ")
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def decontaminate(docs, *, bench_mod: int = 97, n: int = 8,
+                  id_col: str = "doc_id", text_col: str = "text"):
+    """Benchmark decontamination: for every non-benchmark document, count
+    the distinct word n-grams it shares with the benchmark ("eval") set —
+    the overlap filter LLM training pipelines run before training so eval
+    data does not leak into the corpus.
+
+    The benchmark membership rule here is deterministic (doc_id %
+    bench_mod == 0) so the fixture needs no second table; a real pipeline
+    passes its eval set instead. Shape: the benchmark grams are built
+    DISTRIBUTED (map over the corpus, distinct per block), collected once
+    — eval sets are small by construction, this is the broadcast-side
+    regime — and shipped via ray.put; the scoring pass is one map over
+    the corpus probing the frozen gram set per document. No shuffle.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        texts = b[text_col].to_pylist()
+        out: set = set()
+        for i in np.nonzero(ids % bench_mod == 0)[0]:
+            out |= split_ngrams(texts[int(i)], n)
+        return pa.table({"g": pa.array(sorted(out), pa.string())})
+
+    gset = frozenset(
+        docs.map_batches(bench_grams, batch_format="pyarrow",
+                         batch_size=None).to_pandas()["g"])
+    ref = ray.put(gset)
+
+    def score(b: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        ids = b[id_col].to_numpy()
+        keep = ids % bench_mod != 0
+        texts = b[text_col].to_pylist()
+        out_id, out_n = [], []
+        for i in np.nonzero(keep)[0]:
+            shared = len(split_ngrams(texts[int(i)], n) & s)
+            out_id.append(int(ids[i]))
+            out_n.append(shared)
+        nsh = np.asarray(out_n, dtype=np.int64)
+        return pa.table({id_col: pa.array(out_id, pa.int64()),
+                         "n_shared": pa.array(nsh),
+                         "contaminated": pa.array(nsh > 0)})
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=None)

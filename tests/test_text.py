@@ -69,3 +69,49 @@ def test_kmv_sketch_estimate_accuracy(ray_session):
         f"SELECT count(DISTINCT l_partkey) FROM "
         f"read_parquet('{sf}/lineitem.parquet')").fetchone()[0]
     assert abs(est - true) / true < 0.15, (est, true)
+
+
+def test_broadcast_semi_anti_join_partition(ray_session):
+    import numpy as np
+    import ray.data
+
+    from gdal_drivers_ray.stages.joins import broadcast_semi_join
+
+    ds = ray.data.from_items([{"k": i, "v": i * 10} for i in range(100)])
+    keys = np.array([3, 7, 7, 50, 99, 1000])   # dup + absent keys
+    semi = broadcast_semi_join(ds, keys, "k").to_pandas()
+    anti = broadcast_semi_join(ds, keys, "k", anti=True).to_pandas()
+    assert sorted(semi["k"]) == [3, 7, 50, 99]
+    # semi + anti partition the input exactly
+    assert len(semi) + len(anti) == 100
+    assert set(semi["k"]).isdisjoint(set(anti["k"]))
+    # empty key set: semi empty, anti = everything
+    assert broadcast_semi_join(ds, np.array([], np.int64), "k").count() == 0
+    assert broadcast_semi_join(ds, np.array([], np.int64), "k",
+                               anti=True).count() == 100
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import decontaminate
+
+    bench_text = "a b c d e f g h i j k l"        # doc 0: benchmark (0%97)
+    rows = [
+        {"doc_id": 0, "text": bench_text},
+        # doc 1 embeds an 8-token window of the benchmark -> contaminated
+        {"doc_id": 1, "text": "x y " + "c d e f g h i j" + " z"},
+        # doc 2 shares only a 7-gram -> clean at n=8
+        {"doc_id": 2, "text": "c d e f g h i q r s t u v w"},
+        # doc 3 shares two distinct 8-gram windows
+        {"doc_id": 3, "text": "a b c d e f g h i j"},
+        # doc 4 too short for any 8-gram
+        {"doc_id": 4, "text": "a b c"},
+    ]
+    out = decontaminate(ray.data.from_items(rows), bench_mod=97,
+                        n=8).to_pandas().set_index("doc_id")
+    assert 0 not in out.index                      # benchmark rows excluded
+    assert out.loc[1, "n_shared"] == 1 and out.loc[1, "contaminated"]
+    assert out.loc[2, "n_shared"] == 0 and not out.loc[2, "contaminated"]
+    assert out.loc[3, "n_shared"] == 3             # windows at offsets 0,1,2
+    assert out.loc[4, "n_shared"] == 0
