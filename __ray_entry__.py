@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "utm_transform": _wq.q_utm_transform,
         "lcc_transform": _wq.q_lcc_transform,
         "warp_tiles": _wq.q_warp_tiles,
+        "warp_utm_tiles": _wq.q_warp_utm_tiles,
         # skew: salted two-phase aggregation (SQL-checked vs plain GROUP BY)
         "salted_agg": _kq.q_salted_agg,
         # multimodal actor-pool stages (stub decode, real plumbing;
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": _od.sql_audio_features(),
         "video_frames": _od.sql_video_frames(),
         "warp_tiles": _wq.SQL_WARP_TILES,
+        "warp_utm_tiles": _wq.SQL_WARP_UTM_TILES,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -261,3 +261,69 @@ FROM terms
 
 
 SQL_LCC_TRANSFORM = _sql_lcc_transform()
+
+
+def _utm_fixture_grids():
+    """Shared src (lat/lon) and dst (UTM zone 33) grids for the UTM warp
+    query and its whole-raster oracle."""
+    sg_extents = Extents(9.0, 40.0, 21.0, 52.0)
+    sg = W.RasterGrid(sg_extents, "EPSG:4326", 1024, 1024)
+    ux, uy = W.transform_points(np.array([9.0, 21.0, 9.0, 21.0, 15.0]),
+                                np.array([40.0, 40.0, 52.0, 52.0, 40.0]),
+                                "EPSG:4326", "EPSG:32633")
+    dg = W.RasterGrid(Extents(float(ux.min()), float(uy.min()),
+                              float(ux.max()), float(uy.max())),
+                      "EPSG:32633", 768, 768)
+    return sg, dg
+
+
+def q_warp_utm_tiles(sf_dir: str) -> ray.data.Dataset:
+    """Full tile-keyed warp shuffle onto a CURVED-graticule target (UTM
+    zone 33 via the projections engine): per-tile valid counts + integer
+    checksums, hash-checked against the whole-raster NumPy oracle. The
+    cover join must over-approximate curved tile footprints (the 3x3
+    stencil) or tiles go missing and counts drift."""
+    sg, dg = _utm_fixture_grids()
+    spec = solid.SolidSpec(srs="EPSG:4326", size=(1024, 1024),
+                           extents=sg.extents,
+                           bands=[solid.Band(73.0, "Byte")])
+    tiles = solid.solid_dataset(spec, include_overviews=False)
+    out = W.warp_tiles(tiles, sg, dg, resampling="bilinear", nodata=-1.0)
+
+    def stats(b: pa.Table) -> pa.Table:
+        sums, valid = [], []
+        for px in b["px"].to_pylist():
+            a = np.frombuffer(px, dtype=np.float64).reshape(TILE, TILE)
+            ok = a >= 0
+            valid.append(int(ok.sum()))
+            sums.append(int(np.floor(a[ok]).sum()))
+        return pa.table({"tile_x": b["tile_x"], "tile_y": b["tile_y"],
+                         "valid_n": pa.array(valid, type=pa.int64()),
+                         "px_sum": pa.array(sums, type=pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow", batch_size=None)
+
+
+def _sql_warp_utm_tiles() -> str:
+    """Whole-raster NumPy warp of the same fixture (warp_oracle: ONE
+    768x768 sample pass — no tiling, no cover join, no shuffle) -> VALUES
+    table the tiled plan must reproduce exactly."""
+    sg, dg = _utm_fixture_grids()
+    src = np.full((1024, 1024), 73.0)
+    out = W.warp_oracle(src, sg, dg, resampling="bilinear", nodata=-1.0)
+    rows = []
+    for ty in range(3):
+        for tx in range(3):
+            t = out[ty * 256:(ty + 1) * 256, tx * 256:(tx + 1) * 256]
+            ok = t >= 0
+            rows.append(f"({tx}, {ty}, {int(ok.sum())}, "
+                        f"{int(np.floor(t[ok]).sum())})")
+    values = ",\n    ".join(rows)
+    return f"""
+SELECT CAST(tile_x AS INTEGER) AS tile_x, CAST(tile_y AS INTEGER) AS tile_y,
+       CAST(valid_n AS BIGINT) AS valid_n, CAST(px_sum AS BIGINT) AS px_sum
+FROM (VALUES {values}) t(tile_x, tile_y, valid_n, px_sum)
+"""
+
+
+SQL_WARP_UTM_TILES = _sql_warp_utm_tiles()
