@@ -25,8 +25,12 @@ _SF = "/root/testdata/sf0.01"
 
 
 def _values_sql(rows: list[str], cols: str, select: str) -> str:
+    # the leading comment marks these oracles as PINNED to the gate's
+    # sf0.01 fixture: check_oracle downgrades them to rows-only at any
+    # other sf instead of comparing against the wrong-scale derivation
     values = ",\n    ".join(rows)
-    return f"SELECT {select}\nFROM (VALUES {values}) t({cols})\n"
+    return ("-- derived in-memory from the sf0.01 gate fixture\n"
+            f"SELECT {select}\nFROM (VALUES {values}) t({cols})\n")
 
 
 def _cluster_sql(pairs: list[tuple[int, int]], ids: np.ndarray) -> str:
