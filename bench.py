@@ -10,8 +10,8 @@ Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
 `--scaling` runs the headline ingest pipeline at num_cpus 4/8/16/32 in
 fresh processes on the same input and reports throughputs + N->4N
 scaling efficiency (the sandbox stand-in for N vs 4N nodes; see
-BASELINE.md). `--scaling-shuffle` does the same for the one-exchange
-both-sides-large keyed join, the shuffle-bound regime.
+BASELINE.md). `--scaling-shuffle` does the same for the both-sides-large
+cogroup_join on a high-cardinality key, the shuffle-bound regime.
 """
 
 from __future__ import annotations
