@@ -185,3 +185,33 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
+
+
+def q_dup_spans(sf_dir: str) -> ray.data.Dataset:
+    """Exact window-duplication profile: per document, distinct 8-gram
+    windows shared with >= 1 other document + its total distinct windows."""
+    return T.dup_window_counts(_docs(sf_dir), n=8)
+
+
+SQL_DUP_SPANS = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i.x:i.x + 7], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS i(x)
+  WHERE len(t) >= 8
+), nd AS (
+  SELECT g, count(DISTINCT doc_id) AS c FROM grams GROUP BY g
+), hits AS (
+  SELECT doc_id, count(*) AS dup_windows
+  FROM grams JOIN nd USING (g) WHERE c >= 2 GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS total_windows FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.dup_windows, 0) AS BIGINT) AS dup_windows,
+       CAST(coalesce(t2.total_windows, 0) AS BIGINT) AS total_windows
+FROM documents d
+LEFT JOIN hits h USING (doc_id)
+LEFT JOIN tot t2 USING (doc_id)
+"""

@@ -171,3 +171,86 @@ def decontaminate(docs, *, bench_mod: int = 97, n: int = 8,
                          "contaminated": pa.array(nsh > 0)})
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def dup_window_counts(docs, *, n: int = 8, id_col: str = "doc_id",
+                      text_col: str = "text", num_partitions: int = 64):
+    """Exact substring-duplication profile: for every document, how many
+    of its distinct word n-gram windows also occur in at least one OTHER
+    document — the exact-window dedup signal (cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    duplicate spans, here at window granularity).
+
+    Shape (both exchanges carry narrow rows, never documents):
+      docs --flat_map--> (gram, doc_id) distinct per doc
+           --groupby(hash-partition of gram)--> grams held by >= 2 docs
+           emit (doc_id, 1) per qualifying (gram, doc) pair
+           --groupby(doc_id) sum--> per-doc duplicated-window count,
+      unioned with a (doc_id, 0, n_windows) base so clean docs keep a row.
+
+    The gram STRING is the exchange key so the DuckDB twin can join on it
+    exactly; at petabyte scale swap the string for a 16-byte hash (same
+    plan, narrower rows) and accept the collision odds."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Max, Sum
+
+    from .joins import partitioned_groups
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        texts = b[text_col].to_pylist()
+        out_g: list = []
+        out_d: list = []
+        for i in range(len(ids)):
+            gs = split_ngrams(texts[i], n)
+            out_g.extend(gs)
+            out_d.extend([int(ids[i])] * len(gs))
+        return pa.table({"g": pa.array(out_g, pa.string()),
+                         "d": pa.array(out_d, pa.int64())})
+
+    def base_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.int64)
+        texts = b[text_col].to_pylist()
+        nw = np.array([len(split_ngrams(t, n)) for t in texts], np.int64)
+        return pa.table({id_col: pa.array(ids),
+                         "dup_windows": pa.array(np.zeros(len(ids),
+                                                          np.int64)),
+                         "total_windows": pa.array(nw)})
+
+    grams = docs.map_batches(gram_rows, batch_format="pyarrow",
+                             batch_size=None)
+
+    def shared_hits(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        if "g" not in t.column_names or t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "dup_windows": pa.array([], pa.int64()),
+                             "total_windows": pa.array([], pa.int64())})
+        df = t.to_pandas()
+        nd = df.groupby("g")["d"].transform("nunique")
+        hit = df[nd >= 2].groupby("d", as_index=False).size() \
+            .rename(columns={"d": id_col, "size": "dup_windows"})
+        hit["dup_windows"] = hit["dup_windows"].astype(np.int64)
+        hit["total_windows"] = np.int64(0)
+        return pa.Table.from_pandas(hit, preserve_index=False)
+
+    # gram strings hash-partition by a deterministic vectorized string
+    # hash (pandas' C siphash — stable across processes, unlike Python's
+    # seeded hash()); partitioned_groups then keys on the int column
+    def add_gkey(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(b["g"].to_pylist(), dtype=object)).astype(np.int64)
+        return b.append_column("_gk", pa.array(h))
+
+    keyed = grams.map_batches(add_gkey, batch_format="pyarrow",
+                              batch_size=None)
+    hits = partitioned_groups(keyed, ["_gk"],
+                              num_partitions=num_partitions) \
+        .map_groups(shared_hits, batch_format="pyarrow")
+
+    base = docs.map_batches(base_rows, batch_format="pyarrow",
+                            batch_size=None)
+    return base.union(hits).groupby(id_col).aggregate(
+        Sum("dup_windows", alias_name="dup_windows"),
+        Max("total_windows", alias_name="total_windows"))

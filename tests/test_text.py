@@ -115,3 +115,31 @@ def test_decontaminate_planted_overlap(ray_session):
     assert out.loc[2, "n_shared"] == 0 and not out.loc[2, "contaminated"]
     assert out.loc[3, "n_shared"] == 3             # windows at offsets 0,1,2
     assert out.loc[4, "n_shared"] == 0
+
+
+def test_dup_window_counts_planted(ray_session):
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import dup_window_counts
+
+    shared = "p q r s t u v w"                      # one shared 8-gram
+    rows = [
+        {"doc_id": 10, "text": "a b c " + shared},  # 4 windows, 1 shared
+        {"doc_id": 11, "text": shared + " z z2 z3"},  # 4 windows, 1 shared
+        {"doc_id": 12, "text": "k l m n o k2 l2 m2 n2"},  # 2 windows, clean
+        {"doc_id": 13, "text": "too short"},        # 0 windows
+        # exact full duplicate pair: every window shared
+        {"doc_id": 14, "text": "d1 d2 d3 d4 d5 d6 d7 d8 d9"},
+        {"doc_id": 15, "text": "d1 d2 d3 d4 d5 d6 d7 d8 d9"},
+    ]
+    out = dup_window_counts(ray.data.from_items(rows), n=8) \
+        .to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[10, "total_windows"] == 4
+    assert out.loc[10, "dup_windows"] == 1
+    assert out.loc[11, "dup_windows"] == 1
+    assert out.loc[12, "dup_windows"] == 0
+    assert out.loc[13, "total_windows"] == 0
+    assert out.loc[14, "dup_windows"] == 2          # 9 tokens -> 2 windows
+    assert out.loc[14, "total_windows"] == 2
+    assert out.loc[15, "dup_windows"] == 2
+    assert len(out) == 6                             # every doc keeps a row
