@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _tq.q_jaccard_pairs,
         "decontaminate": _tq.q_decontaminate,
         "dup_spans": _tq.q_dup_spans,
+        "top_terms": _tq.q_top_terms,
         # warp / reprojection (S16/T6): SQL-checked transform kernels +
         # rows-only full tile warp (pixel parity in tests/test_warp.py)
         "merc_transform": _wq.q_merc_transform,
@@ -255,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _tq.SQL_JACCARD_PAIRS,
         "decontaminate": _tq.SQL_DECONTAMINATE,
         "dup_spans": _tq.SQL_DUP_SPANS,
+        "top_terms": _tq.SQL_TOP_TERMS,
         "merc_transform": _wq.SQL_MERC_TRANSFORM,
         "utm_transform": _wq.SQL_UTM_TRANSFORM,
         "lcc_transform": _wq.SQL_LCC_TRANSFORM,

@@ -215,3 +215,35 @@ FROM documents d
 LEFT JOIN hits h USING (doc_id)
 LEFT JOIN tot t2 USING (doc_id)
 """
+
+
+def q_top_terms(sf_dir: str) -> ray.data.Dataset:
+    """Vocabulary statistics: per-source top-5 terms by term frequency
+    (tie -> lexicographic) with corpus-wide document frequencies."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    return T.top_terms(docs, k=5)
+
+
+SQL_TOP_TERMS = """
+WITH words AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY source, term
+), ranked AS (
+  SELECT source, term, tf,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tf DESC, term ASC) AS rank
+  FROM tf
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY term
+)
+SELECT r.source, CAST(r.rank AS BIGINT) AS rank, r.term, r.tf,
+       coalesce(d.df, 0) AS df
+FROM ranked r LEFT JOIN dfreq d USING (term)
+WHERE r.rank <= 5
+"""

@@ -254,3 +254,87 @@ def dup_window_counts(docs, *, n: int = 8, id_col: str = "doc_id",
     return base.union(hits).groupby(id_col).aggregate(
         Sum("dup_windows", alias_name="dup_windows"),
         Max("total_windows", alias_name="total_windows"))
+
+
+def top_terms(docs, *, k: int = 5, id_col: str = "doc_id",
+              text_col: str = "text", source_col: str = "source"):
+    """Corpus vocabulary statistics: per source, the top-k terms by term
+    frequency (ties break lexicographically), each with its corpus-wide
+    document frequency — the vocabulary/stats pass quality-filtering
+    pipelines run before tokenizer training.
+
+    Plan (both exchanges carry (string, int) partials, never documents):
+      tf:  per-batch pandas groupby -> partial (source, term, tf) rows ->
+           groupby(source, term) Sum -> per-source top-k inside one
+           map_groups per source group;
+      df:  per-batch DISTINCT (term, doc) -> partial per-term doc counts
+           (distinct within batch; doc rows never split across batches
+           since a doc is one row) -> groupby(term) Sum.
+    The k x n_sources winners join df via a broadcast-size merge."""
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        src = b[source_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        s_out: list = []
+        t_out: list = []
+        for s, t in zip(src, texts):
+            for w in t.split(" "):
+                s_out.append(s)
+                t_out.append(w)
+        df = pd.DataFrame({"source": s_out, "term": t_out}) \
+            .groupby(["source", "term"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        df["tf"] = df["tf"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        counts: dict = {}
+        for t in texts:
+            for w in set(t.split(" ")):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({"term": pa.array(list(counts), pa.string()),
+                         "df": pa.array(np.fromiter(counts.values(),
+                                                    np.int64,
+                                                    len(counts)))})
+
+    tf = docs.map_batches(tf_partial, batch_format="pyarrow",
+                          batch_size=None) \
+        .groupby(["source", "term"]).aggregate(Sum("tf", alias_name="tf"))
+    dfreq = docs.map_batches(df_partial, batch_format="pyarrow",
+                             batch_size=None) \
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["tf", "term"], ascending=[False, True],
+                          kind="stable").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    winners = tf.groupby("source").map_groups(topk, batch_format="pandas")
+    # winners are k x n_sources rows (tiny, collectable); df is
+    # VOCABULARY-sized, so it is filtered DISTRIBUTED against the
+    # broadcast winner-term set and only the <= k x n_sources surviving
+    # rows ever reach the driver
+    import ray
+
+    win_df = winners.to_pandas()
+    tref = ray.put(frozenset(win_df["term"]))
+
+    def keep_winner_terms(b: pa.Table) -> pa.Table:
+        terms = ray.get(tref)
+        mask = [t in terms for t in b["term"].to_pylist()]
+        return b.filter(pa.array(mask))
+
+    dff = dfreq.map_batches(keep_winner_terms, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    out = win_df.merge(dff, on="term", how="left")
+    out["df"] = out["df"].fillna(0).astype(np.int64)
+    out["tf"] = out["tf"].astype(np.int64)
+    out = out.sort_values(["source", "rank"], kind="stable") \
+        .reset_index(drop=True)
+    return ray.data.from_pandas(
+        out[["source", "rank", "term", "tf", "df"]])

@@ -143,3 +143,26 @@ def test_dup_window_counts_planted(ray_session):
     assert out.loc[14, "total_windows"] == 2
     assert out.loc[15, "dup_windows"] == 2
     assert len(out) == 6                             # every doc keeps a row
+
+
+def test_top_terms_planted(ray_session):
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import top_terms
+
+    rows = [
+        {"doc_id": 0, "source": "s1", "text": "x x x y z"},
+        {"doc_id": 1, "source": "s1", "text": "y y z"},
+        {"doc_id": 2, "source": "s2", "text": "z z z y"},
+    ]
+    out = top_terms(ray.data.from_items(rows), k=2).to_pandas()
+    s1 = out[out["source"] == "s1"].set_index("rank")
+    # s1: tf(x)=3, tf(y)=3 -> tie breaks lexicographically: x then y
+    assert s1.loc[1, "term"] == "x" and s1.loc[1, "tf"] == 3
+    assert s1.loc[2, "term"] == "y" and s1.loc[2, "tf"] == 3
+    # df is corpus-wide distinct-doc count
+    assert s1.loc[1, "df"] == 1      # x appears only in doc 0
+    assert s1.loc[2, "df"] == 3      # y appears in all three docs
+    s2 = out[out["source"] == "s2"].set_index("rank")
+    assert s2.loc[1, "term"] == "z" and s2.loc[1, "tf"] == 3
+    assert s2.loc[1, "df"] == 3
