@@ -1,0 +1,31 @@
+"""Compaction + checkpoint-adjacent storage-maintenance tests
+(resume/lineage coverage lives in tests/test_flagship.py)."""
+
+
+def test_compact_parquet_roundtrip(ray_session, tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    import ray.data
+
+    from gdal_drivers_ray.state.checkpoint import compact_parquet
+
+    src = str(tmp_path / "many")
+    os.makedirs(src)
+    for i in range(32):
+        pq.write_table(pa.table({"k": list(range(i * 10, i * 10 + 10)),
+                                 "v": [i] * 10}),
+                       f"{src}/part-{i:04d}.parquet")
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(src, out, rows_per_file=100)
+    assert stats["rows"] == 320 and stats["files_in"] == 32
+    assert stats["files_out"] <= 8                 # 320/100 -> 4 + slack
+    a = ray.data.read_parquet(src).to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    b = ray.data.read_parquet(out).to_pandas().sort_values("k") \
+        .reset_index(drop=True)
+    assert a.equals(b)                             # content preserved
+    with pytest.raises(ValueError, match="src_dir == out_dir"):
+        compact_parquet(src, src)
