@@ -166,3 +166,31 @@ def test_top_terms_planted(ray_session):
     s2 = out[out["source"] == "s2"].set_index("rank")
     assert s2.loc[1, "term"] == "z" and s2.loc[1, "tf"] == 3
     assert s2.loc[1, "df"] == 3
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import decontaminate
+
+    # no doc_id % 97 == 0 present -> empty gram set -> everything clean
+    rows = [{"doc_id": i, "text": "a b c d e f g h i j"} for i in (1, 2, 3)]
+    out = decontaminate(ray.data.from_items(rows), bench_mod=97,
+                        n=8).to_pandas()
+    assert len(out) == 3
+    assert (out["n_shared"] == 0).all()
+    assert (~out["contaminated"]).all()
+
+
+def test_dup_window_counts_single_doc(ray_session):
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import dup_window_counts
+
+    out = dup_window_counts(
+        ray.data.from_items([{"doc_id": 5,
+                              "text": "a b c d e f g h i"}]),
+        n=8).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["dup_windows"] == 0      # nothing to share with
+    assert out.iloc[0]["total_windows"] == 2
