@@ -150,9 +150,11 @@ def decontaminate(docs, *, bench_mod: int = 97, n: int = 8,
             out |= split_ngrams(texts[int(i)], n)
         return pa.table({"g": pa.array(sorted(out), pa.string())})
 
-    gset = frozenset(
-        docs.map_batches(bench_grams, batch_format="pyarrow",
-                         batch_size=None).to_pandas()["g"])
+    gdf = docs.map_batches(bench_grams, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    # an all-empty gram table renders schemaless (Ray's empty-block quirk,
+    # see joins.cogroup_join): no benchmark docs -> empty set, all clean
+    gset = frozenset(gdf["g"]) if "g" in gdf.columns else frozenset()
     ref = ray.put(gset)
 
     def score(b: pa.Table) -> pa.Table:
