@@ -182,3 +182,42 @@ def test_mercator_pair_unchanged_by_dispatch():
     assert abs(float(x[0]) - 6378137.0 * np.radians(12.0)) < 1e-9
     assert abs(float(y[0]) - 6378137.0 * np.log(
         np.tan(np.pi / 4.0 + np.radians(51.0) / 2.0))) < 1e-9
+
+
+# --- property tests: random points within each projection's domain -------
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-3.0, 3.0), st.floats(-80.0, 84.0),
+       st.integers(1, 60), st.booleans())
+def test_tmerc_roundtrip_property(dlon, lat, zone, south):
+    pd_ = P.utm_projdef(zone, south=south)
+    lon = pd_.lon0 + dlon
+    x, y = pd_.forward(lon, lat)
+    lo2, la2 = pd_.inverse(x, y)
+    assert abs(float(lo2) - lon) < 2e-8
+    assert abs(float(la2) - lat) < 2e-8
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(-20.0, 20.0), st.floats(20.0, 60.0))
+def test_lcc_roundtrip_property(dlon, lat):
+    pd_ = P.ProjDef("lcc", lon0=-96.0, lat0=39.0, lat1=33.0, lat2=45.0)
+    lon = -96.0 + dlon
+    x, y = pd_.forward(lon, lat)
+    lo2, la2 = pd_.inverse(x, y)
+    assert abs(float(lo2) - lon) < 1e-9
+    assert abs(float(la2) - lat) < 1e-9
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.floats(-2.5, 2.5), st.floats(-75.0, 75.0), st.integers(1, 60))
+def test_utm_spellings_property(dlon, lat, zone):
+    # EPSG code and proj4 spellings must transform identically everywhere
+    a = P.projection_of(32600 + zone)
+    b = P.projection_of(f"+proj=utm +zone={zone} +datum=WGS84")
+    xa, ya = a.forward(a.lon0 + dlon, lat)
+    xb, yb = b.forward(a.lon0 + dlon, lat)
+    assert float(xa) == float(xb) and float(ya) == float(yb)
