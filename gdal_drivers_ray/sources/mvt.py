@@ -94,6 +94,10 @@ def encode_uvarints(vals: np.ndarray) -> bytes:
     v = np.asarray(vals, dtype=np.uint64)
     if len(v) == 0:
         return b""
+    if bool((v >> np.uint64(35)).any()):
+        raise ValueError(
+            "encode_uvarints: value >= 2^35 — the 5-byte vectorized "
+            "encoder would emit truncated bytes; use the scalar path")
     nb = np.ones(len(v), dtype=np.int64)
     for kk in range(1, 5):
         nb += (v >= (np.uint64(1) << np.uint64(7 * kk))).astype(np.int64)

@@ -48,6 +48,12 @@ def broadcast_join(left: ray.data.Dataset, small_df: pd.DataFrame,
         raise ValueError(f"broadcast_join supports inner/left, got {how!r}")
     small = pa.Table.from_pandas(small_df, preserve_index=False) \
         if isinstance(small_df, pd.DataFrame) else small_df
+    if not pa.types.is_integer(small.schema.field(right_on).type):
+        raise TypeError(
+            f"broadcast_join key {right_on!r} must be integer-typed "
+            f"(got {small.schema.field(right_on).type}); the searchsorted "
+            "probe coerces to int64 — string keys would raise and float "
+            "keys would silently truncate")
     keys = small[right_on].to_numpy(zero_copy_only=False).astype(np.int64)
     order = np.argsort(keys, kind="stable")
     uk, starts, lens = np.unique(keys[order], return_index=True,
@@ -58,6 +64,10 @@ def broadcast_join(left: ray.data.Dataset, small_df: pd.DataFrame,
 
     def merge(batch: pa.Table) -> pa.Table:
         ks, st, ln, s = ray.get(ref)
+        if not pa.types.is_integer(batch.schema.field(left_on).type):
+            raise TypeError(
+                f"broadcast_join key {left_on!r} must be integer-typed "
+                f"(got {batch.schema.field(left_on).type})")
         bk = batch[left_on].to_numpy().astype(np.int64)
         pos = np.searchsorted(ks, bk)
         ok = pos < len(ks)

@@ -216,8 +216,12 @@ def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
         ty0 = np.maximum(0, np.floor((world.ury - gy1) / th)).astype(np.int64)
         ty1 = np.minimum(side - 1,
                          np.floor((world.ury - gy0) / th)).astype(np.int64)
-        nx = tx1 - tx0 + 1
-        ny = ty1 - ty0 + 1
+        # A bbox entirely outside the world extents clamps to tx0>tx1 (or
+        # ty0>ty1); clamp the counts to 0 so such features are dropped —
+        # the per-feature loop's empty-range semantics — instead of a
+        # negative repeat count crashing the whole job.
+        nx = np.maximum(tx1 - tx0 + 1, 0)
+        ny = np.maximum(ty1 - ty0 + 1, 0)
         cnt = nx * ny
         idx = np.repeat(np.arange(n_feat), cnt)
         k = np.arange(int(cnt.sum())) \

@@ -147,7 +147,14 @@ def compact_parquet(src_dir: str, out_dir: str, *,
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
     ray.data.read_parquet(files).repartition(n_out).write_parquet(tmp)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # Rotate, don't delete-then-rename: a crash between rmtree and the
+    # rename would leave out_dir missing entirely. With a rotation the
+    # destination is always either the old contents or the new ones.
+    old = out_dir + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out_dir):
+        os.replace(out_dir, old)
     os.replace(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
     return {"files_in": len(files), "files_out": len(os.listdir(out_dir)),
             "rows": total_rows}

@@ -29,3 +29,30 @@ def test_compact_parquet_roundtrip(ray_session, tmp_path):
     assert a.equals(b)                             # content preserved
     with pytest.raises(ValueError, match="src_dir == out_dir"):
         compact_parquet(src, src)
+
+
+def test_compact_parquet_over_existing_out_dir(ray_session, tmp_path):
+    """ADVICE fix: compacting onto an existing out_dir rotates (old dir ->
+    .compact-old -> removed) instead of rmtree-then-rename, so a crash
+    between the two steps can never leave the destination missing."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gdal_drivers_ray.state.checkpoint import compact_parquet
+
+    src = str(tmp_path / "many")
+    os.makedirs(src)
+    for i in range(4):
+        pq.write_table(pa.table({"k": [i]}), f"{src}/p-{i}.parquet")
+    out = str(tmp_path / "dst")
+    os.makedirs(out)
+    pq.write_table(pa.table({"stale": [99]}), f"{out}/old.parquet")
+
+    stats = compact_parquet(src, out, rows_per_file=10)
+    assert stats["rows"] == 4
+    got = ray.data.read_parquet(out).to_pandas()
+    assert sorted(got["k"]) == [0, 1, 2, 3] and "stale" not in got
+    assert not os.path.exists(out + ".compact-old")

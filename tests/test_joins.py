@@ -153,3 +153,32 @@ def test_asof_payload_carry_plain_and_bucketed(ray_session):
             .sort_values(["user_id", "ts"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(
             out[list(want.columns)], want, check_dtype=False)
+
+
+def test_broadcast_join_rejects_non_integer_keys(ray_session):
+    """ADVICE fix: the int64 searchsorted probe must refuse string keys
+    (would raise deep inside numpy) and float keys (silent truncation
+    toward zero could mis-join 1.9 against 1.1)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from gdal_drivers_ray.stages.joins import broadcast_join
+
+    left_f = ray.data.from_arrow(pa.table({
+        "k": pa.array([1.9, 2.0], pa.float64())}))
+    left_i = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 2], pa.int64())}))
+
+    with pytest.raises(TypeError, match="integer-typed"):
+        broadcast_join(left_i, pd.DataFrame({"rk": [1.1], "rv": ["x"]}),
+                       "k", "rk")
+    with pytest.raises(TypeError, match="integer-typed"):
+        broadcast_join(left_i, pd.DataFrame({"rk": ["a"], "rv": ["x"]}),
+                       "k", "rk")
+    # left-side violation surfaces when the pipeline executes
+    ds = broadcast_join(left_f, pd.DataFrame({"rk": [1], "rv": ["x"]}),
+                        "k", "rk")
+    with pytest.raises(Exception, match="integer-typed"):
+        ds.materialize()

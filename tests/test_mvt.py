@@ -229,3 +229,19 @@ def test_rect_polygon_roundtrip_property(x0, y0, w, h):
     assert got[0] == got[-1]                  # closePath restores closure
     back = [(x, 4096.0 - y) for x, y in got]
     assert back == pytest.approx([(float(x), float(y)) for x, y in ring])
+
+
+def test_encode_uvarints_rejects_oversized_values():
+    """ADVICE fix: the 5-byte vectorized encoder silently truncated values
+    >= 2^35; it must raise instead. 2^35-1 (the documented max) still
+    round-trips."""
+    big_ok = np.array([(1 << 35) - 1, 0, 1], dtype=np.uint64)
+    enc = mvt.encode_uvarints(big_ok)
+    vals, pos = [], 0
+    while pos < len(enc):
+        v, pos = mvt._uvarint(enc, pos)
+        vals.append(v)
+    assert vals == [(1 << 35) - 1, 0, 1]
+
+    with pytest.raises(ValueError, match="2\\^35"):
+        mvt.encode_uvarints(np.array([1 << 35], dtype=np.uint64))

@@ -187,3 +187,27 @@ def test_explicit_kind_values_roundtrip(ray_session):
     te = VT.tile_world_extents(WORLD, 0, 0, 0)
     [feat] = mvt.decode_tile(bytes(store["tile_data"][0]), extents=te)
     assert json.loads(feat["attrs"]) == {"f32": 0.25, "u": 12, "s": -9}
+
+
+def test_out_of_world_feature_dropped_not_crash(ray_session):
+    """ADVICE fix: a bbox entirely outside the world extents used to
+    produce a negative repeat count (np.repeat raises); it must simply be
+    dropped, like the old per-feature loop's empty range."""
+    rows = [
+        {"fid": 1, "layer": "pts", "geom_type": 1,
+         "geometry": [[{"x": 100.0, "y": 200.0}]], "attrs": "a=1"},
+        # entirely east of the world
+        {"fid": 2, "layer": "pts", "geom_type": 1,
+         "geometry": [[{"x": 5000.0, "y": 200.0}]], "attrs": "b=2"},
+        # entirely south of the world
+        {"fid": 3, "layer": "lines", "geom_type": 2,
+         "geometry": [[{"x": 10.0, "y": -900.0}, {"x": 20.0, "y": -800.0}]],
+         "attrs": "c=3"},
+    ]
+    store = VT.build_tiles(ray.data.from_items(rows), WORLD, 1).to_pandas()
+    assert len(store) == 1          # only the in-world point's tile
+    tx = int(store["col"].iloc[0])
+    ty = (1 << 1) - 1 - int(store["row"].iloc[0])
+    te = VT.tile_world_extents(WORLD, 1, tx, ty)
+    decoded = mvt.decode_tile(bytes(store["tile_data"].iloc[0]), extents=te)
+    assert [f["fid"] for f in decoded] == [1]
