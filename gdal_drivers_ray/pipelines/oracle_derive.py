@@ -278,3 +278,101 @@ def sql_ann_ivf(sf_dir: str = _SF) -> str:
         per_sims.append(cand_n[m] @ qn[qi])
     return _values_sql(_topk_rank_rows(qids, per_ids, per_sims),
                        "query_id, neighbor_id, rank", _ANN_SELECT)
+
+
+_IMAGES_GATE_N, _IMAGES_GATE_LOD = 4000, 6
+
+
+def _images_gate_decode():
+    """One straight-line codec round-trip over the gate's images fixture
+    (n=4000, lod=6): per-row phash-invariant verdict and DECODED pixel
+    sum, computed with the pure per-record kernels (fixtures.image_row,
+    codecs.decode_image/phash64). The jpeg stand-in is lossy, so decoded
+    sums and phash distances genuinely differ from the stored originals —
+    the oracle must take the same round-trip the pipeline takes. Cached:
+    both image oracles share one pass."""
+    global _IMAGES_GATE_CACHE
+    try:
+        return _IMAGES_GATE_CACHE
+    except NameError:
+        pass
+    from .. import codecs, fixtures
+
+    n = _IMAGES_GATE_N
+    ok = np.empty(n, dtype=bool)
+    sums = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        r = fixtures.image_row(i, _IMAGES_GATE_LOD)
+        px = codecs.decode_image(r["bytes"])
+        ph = codecs.phash64(px)
+        d = bin(int(np.int64(ph).view(np.uint64)
+                    ^ np.int64(r["phash"]).view(np.uint64))).count("1")
+        ok[i] = (d == 0) if r["fmt"] == "png" else (d <= 4)
+        sums[i] = int(px.sum(dtype=np.int64))
+    _IMAGES_GATE_CACHE = (ok, sums)
+    return _IMAGES_GATE_CACHE
+
+
+def sql_images_flagship() -> str:
+    """Parquet-based flagship oracle: DuckDB recomputes the tile address
+    from image_id and the caption check from the caption string itself;
+    the lossless phash is pinned to the parquet's stored column; the
+    lossy-row phash verdicts come from the straight-line codec
+    round-trip above (at this fixture two jpeg rows legitimately exceed
+    the Hamming<=4 invariant and the pipeline must report them False)."""
+    ok, _ = _images_gate_decode()
+    false_ids = ", ".join(f"'img-{i:08d}'" for i in np.flatnonzero(~ok))
+    ph_ok = (f"(image_id NOT IN ({false_ids}))" if false_ids else "TRUE")
+    side = 1 << _IMAGES_GATE_LOD
+    return f"""
+-- derived in-memory from the sf0.01 gate fixture (codec round-trip)
+WITH t AS (
+  SELECT image_id, fmt, caption, phash,
+         CAST(substring(image_id, 5) AS BIGINT) AS idx
+  FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet')
+)
+SELECT image_id, fmt,
+       CAST({_IMAGES_GATE_LOD} AS BIGINT) AS lod,
+       idx % {side} AS tile_x,
+       (idx // {side}) % {side} AS tile_y,
+       'ok' AS status,
+       (caption LIKE 'tile {_IMAGES_GATE_LOD}/' || CAST(idx % {side} AS VARCHAR) || '/'
+                 || CAST((idx // {side}) % {side} AS VARCHAR) || ' %')
+           AS caption_ok,
+       {ph_ok} AS phash_ok,
+       CASE WHEN fmt = 'png' THEN phash
+            ELSE CAST(-1 AS BIGINT) END AS phash_png
+FROM t
+"""
+
+
+def sql_images_lod_rollup() -> str:
+    """In-memory re-derivation of the flagship LOD rollup over the gate's
+    images fixture (n=4000, lod=6, SQL_IMAGES_PARENT_ROLLUP precedent):
+    per-image DECODED brightness from the codec round-trip above, grouped
+    by Morton parent cell with plain NumPy. The per-image pixel SUM is an
+    exact integer and group sums of sum/65536 are exact multiples of
+    2^-16 in float64, so the Ray side's partial-aggregation order cannot
+    perturb the hash; the query surface carries px_sum_x65536 (int64) for
+    the same reason."""
+    from ..grid import cell_id, cell_parent
+
+    _, px_sum = _images_gate_decode()
+    n, lod = _IMAGES_GATE_N, _IMAGES_GATE_LOD
+    side = 1 << lod
+    idx = np.arange(n, dtype=np.int64)
+    cells = cell_id(np.full(n, lod, dtype=np.int64),
+                    idx % side, (idx // side) % side)
+    parents = cell_parent(cells)
+    order = np.argsort(parents, kind="stable")
+    parents_s = parents[order]
+    ps = px_sum[order]
+    keys, starts = np.unique(parents_s, return_index=True)
+    gsum = np.add.reduceat(ps, starts)
+    gcnt = np.diff(np.append(starts, n))
+    rows = [f"({int(k)}, {int(c)}, {int(s)})"
+            for k, c, s in zip(keys, gcnt, gsum)]
+    return _values_sql(rows, "parent_cell, n_tiles, px_sum_x65536",
+                       "CAST(parent_cell AS BIGINT) AS parent_cell, "
+                       "CAST(n_tiles AS BIGINT) AS n_tiles, "
+                       "CAST(px_sum_x65536 AS BIGINT) AS px_sum_x65536")

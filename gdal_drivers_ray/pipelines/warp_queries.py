@@ -327,3 +327,143 @@ FROM (VALUES {values}) t(tile_x, tile_y, valid_n, px_sum)
 
 
 SQL_WARP_UTM_TILES = _sql_warp_utm_tiles()
+
+
+def _varying_raster(nx: int, ny: int) -> np.ndarray:
+    """Deterministic integer-valued test raster (values 0..250): varies in
+    both axes plus a non-separable term so interpolation kernels are
+    genuinely exercised (a constant raster is a fixed point of every
+    normalized kernel)."""
+    iy, ix = np.mgrid[0:ny, 0:nx]
+    return ((3 * ix + 5 * iy + (ix * iy) % 7) % 251).astype(np.float64)
+
+
+def _tiles_of(arr: np.ndarray, dtype: str = "Byte") -> ray.data.Dataset:
+    """TILE_SCHEMA rows (lod/band/tile_x/tile_y/valid_w/valid_h/dtype/px)
+    from a full-raster array, edge tiles padded to TILE and trimmed by
+    valid_w/valid_h — the same layout solid_dataset emits."""
+    npdt = {"Byte": np.uint8}.get(dtype, dtype)
+    ny, nx = arr.shape
+    rows = {k: [] for k in ("lod", "band", "tile_x", "tile_y",
+                            "valid_w", "valid_h", "dtype", "px")}
+    for ty in range(-(-ny // TILE)):
+        for tx in range(-(-nx // TILE)):
+            vw = min(TILE, nx - tx * TILE)
+            vh = min(TILE, ny - ty * TILE)
+            block = np.zeros((TILE, TILE), dtype=npdt)
+            block[:vh, :vw] = arr[ty * TILE:ty * TILE + vh,
+                                  tx * TILE:tx * TILE + vw].astype(npdt)
+            rows["lod"].append(0)
+            rows["band"].append(0)
+            rows["tile_x"].append(tx)
+            rows["tile_y"].append(ty)
+            rows["valid_w"].append(vw)
+            rows["valid_h"].append(vh)
+            rows["dtype"].append(dtype)
+            rows["px"].append(block.tobytes())
+    return ray.data.from_arrow(pa.table({
+        "lod": pa.array(rows["lod"], type=pa.int32()),
+        "band": pa.array(rows["band"], type=pa.int32()),
+        "tile_x": pa.array(rows["tile_x"], type=pa.int32()),
+        "tile_y": pa.array(rows["tile_y"], type=pa.int32()),
+        "valid_w": pa.array(rows["valid_w"], type=pa.int32()),
+        "valid_h": pa.array(rows["valid_h"], type=pa.int32()),
+        "dtype": pa.array(rows["dtype"]),
+        "px": pa.array(rows["px"], type=pa.large_binary()),
+    }))
+
+
+def _tile_stats(out: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-tile valid count + integer floor-checksum of a warped dataset."""
+
+    def stats(b: pa.Table) -> pa.Table:
+        sums, valid = [], []
+        for px in b["px"].to_pylist():
+            a = np.frombuffer(px, dtype=np.float64).reshape(TILE, TILE)
+            ok = a >= 0
+            valid.append(int(ok.sum()))
+            sums.append(int(np.floor(a[ok]).sum()))
+        return pa.table({"tile_x": b["tile_x"], "tile_y": b["tile_y"],
+                         "valid_n": pa.array(valid, type=pa.int64()),
+                         "px_sum": pa.array(sums, type=pa.int64())})
+
+    return out.map_batches(stats, batch_format="pyarrow", batch_size=None)
+
+
+def _oracle_tile_stats_sql(out: np.ndarray, n_tx: int, n_ty: int) -> str:
+    """Whole-raster NumPy warp result -> per-tile VALUES oracle."""
+    rows = []
+    for ty in range(n_ty):
+        for tx in range(n_tx):
+            t = out[ty * TILE:(ty + 1) * TILE, tx * TILE:(tx + 1) * TILE]
+            ok = t >= 0
+            rows.append(f"({tx}, {ty}, {int(ok.sum())}, "
+                        f"{int(np.floor(t[ok]).sum())})")
+    values = ",\n    ".join(rows)
+    return f"""
+SELECT CAST(tile_x AS INTEGER) AS tile_x, CAST(tile_y AS INTEGER) AS tile_y,
+       CAST(valid_n AS BIGINT) AS valid_n, CAST(px_sum AS BIGINT) AS px_sum
+FROM (VALUES {values}) t(tile_x, tile_y, valid_n, px_sum)
+"""
+
+
+def _cubic_fixture_grids():
+    sg = W.RasterGrid(Extents(-180.0, -80.0, 180.0, 80.0),
+                      "EPSG:4326", 1024, 512)
+    my0, my1 = W.transform_points(np.array([0.0, 0.0]),
+                                  np.array([-80.0, 80.0]),
+                                  "EPSG:4326", "EPSG:3857")[1]
+    m = np.pi * 6378137.0
+    dg = W.RasterGrid(Extents(-m, float(my0), m, float(my1)), "EPSG:3857",
+                      768, 768)
+    return sg, dg
+
+
+def q_warp_cubic(sf_dir: str) -> ray.data.Dataset:
+    """Tile-keyed warp shuffle with the 4x4 Keys cubic kernel (a=-0.5, the
+    reference's Resampling::cubic, gdaldriversmodule.cpp:189) over a
+    VARYING integer raster: per-tile valid counts + floor checksums,
+    hash-checked against the whole-raster oracle. Exercises the wider
+    cover pad (3 src px) and the seam-straddling 4x4 stencil."""
+    sg, dg = _cubic_fixture_grids()
+    tiles = _tiles_of(_varying_raster(sg.nx, sg.ny))
+    out = W.warp_tiles(tiles, sg, dg, resampling="cubic", nodata=-1.0)
+    return _tile_stats(out)
+
+
+def _sql_warp_cubic() -> str:
+    sg, dg = _cubic_fixture_grids()
+    out = W.warp_oracle(_varying_raster(sg.nx, sg.ny), sg, dg,
+                        resampling="cubic", nodata=-1.0)
+    return _oracle_tile_stats_sql(out, 3, 3)
+
+
+SQL_WARP_CUBIC = _sql_warp_cubic()
+
+
+def _average_fixture_grids():
+    e = Extents(0.0, 0.0, 1024.0, 1024.0)
+    return (W.RasterGrid(e, "local", 1024, 1024),
+            W.RasterGrid(e, "local", 512, 512))
+
+
+def q_warp_average(sf_dir: str) -> ray.data.Dataset:
+    """Tile-keyed warp shuffle with the 'average' downsample kernel
+    (Resampling::average): exact 2x downsample of a varying integer
+    raster; footprints are exact 2x2 blocks so the mean is exactly
+    representable and the floor checksum is bit-stable. Parity with the
+    pyramid path's 2x2 box filter is pinned in tests/test_warp.py."""
+    sg, dg = _average_fixture_grids()
+    tiles = _tiles_of(_varying_raster(sg.nx, sg.ny))
+    out = W.warp_tiles(tiles, sg, dg, resampling="average", nodata=-1.0)
+    return _tile_stats(out)
+
+
+def _sql_warp_average() -> str:
+    sg, dg = _average_fixture_grids()
+    out = W.warp_oracle(_varying_raster(sg.nx, sg.ny), sg, dg,
+                        resampling="average", nodata=-1.0)
+    return _oracle_tile_stats_sql(out, 2, 2)
+
+
+SQL_WARP_AVERAGE = _sql_warp_average()

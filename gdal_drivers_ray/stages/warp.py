@@ -151,6 +151,11 @@ class RasterGrid:
         return ((wx - self.extents.llx) / rx,
                 (self.extents.ury - wy) / ry)
 
+    def pixel_corners_world(self, cx: np.ndarray, cy: np.ndarray):
+        """World coords of pixel CORNERS (cx in 0..nx, cy in 0..ny)."""
+        rx, ry = self.res
+        return (self.extents.llx + cx * rx, self.extents.ury - cy * ry)
+
     def n_tiles(self) -> tuple[int, int]:
         return (-(-self.nx // TILE), -(-self.ny // TILE))
 
@@ -163,6 +168,107 @@ class RasterGrid:
         return Extents(x0, y0, x1, y1)
 
 
+# per-kernel src-px padding for the cover join: how far a dst pixel's
+# stencil can reach from its sample point (bilinear 1.5, cubic 2.5; +0.5
+# slack). Also the up-front "supported resampling" whitelist, matching the
+# reference's geo::GeoDataset::Resampling surface the Python warp exposes
+# (gdaldriversmodule.cpp:189, :263): nearest/bilinear/cubic for sampling,
+# average for downsampling.
+_COVER_PAD = {"nearest": 2.0, "bilinear": 2.0, "cubic": 3.0, "average": 2.0}
+
+
+def _cubic_weights(f: np.ndarray):
+    """Keys cubic-convolution weights, a = -0.5 (the classic 4-tap kernel
+    GDAL's 'cubic' uses), for taps at offsets {-1, 0, +1, +2} from
+    floor(s); f = frac(s) in [0, 1). Weights sum to 1."""
+    a = -0.5
+    t = 1.0 + f
+    wm1 = ((a * t - 5.0 * a) * t + 8.0 * a) * t - 4.0 * a
+    w0 = ((a + 2.0) * f - (a + 3.0)) * f * f + 1.0
+    t = 1.0 - f
+    w1 = ((a + 2.0) * t - (a + 3.0)) * t * t + 1.0
+    t = 2.0 - f
+    w2 = ((a * t - 5.0 * a) * t + 8.0 * a) * t - 4.0 * a
+    return wm1, w0, w1, w2
+
+
+def _footprints(dst_grid: RasterGrid, src_grid: RasterGrid,
+                x_off: int, y_off: int, vw: int, vh: int):
+    """Src-pixel-space footprint rects of the dst pixels in the window
+    [x_off, x_off+vw) x [y_off, y_off+vh): transform the (vh+1, vw+1) grid
+    of dst pixel CORNERS (exact for monotone transforms, the same
+    over-approximation contract as the cover join's 3x3 stencil) and take
+    per-pixel min/max of the 4 surrounding corners (handles axis flips)."""
+    iy, ix = np.mgrid[0:vh + 1, 0:vw + 1]
+    cwx, cwy = dst_grid.pixel_corners_world(
+        (ix + x_off).astype(np.float64), (iy + y_off).astype(np.float64))
+    tr = get_transformer(dst_grid.srs, src_grid.srs)
+    sxw, syw = tr(cwx, cwy)
+    pcx, pcy = src_grid.world_to_pixelf(sxw, syw)
+    q = (pcx[:-1, :-1], pcx[:-1, 1:], pcx[1:, :-1], pcx[1:, 1:])
+    fx0 = np.minimum.reduce(q)
+    fx1 = np.maximum.reduce(q)
+    q = (pcy[:-1, :-1], pcy[:-1, 1:], pcy[1:, :-1], pcy[1:, 1:])
+    fy0 = np.minimum.reduce(q)
+    fy1 = np.maximum.reduce(q)
+    return fx0, fx1, fy0, fy1
+
+
+def _sample_average(patch: np.ndarray, off_x: int, off_y: int,
+                    fx0: np.ndarray, fx1: np.ndarray,
+                    fy0: np.ndarray, fy1: np.ndarray,
+                    nx: int, ny: int, nodata: float) -> np.ndarray:
+    """'average' resampling (the reference's downsample kernel,
+    geo::GeoDataset::Resampling surface of gdaldriversmodule.cpp:189):
+    mean of every src pixel whose CENTER falls in the dst pixel's
+    footprint rect. Valid iff the footprint lies inside the raster, the
+    member pixels are all present, and >=1 center is covered; a footprint
+    too small to cover any center (upsampling) degrades to the containing
+    pixel, matching GDAL's at-least-one-source-pixel behavior.
+
+    Vectorized with integral images over the patch: O(patch + dst px),
+    no per-pixel footprint loops. Sums are EXACT (hence parity-safe
+    across different patch windows) for integer-valued rasters below
+    2^53; float rasters may differ from a whole-raster pass by rounding
+    in the cumsum order.
+    """
+    out = np.full(fx0.shape, nodata, dtype=np.float64)
+    ph, pw = patch.shape
+    # pixel x covered iff x+0.5 in [fx0, fx1)  ->  x in [ceil(fx0-0.5), ...)
+    ix0 = np.ceil(fx0 - 0.5).astype(np.int64)
+    ix1 = np.ceil(fx1 - 0.5).astype(np.int64)   # exclusive
+    iy0 = np.ceil(fy0 - 0.5).astype(np.int64)
+    iy1 = np.ceil(fy1 - 0.5).astype(np.int64)
+    # degenerate (empty) footprint -> the pixel containing the center
+    cx = np.floor((fx0 + fx1) / 2.0).astype(np.int64)
+    cy = np.floor((fy0 + fy1) / 2.0).astype(np.int64)
+    degx = ix1 <= ix0
+    ix0 = np.where(degx, cx, ix0)
+    ix1 = np.where(degx, cx + 1, ix1)
+    degy = iy1 <= iy0
+    iy0 = np.where(degy, cy, iy0)
+    iy1 = np.where(degy, cy + 1, iy1)
+    ok = (ix0 >= 0) & (ix1 <= nx) & (iy0 >= 0) & (iy1 <= ny)
+    lx0 = ix0 - off_x
+    lx1 = ix1 - off_x
+    ly0 = iy0 - off_y
+    ly1 = iy1 - off_y
+    ok &= (lx0 >= 0) & (lx1 <= pw) & (ly0 >= 0) & (ly1 <= ph)
+    lx0 = np.clip(lx0, 0, pw); lx1 = np.clip(lx1, 0, pw)
+    ly0 = np.clip(ly0, 0, ph); ly1 = np.clip(ly1, 0, ph)
+    miss = np.isnan(patch)
+    sv = np.zeros((ph + 1, pw + 1), dtype=np.float64)
+    sv[1:, 1:] = np.where(miss, 0.0, patch).cumsum(axis=0).cumsum(axis=1)
+    sm = np.zeros((ph + 1, pw + 1), dtype=np.int64)
+    sm[1:, 1:] = miss.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    s = sv[ly1, lx1] - sv[ly0, lx1] - sv[ly1, lx0] + sv[ly0, lx0]
+    nmiss = sm[ly1, lx1] - sm[ly0, lx1] - sm[ly1, lx0] + sm[ly0, lx0]
+    cnt = (lx1 - lx0) * (ly1 - ly0)
+    ok &= (nmiss == 0) & (cnt > 0)
+    out[ok] = s[ok] / cnt[ok]
+    return out
+
+
 def _sample(patch: np.ndarray, off_x: int, off_y: int,
             pfx: np.ndarray, pfy: np.ndarray, nx: int, ny: int,
             resampling: str, nodata: float) -> np.ndarray:
@@ -172,6 +278,8 @@ def _sample(patch: np.ndarray, off_x: int, off_y: int,
     nearest: value of the pixel containing the point; valid iff inside raster.
     bilinear: 4-tap interpolation at pixel centers; valid iff the whole
     stencil is inside the raster and fully present. Invalid -> nodata.
+    cubic: 4x4 Keys (a=-0.5) convolution at pixel centers; valid iff the
+    whole 4x4 stencil is inside the raster and fully present.
     """
     out = np.full(pfx.shape, nodata, dtype=np.float64)
     ph, pw = patch.shape
@@ -185,6 +293,34 @@ def _sample(patch: np.ndarray, off_x: int, off_y: int,
         v = patch[np.clip(ly, 0, ph - 1), np.clip(lx, 0, pw - 1)]
         ok &= ~np.isnan(v)
         out[ok] = v[ok]
+        return out
+    if resampling == "cubic":
+        if pw < 4 or ph < 4:    # no 4x4 stencil fits -> all nodata
+            return out
+        sx = pfx - 0.5
+        sy = pfy - 0.5
+        x0 = np.floor(sx).astype(np.int64)
+        y0 = np.floor(sy).astype(np.int64)
+        fx = sx - x0
+        fy = sy - y0
+        ok = (x0 - 1 >= 0) & (x0 + 2 <= nx - 1) \
+            & (y0 - 1 >= 0) & (y0 + 2 <= ny - 1)
+        lx = x0 - off_x
+        ly = y0 - off_y
+        ok &= (lx - 1 >= 0) & (lx + 2 <= pw - 1) \
+            & (ly - 1 >= 0) & (ly + 2 <= ph - 1)
+        lxc = np.clip(lx, 1, max(pw - 3, 1))
+        lyc = np.clip(ly, 1, max(ph - 3, 1))
+        wxs = _cubic_weights(fx)
+        wys = _cubic_weights(fy)
+        acc = np.zeros(pfx.shape, dtype=np.float64)
+        for j in range(4):
+            row = np.zeros(pfx.shape, dtype=np.float64)
+            for i in range(4):
+                row += patch[lyc + (j - 1), lxc + (i - 1)] * wxs[i]
+            acc += row * wys[j]
+        ok &= ~np.isnan(acc)        # any NaN tap poisons the sum
+        out[ok] = acc[ok]
         return out
     if resampling != "bilinear":
         raise ValueError(f"unknown resampling {resampling!r}")
@@ -215,6 +351,12 @@ def warp_oracle(src: np.ndarray, src_grid: RasterGrid, dst_grid: RasterGrid,
                 resampling: str = "bilinear", nodata: float = 0.0) -> np.ndarray:
     """Pure-NumPy full-raster warp: the parity oracle for `warp_tiles`."""
     assert src.shape == (src_grid.ny, src_grid.nx)
+    if resampling == "average":
+        fx0, fx1, fy0, fy1 = _footprints(dst_grid, src_grid, 0, 0,
+                                         dst_grid.nx, dst_grid.ny)
+        return _sample_average(src.astype(np.float64), 0, 0,
+                               fx0, fx1, fy0, fy1,
+                               src_grid.nx, src_grid.ny, nodata)
     tr = get_transformer(dst_grid.srs, src_grid.srs)
     iy, ix = np.mgrid[0:dst_grid.ny, 0:dst_grid.nx]
     wx, wy = dst_grid.pixel_centers_world(ix.astype(np.float64),
@@ -225,7 +367,8 @@ def warp_oracle(src: np.ndarray, src_grid: RasterGrid, dst_grid: RasterGrid,
                    src_grid.nx, src_grid.ny, resampling, nodata)
 
 
-def _cover_flat_map(src_grid: RasterGrid, dst_grid: RasterGrid):
+def _cover_flat_map(src_grid: RasterGrid, dst_grid: RasterGrid,
+                    pad_px: float = 2.0):
     """Batch fn: src tile rows -> one row per (dst_tx, dst_ty) the tile may
     feed. Transforms a 3x3 sample grid per tile (corners + edge midpoints
     + center): corners alone bound only axis-separable monotone
@@ -245,11 +388,12 @@ def _cover_flat_map(src_grid: RasterGrid, dst_grid: RasterGrid):
         y0 = np.empty(n); y1 = np.empty(n)
         w = src_grid.extents
         for i in range(n):
-            # src tile extents padded by 2 src px so bilinear stencils that
-            # straddle a tile seam still find the neighbor tile in the
-            # group; clamped to the raster (edge tiles' 256-block footprint
-            # can reach past the extents / outside the projection domain)
-            e = src_grid.tile_extents(int(txs[i]), int(tys[i]), pad_px=2.0)
+            # src tile extents padded by the kernel's stencil reach
+            # (_COVER_PAD src px) so stencils that straddle a tile seam
+            # still find the neighbor tile in the group; clamped to the
+            # raster (edge tiles' 256-block footprint can reach past the
+            # extents / outside the projection domain)
+            e = src_grid.tile_extents(int(txs[i]), int(tys[i]), pad_px=pad_px)
             x0[i], x1[i] = max(e.llx, w.llx), min(e.urx, w.urx)
             y0[i], y1[i] = max(e.lly, w.lly), min(e.ury, w.ury)
         xm, ym = (x0 + x1) / 2.0, (y0 + y1) / 2.0
@@ -308,15 +452,21 @@ def _resample_group(src_grid: RasterGrid, dst_grid: RasterGrid,
 
         vw = min(TILE, dst_grid.nx - tx * TILE)
         vh = min(TILE, dst_grid.ny - ty * TILE)
-        iy, ix = np.mgrid[0:vh, 0:vw]
-        wx, wy = dst_grid.pixel_centers_world(
-            (ix + tx * TILE).astype(np.float64),
-            (iy + ty * TILE).astype(np.float64))
-        tr = get_transformer(dst_grid.srs, src_grid.srs)
-        sxw, syw = tr(wx, wy)
-        pfx, pfy = src_grid.world_to_pixelf(sxw, syw)
-        vals = _sample(patch, gx0, gy0, pfx, pfy, src_grid.nx, src_grid.ny,
-                       resampling, nodata)
+        if resampling == "average":
+            fx0, fx1, fy0, fy1 = _footprints(dst_grid, src_grid,
+                                             tx * TILE, ty * TILE, vw, vh)
+            vals = _sample_average(patch, gx0, gy0, fx0, fx1, fy0, fy1,
+                                   src_grid.nx, src_grid.ny, nodata)
+        else:
+            iy, ix = np.mgrid[0:vh, 0:vw]
+            wx, wy = dst_grid.pixel_centers_world(
+                (ix + tx * TILE).astype(np.float64),
+                (iy + ty * TILE).astype(np.float64))
+            tr = get_transformer(dst_grid.srs, src_grid.srs)
+            sxw, syw = tr(wx, wy)
+            pfx, pfy = src_grid.world_to_pixelf(sxw, syw)
+            vals = _sample(patch, gx0, gy0, pfx, pfy,
+                           src_grid.nx, src_grid.ny, resampling, nodata)
         block = np.full((TILE, TILE), nodata, dtype=np.float64)
         block[:vh, :vw] = vals
         return pa.table({
@@ -345,9 +495,14 @@ def warp_tiles(tiles: "ray.data.Dataset", src_grid: RasterGrid,
     pure-nodata tiles when a full raster is required). Pixels match
     `warp_oracle` exactly on covered tiles.
     """
+    if resampling not in _COVER_PAD:
+        raise ValueError(
+            f"unknown resampling {resampling!r}; "
+            f"supported: {sorted(_COVER_PAD)}")
     get_transformer(src_grid.srs, dst_grid.srs)  # validate pair up-front
-    covered = tiles.map_batches(_cover_flat_map(src_grid, dst_grid),
-                                batch_format="pyarrow")
+    covered = tiles.map_batches(
+        _cover_flat_map(src_grid, dst_grid, pad_px=_COVER_PAD[resampling]),
+        batch_format="pyarrow")
     return covered.groupby(["dst_tx", "dst_ty"]).map_groups(
         _resample_group(src_grid, dst_grid, resampling, nodata),
         batch_format="pyarrow")

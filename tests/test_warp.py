@@ -117,6 +117,108 @@ def test_warp_preserves_float32_source(ray_session):
     np.testing.assert_array_equal(res, src.astype(np.float64))
 
 
+def _int_src(ny, nx):
+    """Integer-valued varying raster: average sums are exact in float64,
+    so tiled-vs-oracle comparisons are bitwise even across different
+    integral-image windows."""
+    iy, ix = np.mgrid[0:ny, 0:nx]
+    return ((3 * ix + 5 * iy + (ix * iy) % 7) % 251).astype(np.float64)
+
+
+def test_cubic_same_srs_matches_oracle(ray_session):
+    src = _src()
+    sg = W.RasterGrid(Extents(10.0, 20.0, 780.0, 540.0), "local", 770, 520)
+    dg = W.RasterGrid(Extents(-25.0, 0.0, 800.0, 560.0), "local", 300, 280)
+    want = W.warp_oracle(src, sg, dg, "cubic", nodata=-5.0)
+    out = W.warp_tiles(_tiles_from_array(src), sg, dg, "cubic", nodata=-5.0)
+    got = _assemble(out, dg, -5.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    assert (want != -5.0).any()
+
+
+def test_cubic_reproject_matches_oracle(ray_session):
+    src = _src(ny=400, nx=800)
+    sg = W.RasterGrid(Extents(-180.0, -85.0, 180.0, 85.0), "EPSG:4326",
+                      800, 400)
+    m = np.pi * 6378137.0
+    my0, my1 = W.transform_points([0.0, 0.0], [-85.0, 85.0],
+                                  "EPSG:4326", "EPSG:3857")[1]
+    dg = W.RasterGrid(Extents(-m, float(my0), m, float(my1)), "EPSG:3857",
+                      512, 512)
+    want = W.warp_oracle(src, sg, dg, "cubic", nodata=-1.0)
+    out = W.warp_tiles(_tiles_from_array(src), sg, dg, "cubic", nodata=-1.0)
+    got = _assemble(out, dg, -1.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    assert (want >= 0).mean() > 0.3
+
+
+def test_cubic_constant_fixed_point():
+    """A constant raster is a fixed point of the normalized Keys kernel
+    (weights sum to 1); the valid area is the 4x4-stencil interior."""
+    src = np.full((300, 300), 42.0)
+    g = W.RasterGrid(Extents(0.0, 0.0, 300.0, 300.0), "local", 300, 300)
+    out = W.warp_oracle(src, g, g, "cubic", nodata=-1.0)
+    inner = out[2:-2, 2:-2]
+    np.testing.assert_allclose(inner, 42.0, rtol=1e-12)
+    # border rows/cols whose stencil leaves the raster are nodata
+    assert (out[0] == -1.0).all() and (out[:, 0] == -1.0).all()
+
+
+def test_average_2x_matches_pyramid_path(ray_session):
+    """resampling='average' at an exact 2x downsample reproduces the LOD
+    pyramid's 2x2 box filter (stages/pyramid.downsample2) bit-for-bit —
+    the reference's downsample semantics through two independent plans."""
+    from gdal_drivers_ray.stages.pyramid import downsample2
+
+    src = _int_src(512, 768)
+    sg = W.RasterGrid(Extents(0.0, 0.0, 768.0, 512.0), "local", 768, 512)
+    dg = W.RasterGrid(Extents(0.0, 0.0, 768.0, 512.0), "local", 384, 256)
+    out = W.warp_tiles(_tiles_from_array(src), sg, dg, "average",
+                       nodata=-1.0)
+    got = _assemble(out, dg, -1.0)
+    np.testing.assert_array_equal(got, downsample2(src))
+
+
+def test_average_fractional_downsample_matches_oracle(ray_session):
+    """Non-integer footprints (770x520 -> 300x280 across shifted extents):
+    tiled plan == whole-raster oracle within integral-image rounding."""
+    src = _src()
+    sg = W.RasterGrid(Extents(10.0, 20.0, 780.0, 540.0), "local", 770, 520)
+    dg = W.RasterGrid(Extents(-25.0, 0.0, 800.0, 560.0), "local", 300, 280)
+    want = W.warp_oracle(src, sg, dg, "average", nodata=-5.0)
+    out = W.warp_tiles(_tiles_from_array(src), sg, dg, "average",
+                       nodata=-5.0)
+    got = _assemble(out, dg, -5.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+    assert (want != -5.0).any()
+
+
+def test_average_reproject_integer_exact(ray_session):
+    """Average across a reprojection (4326 -> 3857 downsample) on
+    integer-valued data: exact tiled-vs-oracle equality (integer sums)."""
+    src = _int_src(400, 800)
+    sg = W.RasterGrid(Extents(-180.0, -85.0, 180.0, 85.0), "EPSG:4326",
+                      800, 400)
+    m = np.pi * 6378137.0
+    my0, my1 = W.transform_points([0.0, 0.0], [-85.0, 85.0],
+                                  "EPSG:4326", "EPSG:3857")[1]
+    dg = W.RasterGrid(Extents(-m, float(my0), m, float(my1)), "EPSG:3857",
+                      256, 256)
+    want = W.warp_oracle(src, sg, dg, "average", nodata=-1.0)
+    out = W.warp_tiles(_tiles_from_array(src), sg, dg, "average",
+                       nodata=-1.0)
+    got = _assemble(out, dg, -1.0)
+    np.testing.assert_array_equal(got, want)
+    assert (want >= 0).mean() > 0.5
+
+
+def test_unknown_resampling_raises(ray_session):
+    src = _src(ny=300, nx=300)
+    g = W.RasterGrid(Extents(0.0, 0.0, 300.0, 300.0), "local", 300, 300)
+    with pytest.raises(ValueError, match="resampling"):
+        W.warp_tiles(_tiles_from_array(src), g, g, "lanczos")
+
+
 def test_utm_warp_tiled_matches_oracle(ray_session):
     # lat/lon source raster -> UTM zone 33 grid: the tiled shuffle plan
     # must equal the whole-raster oracle EXACTLY. This exercises the 3x3
