@@ -1092,13 +1092,19 @@ def q_topk_orders(sf_dir: str) -> ray.data.Dataset:
         return pa.table({"o_orderkey": pa.array(k[take]),
                          "price_cents": pa.array(c[take])})
 
-    parts = o.map_batches(partial_top, batch_format="pyarrow").to_pandas()
-    out = parts.sort_values(["price_cents", "o_orderkey"],
-                            ascending=[False, True],
-                            kind="stable").head(100).reset_index(drop=True)
-    # keep the queries() contract uniform: every entry returns a Dataset
-    return ray.data.from_arrow(pa.Table.from_pandas(out,
-                                                    preserve_index=False))
+    def final_top(b: pa.Table) -> pa.Table:
+        c = b["price_cents"].to_numpy()
+        k = b["o_orderkey"].to_numpy()
+        take = np.lexsort((k, -c))[:100]
+        return pa.table({"o_orderkey": pa.array(k[take]),
+                         "price_cents": pa.array(c[take])})
+
+    # funnel finalize: the <=100-rows-per-block partials merge in ONE
+    # reducer TASK (repartition(1)), not on the driver — the collected
+    # result is exactly 100 rows regardless of block count
+    return o.map_batches(partial_top, batch_format="pyarrow") \
+        .repartition(1).map_batches(final_top, batch_format="pyarrow",
+                                    batch_size=None)
 
 
 def q_group_topk(sf_dir: str) -> ray.data.Dataset:
@@ -1198,14 +1204,20 @@ def q_distinct_sketch(sf_dir: str) -> ray.data.Dataset:
         h = np.unique(h)[:_KMV_K]
         return pa.table({"h": pa.array(h)})
 
-    parts = li.map_batches(partial, batch_format="pyarrow").to_pandas()
-    hs = np.unique(parts["h"].to_numpy())[:_KMV_K]
-    k = len(hs)
-    hk = int(hs[-1])
-    est = int((k - 1) * _KMV_M // hk) if hk > 0 else 0
-    return pa.table({"k": pa.array([k], pa.int64()),
-                     "h_k": pa.array([hk], pa.int64()),
-                     "estimate": pa.array([est], pa.int64())})
+    def merge(b: pa.Table) -> pa.Table:
+        hs = np.unique(b["h"].to_numpy())[:_KMV_K]
+        k = len(hs)
+        hk = int(hs[-1]) if k else 0
+        est = int((k - 1) * _KMV_M // hk) if hk > 0 else 0
+        return pa.table({"k": pa.array([k], pa.int64()),
+                         "h_k": pa.array([hk], pa.int64()),
+                         "estimate": pa.array([est], pa.int64())})
+
+    # sketch union in one reducer TASK (<=256 rows per block funnel);
+    # the driver never concatenates per-block partials
+    return li.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                    batch_size=None)
 
 
 SQL_DISTINCT_SKETCH = f"""
