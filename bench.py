@@ -124,11 +124,20 @@ def run_scaling_shuffle() -> tuple[float, int]:
         for f in os.listdir(d):
             _warm(os.path.join(d, f))
 
+    # partition count: env override for the sensitivity sweep
+    # (BASELINE.md round 4), else the engine config derivation from the
+    # on-disk input bytes of both sides
+    parts_env = os.environ.get("GRAFT_SHUFFLE_PARTS")
+    from gdal_drivers_ray.config import path_bytes
+    nbytes = (path_bytes(o_dir) or 0) + (path_bytes(l_dir) or 0)
+
     def plan():
         return cogroup_join(ray.data.read_parquet(o_dir),
                             ray.data.read_parquet(l_dir),
                             on="o_orderkey", right_on="l_orderkey",
-                            num_partitions=256)
+                            num_partitions=(int(parts_env) if parts_env
+                                            else None),
+                            input_bytes=nbytes)
 
     # warmup: same full plan, untimed (JIT/import/actor spin-up)
     plan().count()

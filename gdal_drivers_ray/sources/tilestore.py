@@ -245,7 +245,7 @@ def keyed_store(store_path: str) -> ray.data.Dataset:
 
 def lookup_shuffle(requests: ray.data.Dataset, store_path: str,
                    path_col: str = "path",
-                   num_partitions: int = 64) -> ray.data.Dataset:
+                   num_partitions: Optional[int] = None) -> ray.data.Dataset:
     """Both-sides-large plan: requests and store hash-cogroup on the packed
     key (stages.joins.cogroup_join — every row moves once; safe at any
     num_cpus). Identical output semantics to ``lookup``: bad/out-of-bounds
@@ -256,12 +256,14 @@ def lookup_shuffle(requests: ray.data.Dataset, store_path: str,
     sqlite tiles table is primary-keyed on (zoom, col, row),
     mbtiles.cpp:166-197); ``lookup`` additionally tolerates duplicates by
     first-wins, which has no order-stable distributed equivalent."""
+    from ..config import path_bytes
     from ..stages.joins import cogroup_join
 
     parsed = requests.map_batches(lambda b: parse_requests(b, path_col),
                                   batch_format="pyarrow")
     joined = cogroup_join(parsed, keyed_store(store_path), on="skey",
-                          how="left", num_partitions=num_partitions)
+                          how="left", num_partitions=num_partitions,
+                          input_bytes=path_bytes(store_path))
 
     def post(b: pa.Table) -> pa.Table:
         data = b["tile_data"]

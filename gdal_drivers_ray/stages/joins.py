@@ -173,7 +173,9 @@ def partitioned_groups(rows: ray.data.Dataset, keys: list[str],
 
 def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
                  on: str, right_on: Optional[str] = None,
-                 how: str = "inner", num_partitions: int = 64,
+                 how: str = "inner",
+                 num_partitions: Optional[int] = None,
+                 input_bytes: Optional[int] = None,
                  suffix: str = "_r") -> ray.data.Dataset:
     """Both-sides-large equi-join that cannot deadlock: hash-partition both
     sides on the key, union them with side tags, and merge per PARTITION
@@ -189,7 +191,17 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     Constraints: the key must be integer-valued and non-null; ``how`` is
     'inner' or 'left' (right columns must be null-tolerant types for
     'left'). Name collisions on non-key right columns get ``suffix``.
+
+    ``num_partitions`` defaults to the engine config's derivation
+    (config.partitions_for_bytes): ~128 MB of exchanged data per
+    partition when the caller passes ``input_bytes`` (both sides
+    summed), else 2x cluster parallelism — the cluster switch that was a
+    fixed 64 in round 3. See BASELINE.md for the partition-count
+    sensitivity sweep.
     """
+    if num_partitions is None:
+        from ..config import partitions_for_bytes
+        num_partitions = partitions_for_bytes(input_bytes)
     rk = right_on or on
     lsch, rsch = _arrow_schema(left), _arrow_schema(right)
     lcols, rcols = list(lsch.names), list(rsch.names)

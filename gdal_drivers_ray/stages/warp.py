@@ -381,21 +381,21 @@ def _cover_flat_map(src_grid: RasterGrid, dst_grid: RasterGrid,
     ntx, nty = dst_grid.n_tiles()
 
     def fn(b: pa.Table) -> pa.Table:
-        txs = b["tile_x"].to_numpy()
-        tys = b["tile_y"].to_numpy()
+        txs = b["tile_x"].to_numpy().astype(np.int64)
+        tys = b["tile_y"].to_numpy().astype(np.int64)
         n = b.num_rows
-        x0 = np.empty(n); x1 = np.empty(n)
-        y0 = np.empty(n); y1 = np.empty(n)
         w = src_grid.extents
-        for i in range(n):
-            # src tile extents padded by the kernel's stencil reach
-            # (_COVER_PAD src px) so stencils that straddle a tile seam
-            # still find the neighbor tile in the group; clamped to the
-            # raster (edge tiles' 256-block footprint can reach past the
-            # extents / outside the projection domain)
-            e = src_grid.tile_extents(int(txs[i]), int(tys[i]), pad_px=pad_px)
-            x0[i], x1[i] = max(e.llx, w.llx), min(e.urx, w.urx)
-            y0[i], y1[i] = max(e.lly, w.lly), min(e.ury, w.ury)
+        rx, ry = src_grid.res
+        # src tile extents padded by the kernel's stencil reach
+        # (_COVER_PAD src px) so stencils that straddle a tile seam still
+        # find the neighbor tile in the group; clamped to the raster
+        # (edge tiles' 256-block footprint can reach past the extents /
+        # outside the projection domain). Pure affine math — vectorized
+        # over the batch, no per-tile Python.
+        x0 = np.maximum(w.llx + (txs * TILE - pad_px) * rx, w.llx)
+        x1 = np.minimum(w.llx + ((txs + 1) * TILE + pad_px) * rx, w.urx)
+        y1 = np.minimum(w.ury - (tys * TILE - pad_px) * ry, w.ury)
+        y0 = np.maximum(w.ury - ((tys + 1) * TILE + pad_px) * ry, w.lly)
         xm, ym = (x0 + x1) / 2.0, (y0 + y1) / 2.0
         # 9 sample points per tile, all tiles in ONE transform call
         sx = np.stack([x0, xm, x1, x0, xm, x1, x0, xm, x1], axis=1)
@@ -403,24 +403,28 @@ def _cover_flat_map(src_grid: RasterGrid, dst_grid: RasterGrid,
         wx, wy = tr(sx.ravel(), sy.ravel())
         pfx, pfy = dst_grid.world_to_pixelf(wx, wy)
         pfx = pfx.reshape(n, 9); pfy = pfy.reshape(n, 9)
-        tx0 = np.maximum(0, np.floor(pfx.min(axis=1) / TILE).astype(int))
+        tx0 = np.maximum(0, np.floor(pfx.min(axis=1) / TILE).astype(np.int64))
         tx1 = np.minimum(ntx - 1,
-                         np.floor(pfx.max(axis=1) / TILE).astype(int))
-        ty0 = np.maximum(0, np.floor(pfy.min(axis=1) / TILE).astype(int))
+                         np.floor(pfx.max(axis=1) / TILE).astype(np.int64))
+        ty0 = np.maximum(0, np.floor(pfy.min(axis=1) / TILE).astype(np.int64))
         ty1 = np.minimum(nty - 1,
-                         np.floor(pfy.max(axis=1) / TILE).astype(int))
-        out_idx: list[int] = []
-        out_dx: list[int] = []
-        out_dy: list[int] = []
-        for i in range(n):
-            for dy in range(ty0[i], ty1[i] + 1):
-                for dx in range(tx0[i], tx1[i] + 1):
-                    out_idx.append(i)
-                    out_dx.append(dx)
-                    out_dy.append(dy)
-        t = b.take(pa.array(out_idx, type=pa.int64()))
-        return t.append_column("dst_tx", pa.array(out_dx, type=pa.int32())) \
-                .append_column("dst_ty", pa.array(out_dy, type=pa.int32()))
+                         np.floor(pfy.max(axis=1) / TILE).astype(np.int64))
+        # expand each tile to its (dst_tx, dst_ty) cover, vectorized;
+        # counts clamp at 0 so a tile mapping entirely outside the dst
+        # grid is dropped (the vectortile cover() drop semantics)
+        nxt = np.maximum(tx1 - tx0 + 1, 0)
+        nyt = np.maximum(ty1 - ty0 + 1, 0)
+        cnt = nxt * nyt
+        idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        off = np.arange(int(cnt.sum()), dtype=np.int64) \
+            - np.repeat(starts, cnt)
+        nx_safe = np.maximum(nxt, 1)
+        dx = tx0[idx] + off % nx_safe[idx]
+        dy = ty0[idx] + off // nx_safe[idx]
+        t = b.take(pa.array(idx))
+        return t.append_column("dst_tx", pa.array(dx.astype(np.int32))) \
+                .append_column("dst_ty", pa.array(dy.astype(np.int32)))
 
     return fn
 
