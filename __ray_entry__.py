@@ -209,9 +209,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- slots 48-50: round-4 additions land here ---
         "warp_cubic": _wq.q_warp_cubic,
         "warp_average": _wq.q_warp_average,
+        "pack_sequences": _tq.q_pack_sequences,
+        "repetition_stats": _tq.q_repetition_stats,
+        # --- past slot 50: stable since round 1/2 (weighted_blend was
+        # driver-green r1-r3), judge-covered via tools/check_oracle.py;
+        # rotate back in round 5 ---
         "weighted_blend": _q.q_weighted_blend,
-        # --- past slot 50: stable since round 1/2, judge-covered via
-        # tools/check_oracle.py; rotate back in round 5 ---
         "tile_assign": _q.q_tile_assign,
         "lod_rollup": _q.q_lod_rollup,
         "zigzag": _q.q_zigzag,
@@ -316,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _tq.SQL_DECONTAMINATE,
         "dup_spans": _tq.SQL_DUP_SPANS,
         "top_terms": _tq.SQL_TOP_TERMS,
+        "pack_sequences": _tq.SQL_PACK_SEQUENCES,
+        "repetition_stats": _tq.SQL_REPETITION_STATS,
         "merc_transform": _wq.SQL_MERC_TRANSFORM,
         "utm_transform": _wq.SQL_UTM_TRANSFORM,
         "lcc_transform": _wq.SQL_LCC_TRANSFORM,

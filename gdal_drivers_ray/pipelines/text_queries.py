@@ -247,3 +247,59 @@ SELECT r.source, CAST(r.rank AS BIGINT) AS rank, r.term, r.tf,
 FROM ranked r LEFT JOIN dfreq d USING (term)
 WHERE r.rank <= 5
 """
+
+
+def q_repetition_stats(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition signals: duplicate-line / duplicate-token
+    counts per document as exact integers (stages.text.repetition_stats)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return T.repetition_stats(docs)
+
+
+SQL_REPETITION_STATS = r"""
+SELECT doc_id,
+       CAST(length(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+       CAST(length(list_distinct(string_split(text, chr(10)))) AS BIGINT)
+           AS n_uniq_lines,
+       CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok,
+       CAST(length(list_distinct(regexp_extract_all(text, '\S+')))
+           AS BIGINT) AS n_uniq_tok
+FROM documents
+"""
+
+
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """LLM sequence packing (concat-and-chunk at ctx=2048): per doc the
+    global token offset (distributed prefix sum over doc_id-range
+    buckets) and the context windows it spans — the DuckDB twin
+    recomputes the offsets with one window cumsum, so any drift in the
+    bucket totals, the exclusive prefix, or the per-bucket cumsum
+    hash-fails."""
+    from ..stages.pack import pack_sequences
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return pack_sequences(docs, ctx=2048)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(SUM(n_tok) OVER (
+             ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS start_off
+  FROM t
+)
+SELECT doc_id, n_tok, start_off,
+       start_off // 2048 AS first_pack,
+       (start_off + greatest(n_tok, 1) - 1) // 2048 AS last_pack,
+       (start_off + greatest(n_tok, 1) - 1) // 2048
+           - start_off // 2048 + 1 AS n_packs
+FROM c
+"""

@@ -340,3 +340,42 @@ def top_terms(docs, *, k: int = 5, id_col: str = "doc_id",
         .reset_index(drop=True)
     return ray.data.from_pandas(
         out[["source", "rank", "term", "tf", "df"]])
+
+
+def repetition_stats(docs, *, doc_col: str = "doc_id",
+                     text_col: str = "text"):
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 repetition filters): duplicate-line and duplicate-token counts,
+    emitted as EXACT INTEGER numerators/denominators so the hash compare
+    is float-free (dup_line_frac = 1 - n_uniq_lines/n_lines downstream).
+
+    Lines split on bare newline with empties kept (Python str.split ==
+    DuckDB string_split semantics: empty text -> one empty line); tokens
+    are the engine-wide whitespace definition (\\S+, q_token_count).
+    Per-row pure map — no shuffle."""
+    import pyarrow as pa
+    import re as _re
+
+    tok = _re.compile(r"\S+")
+
+    def f(b: pa.Table) -> pa.Table:
+        n_lines = np.empty(b.num_rows, dtype=np.int64)
+        u_lines = np.empty(b.num_rows, dtype=np.int64)
+        n_tok = np.empty(b.num_rows, dtype=np.int64)
+        u_tok = np.empty(b.num_rows, dtype=np.int64)
+        for i, t in enumerate(b[text_col].to_pylist()):
+            lines = t.split("\n")
+            n_lines[i] = len(lines)
+            u_lines[i] = len(set(lines))
+            toks = tok.findall(t)
+            n_tok[i] = len(toks)
+            u_tok[i] = len(set(toks))
+        return pa.table({
+            "doc_id": b[doc_col],
+            "n_lines": pa.array(n_lines),
+            "n_uniq_lines": pa.array(u_lines),
+            "n_tok": pa.array(n_tok),
+            "n_uniq_tok": pa.array(u_tok),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow")

@@ -63,8 +63,7 @@ def test_kmv_sketch_estimate_accuracy(ray_session):
     from gdal_drivers_ray.pipelines.queries import q_distinct_sketch
 
     sf = "/root/testdata/sf0.01"
-    t = q_distinct_sketch(sf)
-    est = t["estimate"][0].as_py()
+    est = q_distinct_sketch(sf).take_all()[0]["estimate"]
     true = duckdb.connect().execute(
         f"SELECT count(DISTINCT l_partkey) FROM "
         f"read_parquet('{sf}/lineitem.parquet')").fetchone()[0]
@@ -194,3 +193,64 @@ def test_dup_window_counts_single_doc(ray_session):
     assert len(out) == 1
     assert out.iloc[0]["dup_windows"] == 0      # nothing to share with
     assert out.iloc[0]["total_windows"] == 2
+
+
+def test_repetition_stats_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a b\na b\nc",      # dup line, dup-free tokens except a b
+            "",                  # empty: one empty line, zero tokens
+            "x\n\n\nx",          # empty lines are lines; dup x + dup ''
+            "one two three",     # no newline: single line, unique tokens
+        ]),
+    }))
+    out = {r["doc_id"]: r for r in
+           T.repetition_stats(docs).take_all()}
+    assert (out[1]["n_lines"], out[1]["n_uniq_lines"]) == (3, 2)
+    assert (out[1]["n_tok"], out[1]["n_uniq_tok"]) == (5, 3)
+    assert (out[2]["n_lines"], out[2]["n_uniq_lines"]) == (1, 1)
+    assert (out[2]["n_tok"], out[2]["n_uniq_tok"]) == (0, 0)
+    assert (out[3]["n_lines"], out[3]["n_uniq_lines"]) == (4, 2)
+    assert (out[3]["n_tok"], out[3]["n_uniq_tok"]) == (2, 1)
+    assert (out[4]["n_lines"], out[4]["n_tok"]) == (1, 3)
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    """Distributed bucket prefix sum == serial cumsum, across bucket
+    boundaries, pack-spanning docs, and zero-token docs."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.pack import pack_sequences
+
+    rng = np.random.default_rng(3)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    texts = []
+    for i in ids:
+        if i % 97 == 0:
+            texts.append("")                       # zero-token doc
+        else:
+            texts.append(" ".join("t" for _ in range(rng.integers(1, 40))))
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(ids), "text": pa.array(texts)})) \
+        .repartition(7)   # block boundaries must not matter
+    ctx = 64
+    out = pack_sequences(docs, ctx=ctx, bucket_width=32) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    toks = np.array([len(t.split()) if t else 0 for t in texts])
+    start = np.concatenate(([0], np.cumsum(toks)[:-1]))
+    assert (out["n_tok"].to_numpy() == toks).all()
+    assert (out["start_off"].to_numpy() == start).all()
+    first = start // ctx
+    last = (start + np.maximum(toks, 1) - 1) // ctx
+    assert (out["first_pack"].to_numpy() == first).all()
+    assert (out["last_pack"].to_numpy() == last).all()
+    assert (out["n_packs"].to_numpy() == last - first + 1).all()
+    # at least one doc genuinely spans a pack boundary in this fixture
+    assert (out["n_packs"] > 1).any()
