@@ -42,7 +42,7 @@ _TOKEN_RE = re.compile(r"\S+")
 
 
 def pack_sequences(docs: ray.data.Dataset, *, ctx: int = 2048,
-                   bucket_width: int = 1024,
+                   bucket_width: int | None = None,
                    doc_col: str = "doc_id",
                    text_col: str = "text") -> ray.data.Dataset:
     """-> (doc_id, n_tok, start_off, first_pack, last_pack, n_packs).
@@ -50,7 +50,12 @@ def pack_sequences(docs: ray.data.Dataset, *, ctx: int = 2048,
     `start_off` is the document's first-token global offset in the
     doc_id-ordered token stream; packs are [k*ctx, (k+1)*ctx). A
     zero-token document occupies no tokens but is assigned the pack its
-    offset falls in (n_packs = 1), so every doc is addressable."""
+    offset falls in (n_packs = 1), so every doc is addressable.
+
+    ``bucket_width`` defaults to a DERIVED value sized so the driver's
+    prefix table stays ~max(64, 8x parallelism) rows no matter how big
+    the corpus is (a fixed width would grow the driver table linearly
+    with max doc_id — the anti-pattern this stage exists to avoid)."""
     from ray.data.aggregate import Sum
 
     def features(b: pa.Table) -> pa.Table:
@@ -58,12 +63,23 @@ def pack_sequences(docs: ray.data.Dataset, *, ctx: int = 2048,
         toks = np.fromiter((len(_TOKEN_RE.findall(t))
                             for t in b[text_col].to_pylist()),
                            dtype=np.int64, count=b.num_rows)
-        return pa.table({"doc_id": pa.array(ids),
-                         "bucket": pa.array(ids // bucket_width),
-                         "n_tok": pa.array(toks)})
+        return pa.table({"doc_id": pa.array(ids), "n_tok": pa.array(toks)})
 
-    narrow = docs.map_batches(features, batch_format="pyarrow") \
-        .materialize()   # 3 int64/doc: bounded + spillable; text read once
+    narrow0 = docs.map_batches(features, batch_format="pyarrow") \
+        .materialize()   # 2 int64/doc: bounded + spillable; text read once
+
+    if bucket_width is None:
+        from ..config import cluster_parallelism
+        max_id = narrow0.max("doc_id")   # cheap: the materialized narrow
+        n_buckets = max(64, 8 * cluster_parallelism())
+        bucket_width = max(1, (int(max_id) + n_buckets) // n_buckets)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return b.append_column("bucket", pa.array(ids // bucket_width))
+
+    narrow = narrow0.map_batches(add_bucket, batch_format="pyarrow",
+                                 batch_size=None)
 
     totals = narrow.groupby("bucket").aggregate(
         Sum("n_tok", alias_name="btok")).to_pandas()   # one row per bucket

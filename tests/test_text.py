@@ -254,3 +254,22 @@ def test_pack_sequences_prefix_sum(ray_session):
     assert (out["n_packs"].to_numpy() == last - first + 1).all()
     # at least one doc genuinely spans a pack boundary in this fixture
     assert (out["n_packs"] > 1).any()
+
+
+def test_pack_sequences_derived_bucket_width(ray_session):
+    """Default bucket_width derives from max doc_id; result is identical
+    to an explicit width (the prefix sum is width-invariant)."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.pack import pack_sequences
+
+    ids = np.arange(200, dtype=np.int64) * 7  # sparse, non-contiguous ids
+    texts = [" ".join("w" for _ in range((int(i) % 13) + 1)) for i in ids]
+    docs = ray.data.from_arrow(pa.table(
+        {"doc_id": pa.array(ids), "text": pa.array(texts)}))
+    a = pack_sequences(docs, ctx=32).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = pack_sequences(docs, ctx=32, bucket_width=11).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

@@ -133,3 +133,32 @@ def test_parse_requests_matches_scalar_grammar(paths):
         else:
             assert st_col[i] == "ok", p
             assert sk_col[i] == int(pack_zxy(z, c, m - r))
+
+
+def test_gunzip_arrow_edges():
+    """Selective Arrow gunzip: all-plain (zero boxing), all-gzip, nulls,
+    empty input, and order preservation under mixed flags."""
+    import gzip
+
+    import pyarrow as pa
+
+    from gdal_drivers_ray.sources.tilestore import _gunzip_arrow
+
+    # mixed, with nulls and an empty payload
+    vals = [b"plain0", gzip.compress(b"z1"), None, b"", gzip.compress(b"z2"),
+            b"\x1e not gzip", None]
+    out = _gunzip_arrow(pa.array(vals, pa.large_binary())).to_pylist()
+    assert out == [b"plain0", b"z1", None, b"", b"z2", b"\x1e not gzip", None]
+    # all plain: fast path returns the column unchanged
+    plain = pa.array([b"a", b"b"], pa.large_binary())
+    assert _gunzip_arrow(plain).to_pylist() == [b"a", b"b"]
+    # all gzip
+    allgz = pa.array([gzip.compress(b"x"), gzip.compress(b"y")],
+                     pa.large_binary())
+    assert _gunzip_arrow(allgz).to_pylist() == [b"x", b"y"]
+    # empty
+    assert _gunzip_arrow(pa.array([], pa.large_binary())).to_pylist() == []
+    # chunked input + binary (not large_binary) dtype normalizes
+    ch = pa.chunked_array([pa.array([b"p"]),
+                           pa.array([gzip.compress(b"q")])])
+    assert _gunzip_arrow(ch).to_pylist() == [b"p", b"q"]
