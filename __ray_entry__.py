@@ -195,9 +195,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q.q_range_join,
         "semi_join": _q.q_semi_join,
         "anti_join": _q.q_anti_join,
-        # weighted mosaic (J1 + A1/A2/A3)
+        "string_join": _q.q_string_join,
+        # weighted mosaic (J1 + A1/A2/A3); blend_shuffle (r1-r3 driver
+        # green, unchanged this round) rotates past 50 with the others
         "blend_mosaic": _bq.q_blend_mosaic,
-        "blend_shuffle": _bq.q_blend_shuffle,
         # dedup suite + ANN
         "minhash_dedup": _dq.q_minhash_dedup,
         "simhash_dedup": _dq.q_simhash_dedup,
@@ -215,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver-green r1-r3), judge-covered via tools/check_oracle.py;
         # rotate back in round 5 ---
         "weighted_blend": _q.q_weighted_blend,
+        "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
         "lod_rollup": _q.q_lod_rollup,
         "zigzag": _q.q_zigzag,
@@ -267,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": _q.SQL_RANGE_JOIN,
         "semi_join": _q.SQL_SEMI_JOIN,
         "anti_join": _q.SQL_ANTI_JOIN,
+        "string_join": _q.SQL_STRING_JOIN,
         "sessionize": _q.SQL_SESSIONIZE,
         "sessionize_bucketed": _q.SQL_SESSIONIZE,
         "hopping_window": _q.SQL_HOPPING_WINDOW,

@@ -1407,3 +1407,58 @@ SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
 WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
                          WHERE o_orderpriority = '1-URGENT')
 """
+
+
+def q_string_join(sf_dir: str) -> ray.data.Dataset:
+    """Both-sides-large equi-join on a STRING key: per-type price stats
+    (distributed partial aggregate) joined back to every part row
+    through the string cogroup exchange (pandas-siphash partitioning +
+    exact-value merge, stages/joins.py). In production a key this
+    low-cardinality would broadcast; this query pins the string-key
+    exchange path end-to-end against the DuckDB twin. All-integer
+    payloads keep the hash float-free."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import cogroup_join
+
+    p = _read(sf_dir, "part", ["p_partkey", "p_type", "p_retailprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.round(b["p_retailprice"].to_numpy() * 100).astype(np.int64)
+        return pa.table({"p_partkey": b["p_partkey"],
+                         "p_type": b["p_type"],
+                         "price_cents": pa.array(c)})
+
+    parts = p.map_batches(cents, batch_format="pyarrow", batch_size=None)
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"p_type": b["p_type"].to_pylist(),
+                           "c": b["price_cents"].to_numpy()})
+        g = df.groupby("p_type", as_index=False) \
+            .agg(type_sum_cents=("c", "sum"), type_n=("c", "size"))
+        g["type_sum_cents"] = g["type_sum_cents"].astype(np.int64)
+        g["type_n"] = g["type_n"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    stats = parts.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_type").aggregate(
+            Sum("type_sum_cents", alias_name="type_sum_cents"),
+            Sum("type_n", alias_name="type_n"))
+
+    return cogroup_join(parts, stats, on="p_type", how="inner")
+
+
+SQL_STRING_JOIN = """
+WITH c AS (
+  SELECT p_partkey, p_type,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+), s AS (
+  SELECT p_type, CAST(SUM(price_cents) AS BIGINT) AS type_sum_cents,
+         CAST(count(*) AS BIGINT) AS type_n
+  FROM c GROUP BY 1
+)
+SELECT c.p_partkey, c.p_type, c.price_cents, s.type_sum_cents, s.type_n
+FROM c JOIN s USING (p_type)
+"""

@@ -146,6 +146,15 @@ def _part_of(key: np.ndarray, num_partitions: int) -> np.ndarray:
         return (key.astype(np.int64) * _KNUTH) % np.int64(num_partitions)
 
 
+def _part_of_str(vals: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic partition of a STRING key: pandas' vectorized
+    siphash (fixed default hash key, stable across processes — both
+    sides of an exchange must agree) mod the partition count."""
+    import pandas as pd
+    h = pd.util.hash_array(np.asarray(vals, dtype=object))
+    return (h % np.uint64(num_partitions)).astype(np.int64)
+
+
 def partitioned_groups(rows: ray.data.Dataset, keys: list[str],
                        num_partitions: int = 64):
     """groupby a hash PARTITION of integer key columns: all rows of one key
@@ -188,9 +197,12 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     is bounded by its partition (salt the key upstream if one key exceeds
     a partition — stages/skew.py).
 
-    Constraints: the key must be integer-valued and non-null; ``how`` is
-    'inner' or 'left' (right columns must be null-tolerant types for
-    'left'). Name collisions on non-key right columns get ``suffix``.
+    Constraints: the key must be integer- or string-typed and non-null
+    (strings partition via the deterministic vectorized siphash and merge
+    on the exact values — hash collisions only co-locate, never equate);
+    ``how`` is 'inner' or 'left' (right columns must be null-tolerant
+    types for 'left'). Name collisions on non-key right columns get
+    ``suffix``.
 
     ``num_partitions`` defaults to the engine config's derivation
     (config.partitions_for_bytes): ~128 MB of exchanged data per
@@ -222,8 +234,19 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
     def tagger(side: int, key_col: str, cols: list[str], prefix: str,
                other_prefix: str, other_fields: list):
         def tag(b: pa.Table) -> pa.Table:
-            key = b[key_col].to_numpy().astype(np.int64)
-            arrays = [pa.array(_part_of(key, num_partitions), pa.int32()),
+            kc = b[key_col]
+            if pa.types.is_integer(kc.type):
+                part = _part_of(kc.to_numpy().astype(np.int64),
+                                num_partitions)
+            elif pa.types.is_string(kc.type) or \
+                    pa.types.is_large_string(kc.type):
+                part = _part_of_str(kc.to_numpy(zero_copy_only=False),
+                                    num_partitions)
+            else:
+                raise TypeError(
+                    f"cogroup_join key {key_col!r} must be integer or "
+                    f"string, got {kc.type}")
+            arrays = [pa.array(part, pa.int32()),
                       pa.array(np.full(b.num_rows, side, dtype=np.int8))]
             names = ["_part", "_side"]
             for c in cols:

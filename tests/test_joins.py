@@ -182,3 +182,43 @@ def test_broadcast_join_rejects_non_integer_keys(ray_session):
                         "k", "rk")
     with pytest.raises(Exception, match="integer-typed"):
         ds.materialize()
+
+
+def test_cogroup_join_string_keys(ray_session):
+    """String-key cogroup: siphash partitioning co-locates, the merge
+    equates on exact values; parity with pandas merge."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.joins import cogroup_join
+
+    lk = [f"key-{i % 37}" for i in range(500)]
+    rk = [f"key-{i}" for i in range(0, 74, 2)]   # half match, half absent
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(lk), "v": pa.array(range(500), pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(rk), "w": pa.array(range(len(rk)), pa.int64())}))
+    got = cogroup_join(left, right, on="k", num_partitions=8) \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    want = pd.DataFrame({"k": lk, "v": range(500)}).merge(
+        pd.DataFrame({"k": rk, "w": range(len(rk))}), on="k") \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # left join keeps unmatched rows with null w
+    lj = cogroup_join(left, right, on="k", how="left",
+                      num_partitions=8).to_pandas()
+    assert len(lj) == 500 and lj["w"].isna().sum() > 0
+
+
+def test_cogroup_join_rejects_other_key_types(ray_session):
+    import pytest
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.joins import cogroup_join
+
+    f = ray.data.from_arrow(pa.table({
+        "k": pa.array([1.5, 2.5]), "v": pa.array([1, 2], pa.int64())}))
+    with pytest.raises(Exception, match="integer or string"):
+        cogroup_join(f, f, on="k", num_partitions=2).count()
