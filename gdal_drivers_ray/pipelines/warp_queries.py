@@ -467,3 +467,50 @@ def _sql_warp_average() -> str:
 
 
 SQL_WARP_AVERAGE = _sql_warp_average()
+
+
+def q_warp_lanczos(sf_dir: str) -> ray.data.Dataset:
+    """Tile-keyed warp shuffle with the Lanczos-3 windowed-sinc kernel
+    (Resampling::lanczos of the reference's geo::GeoDataset surface,
+    gdaldriversmodule.cpp:189) over the same curved 4326->3857 fixture as
+    `warp_cubic`: exercises the widest cover pad (4 src px) and the
+    seam-straddling 6x6 stencil. Checksums floor to integers, so the
+    hash compare pins every output pixel."""
+    sg, dg = _cubic_fixture_grids()
+    tiles = _tiles_of(_varying_raster(sg.nx, sg.ny))
+    out = W.warp_tiles(tiles, sg, dg, resampling="lanczos", nodata=-1.0)
+    return _tile_stats(out)
+
+
+def _sql_warp_lanczos() -> str:
+    sg, dg = _cubic_fixture_grids()
+    out = W.warp_oracle(_varying_raster(sg.nx, sg.ny), sg, dg,
+                        resampling="lanczos", nodata=-1.0)
+    return _oracle_tile_stats_sql(out, 3, 3)
+
+
+SQL_WARP_LANCZOS = _sql_warp_lanczos()
+
+
+def q_warp_mode(sf_dir: str) -> ray.data.Dataset:
+    """Tile-keyed warp shuffle with the 'mode' footprint kernel
+    (Resampling::mode): 4x downsample of a varying integer raster, so
+    each dst pixel reduces a 4x4 member block and ties are real (values
+    repeat mod 251). Ties resolve to the smallest value — deterministic
+    on both the tiled path and the whole-raster oracle."""
+    sg, _ = _average_fixture_grids()
+    dg = W.RasterGrid(sg.extents, "local", 256, 256)
+    tiles = _tiles_of(_varying_raster(sg.nx, sg.ny))
+    out = W.warp_tiles(tiles, sg, dg, resampling="mode", nodata=-1.0)
+    return _tile_stats(out)
+
+
+def _sql_warp_mode() -> str:
+    sg, _ = _average_fixture_grids()
+    dg = W.RasterGrid(sg.extents, "local", 256, 256)
+    out = W.warp_oracle(_varying_raster(sg.nx, sg.ny), sg, dg,
+                        resampling="mode", nodata=-1.0)
+    return _oracle_tile_stats_sql(out, 1, 1)
+
+
+SQL_WARP_MODE = _sql_warp_mode()

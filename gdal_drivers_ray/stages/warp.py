@@ -169,12 +169,18 @@ class RasterGrid:
 
 
 # per-kernel src-px padding for the cover join: how far a dst pixel's
-# stencil can reach from its sample point (bilinear 1.5, cubic 2.5; +0.5
-# slack). Also the up-front "supported resampling" whitelist, matching the
-# reference's geo::GeoDataset::Resampling surface the Python warp exposes
-# (gdaldriversmodule.cpp:189, :263): nearest/bilinear/cubic for sampling,
-# average for downsampling.
-_COVER_PAD = {"nearest": 2.0, "bilinear": 2.0, "cubic": 3.0, "average": 2.0}
+# stencil can reach from its sample point (bilinear 1.5, cubic 2.5,
+# lanczos 3.5; +0.5 slack). Also the up-front "supported resampling"
+# whitelist, matching the reference's geo::GeoDataset::Resampling surface
+# the Python warp exposes (gdaldriversmodule.cpp:189, :263):
+# nearest/bilinear/cubic/lanczos for sampling, average/min/max/mode for
+# downsampling (footprint kernels).
+_COVER_PAD = {"nearest": 2.0, "bilinear": 2.0, "cubic": 3.0, "lanczos": 4.0,
+              "average": 2.0, "minimum": 2.0, "maximum": 2.0, "mode": 2.0}
+
+# kernels whose unit of work is the dst pixel's src-space FOOTPRINT rect
+# (downsampling family) rather than a point stencil
+_FOOTPRINT_KERNELS = ("average", "minimum", "maximum", "mode")
 
 
 def _cubic_weights(f: np.ndarray):
@@ -190,6 +196,24 @@ def _cubic_weights(f: np.ndarray):
     t = 2.0 - f
     w2 = ((a * t - 5.0 * a) * t + 8.0 * a) * t - 4.0 * a
     return wm1, w0, w1, w2
+
+
+def _lanczos_weights(f: np.ndarray):
+    """Lanczos-3 windowed-sinc weights (GDAL's 'lanczos', a = 3: 6 taps at
+    offsets {-2..+3} from floor(s)); f = frac(s) in [0, 1). Normalized to
+    sum to 1 (the raw windowed sinc doesn't, and an unnormalized kernel
+    would shift constant rasters)."""
+    ws = []
+    for i in range(-2, 4):
+        d = f - i
+        x = np.pi * d
+        # L(d) = sinc(d) * sinc(d/3), L(0) = 1; d = 0 only when f = 0, i = 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            w = np.where(d == 0.0, 1.0,
+                         3.0 * np.sin(x) * np.sin(x / 3.0) / (x * x))
+        ws.append(w)
+    tot = np.add.reduce(ws)
+    return [w / tot for w in ws]
 
 
 def _footprints(dst_grid: RasterGrid, src_grid: RasterGrid,
@@ -214,25 +238,22 @@ def _footprints(dst_grid: RasterGrid, src_grid: RasterGrid,
     return fx0, fx1, fy0, fy1
 
 
-def _sample_average(patch: np.ndarray, off_x: int, off_y: int,
-                    fx0: np.ndarray, fx1: np.ndarray,
-                    fy0: np.ndarray, fy1: np.ndarray,
-                    nx: int, ny: int, nodata: float) -> np.ndarray:
-    """'average' resampling (the reference's downsample kernel,
-    geo::GeoDataset::Resampling surface of gdaldriversmodule.cpp:189):
-    mean of every src pixel whose CENTER falls in the dst pixel's
-    footprint rect. Valid iff the footprint lies inside the raster, the
-    member pixels are all present, and >=1 center is covered; a footprint
-    too small to cover any center (upsampling) degrades to the containing
-    pixel, matching GDAL's at-least-one-source-pixel behavior.
+def _footprint_rects(patch: np.ndarray, off_x: int, off_y: int,
+                     fx0: np.ndarray, fx1: np.ndarray,
+                     fy0: np.ndarray, fy1: np.ndarray,
+                     nx: int, ny: int):
+    """Shared membership rule of the footprint-kernel family
+    (average / minimum / maximum / mode): a src pixel belongs to a dst
+    pixel iff its CENTER falls in the dst pixel's footprint rect. Returns
+    patch-local half-open member rects (lx0, lx1, ly0, ly1) and the
+    validity mask: footprint inside the raster AND inside the patch AND
+    >=1 member AND no missing member pixel. A footprint too small to
+    cover any center (upsampling) degrades to the pixel containing the
+    footprint center, matching GDAL's at-least-one-source-pixel behavior.
 
-    Vectorized with integral images over the patch: O(patch + dst px),
-    no per-pixel footprint loops. Sums are EXACT (hence parity-safe
-    across different patch windows) for integer-valued rasters below
-    2^53; float rasters may differ from a whole-raster pass by rounding
-    in the cumsum order.
+    Missing-member detection is an integral image over the patch NaN
+    mask: O(patch + dst px), no per-pixel footprint loops.
     """
-    out = np.full(fx0.shape, nodata, dtype=np.float64)
     ph, pw = patch.shape
     # pixel x covered iff x+0.5 in [fx0, fx1)  ->  x in [ceil(fx0-0.5), ...)
     ix0 = np.ceil(fx0 - 0.5).astype(np.int64)
@@ -256,17 +277,105 @@ def _sample_average(patch: np.ndarray, off_x: int, off_y: int,
     ok &= (lx0 >= 0) & (lx1 <= pw) & (ly0 >= 0) & (ly1 <= ph)
     lx0 = np.clip(lx0, 0, pw); lx1 = np.clip(lx1, 0, pw)
     ly0 = np.clip(ly0, 0, ph); ly1 = np.clip(ly1, 0, ph)
-    miss = np.isnan(patch)
-    sv = np.zeros((ph + 1, pw + 1), dtype=np.float64)
-    sv[1:, 1:] = np.where(miss, 0.0, patch).cumsum(axis=0).cumsum(axis=1)
     sm = np.zeros((ph + 1, pw + 1), dtype=np.int64)
-    sm[1:, 1:] = miss.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
-    s = sv[ly1, lx1] - sv[ly0, lx1] - sv[ly1, lx0] + sv[ly0, lx0]
+    sm[1:, 1:] = np.isnan(patch).astype(np.int64) \
+        .cumsum(axis=0).cumsum(axis=1)
     nmiss = sm[ly1, lx1] - sm[ly0, lx1] - sm[ly1, lx0] + sm[ly0, lx0]
     cnt = (lx1 - lx0) * (ly1 - ly0)
     ok &= (nmiss == 0) & (cnt > 0)
-    out[ok] = s[ok] / cnt[ok]
+    return lx0, lx1, ly0, ly1, ok
+
+
+def _sample_footprint(patch: np.ndarray, off_x: int, off_y: int,
+                      fx0: np.ndarray, fx1: np.ndarray,
+                      fy0: np.ndarray, fy1: np.ndarray,
+                      nx: int, ny: int, kernel: str,
+                      nodata: float) -> np.ndarray:
+    """Footprint-kernel resampling (the reference's downsample surface,
+    geo::GeoDataset::Resampling of gdaldriversmodule.cpp:189): reduce the
+    member src pixels of each dst pixel's footprint rect.
+
+    average: mean, via integral images — O(patch + dst px); sums are
+    EXACT (hence parity-safe across different patch windows) for
+    integer-valued rasters below 2^53.
+    minimum / maximum: extrema via a gathered (kh x kw) window sweep —
+    O(dst px * max footprint area), vectorized per tap offset.
+    mode: most frequent member value; ties resolve to the SMALLEST value
+    (deterministic; GDAL leaves tie order unspecified). Sorted-run
+    counting over the gathered window matrix.
+    """
+    lx0, lx1, ly0, ly1, ok = _footprint_rects(
+        patch, off_x, off_y, fx0, fx1, fy0, fy1, nx, ny)
+    out = np.full(fx0.shape, nodata, dtype=np.float64)
+    ph, pw = patch.shape
+    if kernel == "average":
+        sv = np.zeros((ph + 1, pw + 1), dtype=np.float64)
+        sv[1:, 1:] = np.where(np.isnan(patch), 0.0, patch) \
+            .cumsum(axis=0).cumsum(axis=1)
+        s = sv[ly1, lx1] - sv[ly0, lx1] - sv[ly1, lx0] + sv[ly0, lx0]
+        cnt = (lx1 - lx0) * (ly1 - ly0)
+        out[ok] = s[ok] / np.maximum(cnt[ok], 1)
+        return out
+    if not ok.any():
+        return out
+    kw = int((lx1 - lx0)[ok].max())
+    kh = int((ly1 - ly0)[ok].max())
+    if kernel in ("minimum", "maximum"):
+        red = np.fmin if kernel == "minimum" else np.fmax
+        acc = np.full(fx0.shape, np.nan, dtype=np.float64)
+        for dy in range(kh):
+            yy = ly0 + dy
+            rowin = yy < ly1
+            for dx in range(kw):
+                xx = lx0 + dx
+                m = rowin & (xx < lx1)
+                v = patch[np.clip(yy, 0, ph - 1), np.clip(xx, 0, pw - 1)]
+                acc = np.where(m, red(acc, v), acc)
+        # ok guarantees >=1 member and no missing member, so acc is finite
+        out[ok] = acc[ok]
+        return out
+    if kernel != "mode":
+        raise ValueError(f"unknown footprint kernel {kernel!r}")
+    # gather the member window into (n_ok, kh*kw), non-members = NaN
+    # (NaN sorts last, so member runs come first in each sorted row)
+    olx0 = lx0[ok]; olx1 = lx1[ok]; oly0 = ly0[ok]; oly1 = ly1[ok]
+    n = olx0.shape[0]
+    vals = np.full((n, kh * kw), np.nan, dtype=np.float64)
+    for dy in range(kh):
+        yy = oly0 + dy
+        rowin = yy < oly1
+        for dx in range(kw):
+            xx = olx0 + dx
+            m = rowin & (xx < olx1)
+            v = patch[np.clip(yy, 0, ph - 1), np.clip(xx, 0, pw - 1)]
+            vals[:, dy * kw + dx] = np.where(m, v, np.nan)
+    s = np.sort(vals, axis=1)
+    k = s.shape[1]
+    idx = np.arange(k, dtype=np.int64)
+    start = np.ones(s.shape, dtype=bool)
+    start[:, 1:] = s[:, 1:] != s[:, :-1]
+    # run start index at each position (last j with start True up to here)
+    left = np.maximum.accumulate(np.where(start, idx, -1), axis=1)
+    # run end (exclusive): next start position, computed on the reverse
+    endr = np.empty(s.shape, dtype=np.int64)
+    endr[:, :-1] = np.where(start[:, 1:], idx[:-1] + 1, -1)
+    endr[:, -1] = k
+    right = np.minimum.accumulate(
+        np.where(endr >= 0, endr, k)[:, ::-1], axis=1)[:, ::-1]
+    counts = np.where(np.isnan(s), 0, right - left)
+    # argmax hits the FIRST max-count run = the smallest value (ascending)
+    pick = counts.argmax(axis=1)
+    out[ok] = s[np.arange(n), pick]
     return out
+
+
+def _sample_average(patch: np.ndarray, off_x: int, off_y: int,
+                    fx0: np.ndarray, fx1: np.ndarray,
+                    fy0: np.ndarray, fy1: np.ndarray,
+                    nx: int, ny: int, nodata: float) -> np.ndarray:
+    """Back-compat alias: 'average' through the footprint-kernel family."""
+    return _sample_footprint(patch, off_x, off_y, fx0, fx1, fy0, fy1,
+                             nx, ny, "average", nodata)
 
 
 def _sample(patch: np.ndarray, off_x: int, off_y: int,
@@ -294,8 +403,15 @@ def _sample(patch: np.ndarray, off_x: int, off_y: int,
         ok &= ~np.isnan(v)
         out[ok] = v[ok]
         return out
-    if resampling == "cubic":
-        if pw < 4 or ph < 4:    # no 4x4 stencil fits -> all nodata
+    if resampling in ("cubic", "lanczos"):
+        # separable convolution: cubic = 4 taps at {-1..+2}, lanczos-3 =
+        # 6 taps at {-2..+3}; valid iff the whole stencil is inside the
+        # raster and fully present (any NaN tap poisons the sum)
+        t0 = -1 if resampling == "cubic" else -2
+        wfn = _cubic_weights if resampling == "cubic" else _lanczos_weights
+        ntap = 4 if resampling == "cubic" else 6
+        t1 = t0 + ntap - 1
+        if pw < ntap or ph < ntap:    # no stencil fits -> all nodata
             return out
         sx = pfx - 0.5
         sy = pfy - 0.5
@@ -303,21 +419,21 @@ def _sample(patch: np.ndarray, off_x: int, off_y: int,
         y0 = np.floor(sy).astype(np.int64)
         fx = sx - x0
         fy = sy - y0
-        ok = (x0 - 1 >= 0) & (x0 + 2 <= nx - 1) \
-            & (y0 - 1 >= 0) & (y0 + 2 <= ny - 1)
+        ok = (x0 + t0 >= 0) & (x0 + t1 <= nx - 1) \
+            & (y0 + t0 >= 0) & (y0 + t1 <= ny - 1)
         lx = x0 - off_x
         ly = y0 - off_y
-        ok &= (lx - 1 >= 0) & (lx + 2 <= pw - 1) \
-            & (ly - 1 >= 0) & (ly + 2 <= ph - 1)
-        lxc = np.clip(lx, 1, max(pw - 3, 1))
-        lyc = np.clip(ly, 1, max(ph - 3, 1))
-        wxs = _cubic_weights(fx)
-        wys = _cubic_weights(fy)
+        ok &= (lx + t0 >= 0) & (lx + t1 <= pw - 1) \
+            & (ly + t0 >= 0) & (ly + t1 <= ph - 1)
+        lxc = np.clip(lx, -t0, max(pw - 1 - t1, -t0))
+        lyc = np.clip(ly, -t0, max(ph - 1 - t1, -t0))
+        wxs = wfn(fx)
+        wys = wfn(fy)
         acc = np.zeros(pfx.shape, dtype=np.float64)
-        for j in range(4):
+        for j in range(ntap):
             row = np.zeros(pfx.shape, dtype=np.float64)
-            for i in range(4):
-                row += patch[lyc + (j - 1), lxc + (i - 1)] * wxs[i]
+            for i in range(ntap):
+                row += patch[lyc + (j + t0), lxc + (i + t0)] * wxs[i]
             acc += row * wys[j]
         ok &= ~np.isnan(acc)        # any NaN tap poisons the sum
         out[ok] = acc[ok]
@@ -351,12 +467,12 @@ def warp_oracle(src: np.ndarray, src_grid: RasterGrid, dst_grid: RasterGrid,
                 resampling: str = "bilinear", nodata: float = 0.0) -> np.ndarray:
     """Pure-NumPy full-raster warp: the parity oracle for `warp_tiles`."""
     assert src.shape == (src_grid.ny, src_grid.nx)
-    if resampling == "average":
+    if resampling in _FOOTPRINT_KERNELS:
         fx0, fx1, fy0, fy1 = _footprints(dst_grid, src_grid, 0, 0,
                                          dst_grid.nx, dst_grid.ny)
-        return _sample_average(src.astype(np.float64), 0, 0,
-                               fx0, fx1, fy0, fy1,
-                               src_grid.nx, src_grid.ny, nodata)
+        return _sample_footprint(src.astype(np.float64), 0, 0,
+                                 fx0, fx1, fy0, fy1,
+                                 src_grid.nx, src_grid.ny, resampling, nodata)
     tr = get_transformer(dst_grid.srs, src_grid.srs)
     iy, ix = np.mgrid[0:dst_grid.ny, 0:dst_grid.nx]
     wx, wy = dst_grid.pixel_centers_world(ix.astype(np.float64),
@@ -456,11 +572,12 @@ def _resample_group(src_grid: RasterGrid, dst_grid: RasterGrid,
 
         vw = min(TILE, dst_grid.nx - tx * TILE)
         vh = min(TILE, dst_grid.ny - ty * TILE)
-        if resampling == "average":
+        if resampling in _FOOTPRINT_KERNELS:
             fx0, fx1, fy0, fy1 = _footprints(dst_grid, src_grid,
                                              tx * TILE, ty * TILE, vw, vh)
-            vals = _sample_average(patch, gx0, gy0, fx0, fx1, fy0, fy1,
-                                   src_grid.nx, src_grid.ny, nodata)
+            vals = _sample_footprint(patch, gx0, gy0, fx0, fx1, fy0, fy1,
+                                     src_grid.nx, src_grid.ny,
+                                     resampling, nodata)
         else:
             iy, ix = np.mgrid[0:vh, 0:vw]
             wx, wy = dst_grid.pixel_centers_world(

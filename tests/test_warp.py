@@ -216,7 +216,7 @@ def test_unknown_resampling_raises(ray_session):
     src = _src(ny=300, nx=300)
     g = W.RasterGrid(Extents(0.0, 0.0, 300.0, 300.0), "local", 300, 300)
     with pytest.raises(ValueError, match="resampling"):
-        W.warp_tiles(_tiles_from_array(src), g, g, "lanczos")
+        W.warp_tiles(_tiles_from_array(src), g, g, "cubicspline")
 
 
 def test_utm_warp_tiled_matches_oracle(ray_session):
@@ -243,3 +243,82 @@ def test_utm_warp_tiled_matches_oracle(ray_session):
         np.testing.assert_array_equal(res, want)
         # the UTM box contains real data (not all nodata)
         assert (want >= 0).mean() > 0.5
+
+
+def test_lanczos_identity_and_constant():
+    """Lanczos-3 at exact pixel centers reproduces the raster (sinc zeros
+    at integer offsets); a constant raster is a fixed point of the
+    normalized kernel away from the 6x6-stencil border."""
+    src = _src(ny=64, nx=64)
+    g = W.RasterGrid(Extents(0.0, 0.0, 64.0, 64.0), "local", 64, 64)
+    out = W.warp_oracle(src, g, g, "lanczos", nodata=-1.0)
+    np.testing.assert_allclose(out[3:-3, 3:-3], src[3:-3, 3:-3],
+                               rtol=0, atol=1e-9)
+    assert (out[0] == -1.0).all() and (out[:, 0] == -1.0).all()
+    const = np.full((64, 64), 7.0)
+    g2 = W.RasterGrid(Extents(3.3, 2.7, 35.3, 34.7), "local", 64, 64)
+    out2 = W.warp_oracle(const, g, g2, "lanczos", nodata=-1.0)
+    v = out2[out2 != -1.0]
+    assert v.size > 0
+    np.testing.assert_allclose(v, 7.0, rtol=1e-12)
+
+
+def test_lanczos_reproject_matches_oracle(ray_session):
+    """Tiled lanczos plan == whole-raster oracle across a curved
+    4326 -> 3857 reprojection (seam-straddling 6x6 stencils through the
+    4-px cover pad)."""
+    src = _src(ny=400, nx=800)
+    sg = W.RasterGrid(Extents(-180.0, -85.0, 180.0, 85.0), "EPSG:4326",
+                      800, 400)
+    m = np.pi * 6378137.0
+    my0, my1 = W.transform_points([0.0, 0.0], [-85.0, 85.0],
+                                  "EPSG:4326", "EPSG:3857")[1]
+    dg = W.RasterGrid(Extents(-m, float(my0), m, float(my1)), "EPSG:3857",
+                      512, 512)
+    want = W.warp_oracle(src, sg, dg, "lanczos", nodata=-1.0)
+    out = W.warp_tiles(_tiles_from_array(src), sg, dg, "lanczos",
+                       nodata=-1.0)
+    got = _assemble(out, dg, -1.0)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+    assert (want >= 0).mean() > 0.3
+
+
+def test_minmax_exact_downsample():
+    """minimum/maximum at an exact 2x downsample equal per-block
+    reductions of the source."""
+    src = _int_src(256, 512)
+    sg = W.RasterGrid(Extents(0.0, 0.0, 512.0, 256.0), "local", 512, 256)
+    dg = W.RasterGrid(Extents(0.0, 0.0, 512.0, 256.0), "local", 256, 128)
+    blocks = src.reshape(128, 2, 256, 2).transpose(0, 2, 1, 3) \
+                .reshape(128, 256, 4)
+    got_min = W.warp_oracle(src, sg, dg, "minimum", nodata=-1.0)
+    got_max = W.warp_oracle(src, sg, dg, "maximum", nodata=-1.0)
+    np.testing.assert_array_equal(got_min, blocks.min(axis=2))
+    np.testing.assert_array_equal(got_max, blocks.max(axis=2))
+
+
+def test_minmax_mode_tiled_matches_oracle(ray_session):
+    """Tiled footprint-kernel plans == whole-raster oracle on a
+    fractional downsample (variable-size footprints exercise the
+    gathered-window sweep)."""
+    src = _int_src(520, 770)
+    sg = W.RasterGrid(Extents(10.0, 20.0, 780.0, 540.0), "local", 770, 520)
+    dg = W.RasterGrid(Extents(-25.0, 0.0, 800.0, 560.0), "local", 300, 280)
+    for kern in ("minimum", "maximum", "mode"):
+        want = W.warp_oracle(src, sg, dg, kern, nodata=-5.0)
+        out = W.warp_tiles(_tiles_from_array(src), sg, dg, kern,
+                           nodata=-5.0)
+        got = _assemble(out, dg, -5.0)
+        np.testing.assert_array_equal(got, want)
+        assert (want != -5.0).any()
+
+
+def test_mode_tie_breaks_to_smallest():
+    """mode ties resolve to the SMALLEST member value, deterministically
+    (documented engine semantics; GDAL leaves tie order unspecified)."""
+    src = np.array([[9.0, 1.0], [1.0, 9.0]]).repeat(2, 0).repeat(2, 1)
+    # one dst pixel covering the whole 4x4: members tie 8 vs 8? make 2x2
+    sg = W.RasterGrid(Extents(0.0, 0.0, 4.0, 4.0), "local", 4, 4)
+    dg = W.RasterGrid(Extents(0.0, 0.0, 4.0, 4.0), "local", 1, 1)
+    out = W.warp_oracle(src, sg, dg, "mode", nodata=-1.0)
+    assert out[0, 0] == 1.0  # 1 and 9 each appear 8 times -> smallest wins
