@@ -106,3 +106,87 @@ def q_image_resize(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(MM.ResizeImages(factor=2), batch_size=64,
                           batch_format="pyarrow") \
              .select_columns(["image_id", "w", "h", "fmt"])
+
+
+def q_image_norm_stats(sf_dir: str) -> ray.data.Dataset:
+    """Dataset-normalization statistics over the decoded image corpus:
+    per-format exact integer pixel moments via per-batch partials +
+    a metadata-scale groupby(fmt) — the standard mean/std pass an image
+    training pipeline runs once per corpus."""
+    from ..stages.imageprep import image_norm_stats
+
+    path = fixtures.images_path_for(sf_dir)
+    images = ray.data.read_parquet(path, columns=["bytes", "fmt"])
+    return image_norm_stats(images)
+
+
+def q_ar_buckets(sf_dir: str) -> ray.data.Dataset:
+    """Aspect-ratio bucketing + fixed-batch assignment (the SDXL training
+    discipline) over synthetic native-size metadata derived closed-form
+    from the image index (the fixture's tiles are uniformly 256x256, so
+    the 'original capture size' each image would carry at ingest is
+    synthesized: w = 160 + 37*idx mod 865, h = 160 + 91*idx mod 737).
+    Bucket choice is integer-exact; rank/batch come from the distributed
+    two-pass prefix sum in stages/imageprep.py."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.imageprep import ar_bucket_assign
+
+    path = fixtures.images_path_for(sf_dir)
+    imgs = ray.data.read_parquet(path, columns=["image_id"])
+
+    def native_size(b: pa.Table) -> pa.Table:
+        idx = np.array([int(s[4:]) for s in b["image_id"].to_pylist()],
+                       dtype=np.int64)
+        return pa.table({
+            "image_id": b["image_id"],
+            "idx": pa.array(idx),
+            "w": pa.array(160 + (idx * 37) % 865),
+            "h": pa.array(160 + (idx * 91) % 737),
+        })
+
+    meta = imgs.map_batches(native_size, batch_format="pyarrow",
+                            batch_size=None)
+    return ar_bucket_assign(meta)
+
+
+def _sql_ar_buckets() -> str:
+    from ..stages.imageprep import batch_capacity, default_ladder
+
+    lad = default_ladder()
+    rungs = ", ".join(
+        f"({bi}, {bw}, {bh}, {batch_capacity(bw, bh, 1 << 20)})"
+        for bi, (bw, bh) in enumerate(lad))
+    return f"""
+WITH meta AS (
+  SELECT image_id,
+         CAST(substring(image_id, 5) AS BIGINT) AS idx,
+         160 + (CAST(substring(image_id, 5) AS BIGINT) * 37) % 865 AS w,
+         160 + (CAST(substring(image_id, 5) AS BIGINT) * 91) % 737 AS h
+  FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet')
+), ladder(ab, bw, bh, cap) AS (VALUES {rungs}),
+costed AS (
+  SELECT m.image_id, m.idx, l.ab, l.bw, l.bh, l.cap,
+         row_number() OVER (
+           PARTITION BY m.image_id
+           ORDER BY abs(m.w * l.bh - m.h * l.bw) * 1000000 // (l.bw * l.bh),
+                    l.ab) AS rn
+  FROM meta m CROSS JOIN ladder l
+), assigned AS (SELECT * FROM costed WHERE rn = 1),
+ranked AS (
+  SELECT image_id, ab, bw, bh, cap,
+         row_number() OVER (PARTITION BY ab ORDER BY idx) - 1 AS rk
+  FROM assigned
+)
+SELECT image_id,
+       CAST(ab AS BIGINT) AS ar_bucket,
+       CAST(bw AS BIGINT) AS bucket_w,
+       CAST(bh AS BIGINT) AS bucket_h,
+       CAST(rk AS BIGINT) AS rank,
+       CAST(rk // cap AS BIGINT) AS batch_id
+FROM ranked
+"""
+
+
+SQL_AR_BUCKETS = _sql_ar_buckets()

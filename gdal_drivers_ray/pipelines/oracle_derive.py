@@ -376,3 +376,29 @@ def sql_images_lod_rollup() -> str:
                        "CAST(parent_cell AS BIGINT) AS parent_cell, "
                        "CAST(n_tiles AS BIGINT) AS n_tiles, "
                        "CAST(px_sum_x65536 AS BIGINT) AS px_sum_x65536")
+
+
+def sql_image_norm_stats() -> str:
+    """Straight-line codec round-trip over the gate's images fixture:
+    per-format exact integer pixel moments (n_px, sum, sum of squares)
+    plus mean_milli. The distributed plan's per-batch partials +
+    groupby(fmt) Sum must reproduce these integers bit-for-bit (uint8
+    pixels -> int64-exact in any association order)."""
+    from .. import codecs, fixtures
+
+    acc: dict[str, list[int]] = {}
+    for i in range(_IMAGES_GATE_N):
+        r = fixtures.image_row(i, _IMAGES_GATE_LOD)
+        a = codecs.decode_image(r["bytes"]).astype(np.int64)
+        st = acc.setdefault(r["fmt"], [0, 0, 0])
+        st[0] += int(a.size)
+        st[1] += int(a.sum())
+        st[2] += int((a * a).sum())
+    rows = [f"('{k}', {v[0]}, {v[1]}, {v[2]}, {v[1] * 1000 // v[0]})"
+            for k, v in sorted(acc.items())]
+    return _values_sql(
+        rows, "fmt, n_px, px_sum, px_sumsq, mean_milli",
+        "fmt, CAST(n_px AS BIGINT) AS n_px, "
+        "CAST(px_sum AS BIGINT) AS px_sum, "
+        "CAST(px_sumsq AS BIGINT) AS px_sumsq, "
+        "CAST(mean_milli AS BIGINT) AS mean_milli")
