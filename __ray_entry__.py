@@ -190,14 +190,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _q.q_topk_orders,
         # joins + vector tiling (edge-case fixes this round)
         "vector_tiling": _vq.q_vector_tiling,
-        "asof_join": _q.q_asof_join,
         "string_join": _q.q_string_join,
-        # image training-prep (round 4b)
+        # image training-prep + data mixing (round 4b)
         "image_norm_stats": _mq.q_image_norm_stats,
         "ar_buckets": _mq.q_ar_buckets,
-        # weighted mosaic (J1 + A1/A2/A3); blend_shuffle (r1-r3 driver
-        # green, unchanged this round) rotates past 50 with the others
-        "blend_mosaic": _bq.q_blend_mosaic,
+        "interleave_sources": _tq.q_interleave_sources,
+        "stratified_sample": _tq.q_stratified_sample,
         # dedup suite + ANN
         "minhash_dedup": _dq.q_minhash_dedup,
         "simhash_dedup": _dq.q_simhash_dedup,
@@ -221,6 +219,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join": _q.q_semi_join,
         "range_join": _q.q_range_join,
         "anti_join": _q.q_anti_join,
+        "asof_join": _q.q_asof_join,
+        "blend_mosaic": _bq.q_blend_mosaic,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -319,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
         "warp_mode": _wq.SQL_WARP_MODE,
         "image_norm_stats": _od.sql_image_norm_stats(),
         "ar_buckets": _mq.SQL_AR_BUCKETS,
+        "interleave_sources": _tq.SQL_INTERLEAVE_SOURCES,
+        "stratified_sample": _tq.SQL_STRATIFIED_SAMPLE,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

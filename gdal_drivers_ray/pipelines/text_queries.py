@@ -303,3 +303,85 @@ SELECT doc_id, n_tok, start_off,
            - start_off // 2048 + 1 AS n_packs
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# data mixing: weighted source interleave + stratified sampling
+# ---------------------------------------------------------------------------
+
+_MIX_LCM = 12          # lcm of the weights 1..4 below
+_MIX_HEAD = 1000
+
+
+def _mix_weight_of(sources: list) -> np.ndarray:
+    """Deterministic per-source mixing weight 1..4 (src<k> -> 1 + k%4):
+    a stand-in for the published mixture table an LLM run ships."""
+    return np.array([1 + int(s[3:]) % 4 for s in sources], dtype=np.int64)
+
+
+def q_interleave_sources(sf_dir: str):
+    """Weighted source interleaving (stride scheduling / WFQ virtual
+    time): source src<k> at weight 1+k%4 emits its r-th document at
+    virtual position (2r+1)/(2w). Ranks come from the distributed
+    two-pass prefix sum (stages/mix.py); the schedule head is the only
+    driver-side table (bounded at _MIX_HEAD rows)."""
+    from ..stages.mix import interleave_schedule
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    sched = interleave_schedule(docs, part_col="source",
+                                order_col="doc_id",
+                                weight_of=_mix_weight_of,
+                                weight_lcm=_MIX_LCM)
+    head = sched.sort(["vpos", "source", "doc_id"]).limit(_MIX_HEAD) \
+        .to_pandas()
+    head["seq"] = np.arange(len(head), dtype=np.int64)
+    return head[["seq", "doc_id", "source", "vpos"]]
+
+
+SQL_INTERLEAVE_SOURCES = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS r,
+         1 + (CAST(substring(source, 4) AS BIGINT) % 4) AS w
+  FROM documents
+), sched AS (
+  SELECT doc_id, source, (2 * r + 1) * ({_MIX_LCM} // w) AS vpos
+  FROM ranked
+), head AS (
+  SELECT doc_id, source, CAST(vpos AS BIGINT) AS vpos
+  FROM sched ORDER BY vpos, source, doc_id LIMIT {_MIX_HEAD}
+)
+SELECT row_number() OVER (ORDER BY vpos, source, doc_id) - 1 AS seq,
+       doc_id, source, vpos
+FROM head
+"""
+
+_STRATA_PERMILLE = {"en": 100, "de": 300, "es": 500, "fr": 700, "zh": 900}
+
+
+def q_stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Per-language deterministic down-sampling at published per-mille
+    rates (the ablation-run discipline): keep iff
+    (doc_id * 2654435761 mod 2^32) mod 1000 < rate(lang). Streaming
+    filter, no shuffle."""
+    from ..stages.mix import stratified_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "source"])
+    return stratified_sample(docs, stratum_col="lang", id_col="doc_id",
+                             rates_permille=_STRATA_PERMILLE)
+
+
+def _sql_stratified_sample() -> str:
+    rates = " ".join(f"WHEN '{k}' THEN {v}"
+                     for k, v in sorted(_STRATA_PERMILLE.items()))
+    return f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000
+      < CASE lang {rates} ELSE 0 END
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()

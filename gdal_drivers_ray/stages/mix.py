@@ -1,0 +1,131 @@
+"""Data-mixing ops for training pipelines: deterministic weighted source
+interleaving and stratified sampling.
+
+No counterpart exists in the reference; these are the engine-side
+additions between "a deduplicated corpus" and "a training token stream":
+LLM training mixes sources at explicit weights (papers publish the
+mixture table), and ablation runs need per-stratum down/up-sampling that
+is reproducible run-to-run — so both ops are hash-deterministic, no RNG.
+
+- ``distributed_rank``: the shared primitive — each row's 0-based rank
+  inside its partition key, ordered by an int64 order column, computed as
+  a two-pass prefix sum (range-bucket the order key, count per
+  (part, range) group, driver-prefix the bounded count table, per-group
+  local ranks). Same discipline as stages/pack.py; the driver table is
+  O(n_parts * n_range_buckets) regardless of corpus size.
+
+- ``interleave_schedule``: weighted round-robin by virtual time — source
+  s with weight w emits its r-th document at position (2r+1)/(2w), the
+  standard stride-scheduling / WFQ virtual-finish-time rule, scaled to
+  exact integers so the global order is total and SQL-reproducible.
+
+- ``stratified_sample``: keep a row iff a multiplicative hash of its id
+  lands under the stratum's per-mille rate. One vectorized filter map, no
+  shuffle; the hash (Knuth 2654435761 mod 2^32) is closed-form in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def distributed_rank(ds: ray.data.Dataset, *, part_col: str,
+                     order_col: str,
+                     n_range_buckets: int | None = None,
+                     out_col: str = "rank") -> ray.data.Dataset:
+    """Append `out_col`: the row's 0-based rank within its `part_col`
+    group in ascending `order_col` order (which must be int64-like and
+    unique per row for a total order)."""
+    from ray.data.aggregate import Count
+
+    if n_range_buckets is None:
+        from ..config import cluster_parallelism
+        n_range_buckets = max(64, 8 * cluster_parallelism())
+    max_order = ds.max(order_col)
+    width = max(1, (int(max_order) + n_range_buckets) // n_range_buckets)
+
+    def add_rb(b: pa.Table) -> pa.Table:
+        o = b[order_col].to_numpy().astype(np.int64)
+        return b.append_column("_rb", pa.array(o // width))
+
+    keyed = ds.map_batches(add_rb, batch_format="pyarrow",
+                           batch_size=None).materialize()
+
+    counts = keyed.groupby([part_col, "_rb"]) \
+        .aggregate(Count(alias_name="n")).to_pandas() \
+        .sort_values([part_col, "_rb"])
+    bases: dict[tuple, int] = {}
+    run: dict = {}
+    for part, rb, n in counts.itertuples(index=False):
+        bases[(part, int(rb))] = run.get(part, 0)
+        run[part] = run.get(part, 0) + int(n)
+    bref = ray.put(bases)
+
+    def finish(g: pa.Table) -> pa.Table:
+        base = ray.get(bref)[(g[part_col][0].as_py(),
+                              int(g["_rb"][0].as_py()))]
+        order = np.argsort(g[order_col].to_numpy(), kind="stable")
+        rank = np.empty(g.num_rows, dtype=np.int64)
+        rank[order] = base + np.arange(g.num_rows, dtype=np.int64)
+        return g.drop_columns(["_rb"]).append_column(out_col,
+                                                     pa.array(rank))
+
+    return keyed.groupby([part_col, "_rb"]).map_groups(
+        finish, batch_format="pyarrow")
+
+
+def interleave_schedule(ds: ray.data.Dataset, *, part_col: str,
+                        order_col: str,
+                        weight_of,
+                        weight_lcm: int,
+                        n_range_buckets: int | None = None
+                        ) -> ray.data.Dataset:
+    """Append `vpos`: the row's exact-integer virtual position in the
+    weighted interleave of its partitions. Source s (weight w) emits its
+    r-th row at virtual time (2r+1)/(2w); `vpos` = (2r+1) * (lcm/w), so
+    integer order == rational order as long as every weight divides
+    `weight_lcm`. Consumers sort by (vpos, part, order) — a total,
+    deterministic order — and stream the head.
+
+    `weight_of(part_values: list) -> np.ndarray[int64]` must be a pure
+    vectorizable function (it runs inside map_batches on every block).
+    """
+    ranked = distributed_rank(ds, part_col=part_col, order_col=order_col,
+                              n_range_buckets=n_range_buckets)
+
+    def add_vpos(b: pa.Table) -> pa.Table:
+        w = np.asarray(weight_of(b[part_col].to_pylist()), dtype=np.int64)
+        if ((weight_lcm % w) != 0).any():
+            raise ValueError("every weight must divide weight_lcm")
+        r = b["rank"].to_numpy().astype(np.int64)
+        return b.append_column(
+            "vpos", pa.array((2 * r + 1) * (weight_lcm // w)))
+
+    return ranked.map_batches(add_vpos, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def stratified_sample(ds: ray.data.Dataset, *, stratum_col: str,
+                      id_col: str, rates_permille: dict,
+                      default_permille: int = 0) -> ray.data.Dataset:
+    """Keep a row iff hash(id) % 1000 < rate(stratum). The hash is the
+    Knuth multiplicative step (id * 2654435761 mod 2^32): deterministic,
+    uncorrelated with id ranges, and exactly reproducible in SQL. Strata
+    absent from `rates_permille` default to `default_permille` (0 =
+    drop). One streaming filter map — no shuffle, no driver state."""
+    rref = ray.put(dict(rates_permille))
+
+    def filt(b: pa.Table) -> pa.Table:
+        rates = ray.get(rref)
+        ids = b[id_col].to_numpy().astype(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(1 << 32) % np.uint64(1000)
+        strata = b[stratum_col].to_pylist()
+        lim = np.fromiter((rates.get(s, default_permille) for s in strata),
+                          dtype=np.int64, count=b.num_rows)
+        return b.filter(pa.array(h.astype(np.int64) < lim))
+
+    return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)

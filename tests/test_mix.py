@@ -1,0 +1,87 @@
+"""Data-mixing ops: distributed rank, weighted interleave, stratified
+sampling."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from gdal_drivers_ray.stages import mix as M
+
+
+def _table(n=300, n_parts=4, seed=5):
+    rng = np.random.default_rng(seed)
+    ids = rng.permutation(n).astype(np.int64)  # unique, shuffled order col
+    parts = np.array([f"p{int(i) % n_parts}" for i in rng.integers(
+        0, n_parts * 3, n)])
+    return pa.table({"id": pa.array(ids), "part": pa.array(parts)})
+
+
+def test_distributed_rank_matches_argsort(ray_session):
+    t = _table()
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = M.distributed_rank(ds, part_col="part", order_col="id",
+                             n_range_buckets=5).to_pandas()
+    for part, g in out.groupby("part"):
+        g = g.sort_values("id")
+        assert (g["rank"].to_numpy() == np.arange(len(g))).all()
+    assert len(out) == t.num_rows
+    assert "_rb" not in out.columns
+
+
+def test_interleave_exact_virtual_time(ray_session):
+    """3 sources at weights 1/2/3: the schedule head must follow the WFQ
+    virtual-finish order ((2r+1)/2w), verified against an explicit merge."""
+    rows = []
+    for s, n in (("a", 30), ("b", 30), ("c", 30)):
+        for r in range(n):
+            rows.append({"part": s, "id": len(rows)})
+    ds = ray.data.from_items(rows).repartition(4)
+    W = {"a": 1, "b": 2, "c": 3}
+    sched = M.interleave_schedule(
+        ds, part_col="part", order_col="id",
+        weight_of=lambda ps: np.array([W[p] for p in ps]),
+        weight_lcm=6, n_range_buckets=3).to_pandas() \
+        .sort_values(["vpos", "part", "id"]).reset_index(drop=True)
+    # explicit in-memory schedule
+    want = []
+    for s, n in (("a", 30), ("b", 30), ("c", 30)):
+        for r in range(n):
+            want.append(((2 * r + 1) * (6 // W[s]), s))
+    want.sort()
+    got = list(zip(sched["vpos"].tolist(), sched["part"].tolist()))
+    assert got == want
+    # weights realized in any long prefix: c appears 3x as often as a
+    head = sched.head(60)["part"].value_counts()
+    assert head["c"] == 3 * head["a"]
+    assert head["b"] == 2 * head["a"]
+
+
+def test_interleave_rejects_bad_lcm(ray_session):
+    ds = ray.data.from_items([{"part": "a", "id": 1}])
+    import pytest
+    with pytest.raises(Exception, match="weight_lcm"):
+        M.interleave_schedule(
+            ds, part_col="part", order_col="id",
+            weight_of=lambda ps: np.array([5] * len(ps)),
+            weight_lcm=12).materialize()
+
+
+def test_stratified_sample_deterministic(ray_session):
+    ids = np.arange(2000, dtype=np.int64)
+    strata = np.where(ids % 2 == 0, "hi", "lo")
+    t = pa.table({"id": pa.array(ids), "s": pa.array(strata)})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = M.stratified_sample(ds, stratum_col="s", id_col="id",
+                              rates_permille={"hi": 800, "lo": 100}) \
+        .to_pandas()
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(1 << 32) % np.uint64(1000)
+    keep = np.where(strata == "hi", h < 800, h < 100)
+    assert sorted(out["id"]) == sorted(ids[keep].tolist())
+    # unknown strata drop by default
+    out2 = M.stratified_sample(ds, stratum_col="s", id_col="id",
+                               rates_permille={"hi": 800}).to_pandas()
+    assert (out2["s"] == "hi").all()
+    # rates are rate-accurate within binomial noise
+    frac_hi = (out["s"] == "hi").sum() / (strata == "hi").sum()
+    assert 0.74 < frac_hi < 0.86
