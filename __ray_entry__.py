@@ -196,9 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ar_buckets": _mq.q_ar_buckets,
         "interleave_sources": _tq.q_interleave_sources,
         "stratified_sample": _tq.q_stratified_sample,
-        # dedup suite + ANN
+        "tfidf_top": _tq.q_tfidf_top,
+        # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
+        # rotates past 50 for the round-4b ops)
         "minhash_dedup": _dq.q_minhash_dedup,
-        "simhash_dedup": _dq.q_simhash_dedup,
         "embed_near_dup": _dq.q_embed_near_dup,
         "ann_lsh": _dq.q_ann_lsh,
         "ann_ivf": _dq.q_ann_ivf,
@@ -221,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": _q.q_anti_join,
         "asof_join": _q.q_asof_join,
         "blend_mosaic": _bq.q_blend_mosaic,
+        "simhash_dedup": _dq.q_simhash_dedup,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -321,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "ar_buckets": _mq.SQL_AR_BUCKETS,
         "interleave_sources": _tq.SQL_INTERLEAVE_SOURCES,
         "stratified_sample": _tq.SQL_STRATIFIED_SAMPLE,
+        "tfidf_top": _tq.SQL_TFIDF_TOP,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -385,3 +385,41 @@ WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000
 
 
 SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+def q_tfidf_top(sf_dir: str) -> ray.data.Dataset:
+    """Per-source top-5 terms by the integer-exact tf-idf surrogate
+    (score = tf * ((N*1000) // df)); the idf weighting forces a genuine
+    vocabulary-sized tf x df equi-join on term (stages/text.tfidf_terms)
+    before the per-source top-k."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    return T.tfidf_terms(docs, k=5)
+
+
+SQL_TFIDF_TOP = """
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+words AS (
+  SELECT source, UNNEST(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+  FROM words GROUP BY source, term
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY term
+), scored AS (
+  SELECT tf.source, tf.term, tf.tf, d.df,
+         tf.tf * ((n.n * 1000) // greatest(d.df, 1)) AS score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT source, term, tf, df, score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df,
+       CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= 5
+"""

@@ -258,6 +258,48 @@ def dup_window_counts(docs, *, n: int = 8, id_col: str = "doc_id",
         Max("total_windows", alias_name="total_windows"))
 
 
+def _make_tf_partial(source_col: str, text_col: str):
+    """Per-batch partial (source, term, tf) rows — the map-side combiner
+    in front of the (source, term) exchange."""
+    import pyarrow as pa
+
+    def tf_partial(b: pa.Table) -> pa.Table:
+        src = b[source_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        s_out: list = []
+        t_out: list = []
+        for s, t in zip(src, texts):
+            for w in t.split(" "):
+                s_out.append(s)
+                t_out.append(w)
+        df = pd.DataFrame({"source": s_out, "term": t_out}) \
+            .groupby(["source", "term"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        df["tf"] = df["tf"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return tf_partial
+
+
+def _make_df_partial(text_col: str):
+    """Per-batch partial per-term document counts (distinct within batch;
+    a doc is one row, so doc rows never split across batches)."""
+    import pyarrow as pa
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        counts: dict = {}
+        for t in texts:
+            for w in set(t.split(" ")):
+                counts[w] = counts.get(w, 0) + 1
+        return pa.table({"term": pa.array(list(counts), pa.string()),
+                         "df": pa.array(np.fromiter(counts.values(),
+                                                    np.int64,
+                                                    len(counts)))})
+
+    return df_partial
+
+
 def top_terms(docs, *, k: int = 5, id_col: str = "doc_id",
               text_col: str = "text", source_col: str = "source"):
     """Corpus vocabulary statistics: per source, the top-k terms by term
@@ -277,37 +319,11 @@ def top_terms(docs, *, k: int = 5, id_col: str = "doc_id",
     import ray.data
     from ray.data.aggregate import Sum
 
-    def tf_partial(b: pa.Table) -> pa.Table:
-        src = b[source_col].to_pylist()
-        texts = b[text_col].to_pylist()
-        s_out: list = []
-        t_out: list = []
-        for s, t in zip(src, texts):
-            for w in t.split(" "):
-                s_out.append(s)
-                t_out.append(w)
-        df = pd.DataFrame({"source": s_out, "term": t_out}) \
-            .groupby(["source", "term"], as_index=False).size() \
-            .rename(columns={"size": "tf"})
-        df["tf"] = df["tf"].astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def df_partial(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        counts: dict = {}
-        for t in texts:
-            for w in set(t.split(" ")):
-                counts[w] = counts.get(w, 0) + 1
-        return pa.table({"term": pa.array(list(counts), pa.string()),
-                         "df": pa.array(np.fromiter(counts.values(),
-                                                    np.int64,
-                                                    len(counts)))})
-
-    tf = docs.map_batches(tf_partial, batch_format="pyarrow",
-                          batch_size=None) \
+    tf = docs.map_batches(_make_tf_partial(source_col, text_col),
+                          batch_format="pyarrow", batch_size=None) \
         .groupby(["source", "term"]).aggregate(Sum("tf", alias_name="tf"))
-    dfreq = docs.map_batches(df_partial, batch_format="pyarrow",
-                             batch_size=None) \
+    dfreq = docs.map_batches(_make_df_partial(text_col),
+                             batch_format="pyarrow", batch_size=None) \
         .groupby("term").aggregate(Sum("df", alias_name="df"))
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
@@ -379,3 +395,57 @@ def repetition_stats(docs, *, doc_col: str = "doc_id",
         })
 
     return docs.map_batches(f, batch_format="pyarrow")
+
+
+def tfidf_terms(docs, *, k: int = 5, text_col: str = "text",
+                source_col: str = "source"):
+    """Per-source top-k terms by an integer-exact tf-idf surrogate:
+    score = tf * idf_int, idf_int = (N * 1000) // df (N = corpus doc
+    count). Integer division keeps the score bit-reproducible in SQL
+    (a float ln() idf could flip ranks across libm implementations);
+    idf_int is monotone in the true idf, so the ranking discipline is
+    the standard one. Ties -> lexicographic term.
+
+    Unlike ``top_terms`` (df only decorates the winners), the idf must
+    weight EVERY candidate term before selection, so this op carries a
+    genuine vocabulary-sized equi-join: tf (source, term, tf) x df
+    (term, df), hash-partitioned on term via cogroup_join — every
+    (string, int) partial moves exactly once; documents never enter the
+    exchange. Top-k then reduces per source.
+    """
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from .joins import cogroup_join
+
+    n_docs = int(docs.count())
+
+    tf = docs.map_batches(_make_tf_partial(source_col, text_col),
+                          batch_format="pyarrow", batch_size=None) \
+        .groupby(["source", "term"]).aggregate(Sum("tf", alias_name="tf"))
+    dfreq = docs.map_batches(_make_df_partial(text_col),
+                             batch_format="pyarrow", batch_size=None) \
+        .groupby("term").aggregate(Sum("df", alias_name="df"))
+
+    joined = cogroup_join(tf, dfreq, on="term")
+
+    def score(b: pa.Table) -> pa.Table:
+        tfv = b["tf"].to_numpy().astype(np.int64)
+        dfv = b["df"].to_numpy().astype(np.int64)
+        idf = (n_docs * 1000) // np.maximum(dfv, 1)
+        return b.append_column("score", pa.array(tfv * idf))
+
+    scored = joined.map_batches(score, batch_format="pyarrow",
+                                batch_size=None)
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "term"], ascending=[False, True],
+                          kind="stable").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        cols = ["source", "rank", "term", "tf", "df", "score"]
+        for c in ("tf", "df", "score"):
+            g[c] = g[c].astype(np.int64)
+        return g[cols]
+
+    return scored.groupby("source").map_groups(topk, batch_format="pandas")

@@ -85,3 +85,44 @@ def test_stratified_sample_deterministic(ray_session):
     # rates are rate-accurate within binomial noise
     frac_hi = (out["s"] == "hi").sum() / (strata == "hi").sum()
     assert 0.74 < frac_hi < 0.86
+
+
+def test_tfidf_terms_matches_in_memory(ray_session):
+    """Distributed tf x df join + integer idf == straight-line pandas."""
+    import pandas as pd
+    from gdal_drivers_ray.stages.text import tfidf_terms
+
+    docs = [
+        ("s1", "the cat sat on the mat"),
+        ("s1", "the dog sat"),
+        ("s2", "a cat and a dog"),
+        ("s2", "the mat"),
+        ("s2", "unique words only here"),
+    ]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "source": s, "text": t}
+         for i, (s, t) in enumerate(docs)]).repartition(3)
+    got = tfidf_terms(ds, k=3).to_pandas() \
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+
+    n = len(docs)
+    tf = {}
+    df = {}
+    for _, (s, t) in enumerate(docs):
+        ws = t.split(" ")
+        for w in ws:
+            tf[(s, w)] = tf.get((s, w), 0) + 1
+        for w in set(ws):
+            df[w] = df.get(w, 0) + 1
+    rows = [{"source": s, "term": w, "tf": c, "df": df[w],
+             "score": c * ((n * 1000) // df[w])}
+            for (s, w), c in tf.items()]
+    want = pd.DataFrame(rows)
+    want = want.sort_values(["source", "score", "term"],
+                            ascending=[True, False, True], kind="stable") \
+        .groupby("source").head(3).reset_index(drop=True)
+    want["rank"] = want.groupby("source").cumcount() + 1
+    want = want[["source", "rank", "term", "tf", "df", "score"]]
+    pd.testing.assert_frame_equal(
+        got.astype({"tf": "int64", "df": "int64", "score": "int64"}),
+        want.astype({"tf": "int64", "df": "int64", "score": "int64"}))
