@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import os
 import sqlite3
+from functools import lru_cache
 
 import numpy as np
 import pyarrow as pa
@@ -148,37 +149,54 @@ class MbtilesLookup:
                 z, c, r = k >> 58, k & ((1 << 29) - 1), (k >> 29) & ((1 << 29) - 1)
                 hit = self.con.execute(self.q, (z, c, r)).fetchone()
                 hits.append(None if hit is None else bytes(hit[0]))
-        blobs: list[bytes | None] = [None] * b.num_rows
-        found = np.zeros(len(uniq), dtype=bool)
-        for j, h in enumerate(hits):
-            found[j] = h is not None
+        # gunzip at UNIQUE-key granularity (the request stream repeats
+        # keys), then fan out to rows with one Arrow take — the per-row
+        # Python scatter loop was the measured hot cost of this stage
+        found = np.fromiter((h is not None for h in hits), dtype=bool,
+                            count=len(hits))
+        hits_arr = pa.array(_gunzip_col(hits), type=pa.large_binary())
         ok_idx = np.nonzero(ok)[0]
         status[ok_idx[~found[inv]]] = "not_found"
-        for pos, j in zip(ok_idx[found[inv]], inv[found[inv]]):
-            blobs[pos] = hits[j]
-        blobs = _gunzip_col(blobs)
+        idx = np.zeros(b.num_rows, dtype=np.int64)
+        valid = np.zeros(b.num_rows, dtype=bool)
+        idx[ok_idx] = inv
+        valid[ok_idx] = found[inv]
+        tile = hits_arr.take(pa.array(idx, mask=~valid))
         i = b.schema.get_field_index("status")
         return b.set_column(i, "status", pa.array(status.tolist())) \
-                .append_column("tile_data",
-                               pa.array(blobs, pa.large_binary()))
+                .append_column("tile_data", tile)
+
+
+@lru_cache(maxsize=8)
+def _warm_lookup(db_path: str, preload_limit: int | None) -> "MbtilesLookup":
+    """Per-WORKER-PROCESS warm state (connection + preload dict), the T5
+    discipline realized as a task pool: Ray reuses warm worker processes
+    across tasks, so the cache hits after the first batch per process.
+    An actor pool holds the same state but pays a cold fork + import per
+    actor per query — measured 36 s of billed UDF time at sf0.1 (12
+    actors) vs ~0.8 s of actual lookup work; the task pool inherits
+    already-imported workers and skips that entirely."""
+    return MbtilesLookup(db_path, preload_limit)
 
 
 def lookup_mbtiles(requests: ray.data.Dataset, db_path: str,
                    path_col: str = "path",
-                   concurrency: tuple[int, int] = (1, 12),
-                   batch_size: int = 4096,
+                   concurrency: int | None = None,
+                   batch_size: int | None = None,
                    preload_limit: int | None = None) -> ray.data.Dataset:
-    """Request paths ⋈ a real .mbtiles archive via the cached-connection
-    actor pool. Output schema matches tilestore.lookup (parse/status/flip
-    columns + tile_data)."""
+    """Request paths ⋈ a real .mbtiles archive via cached-connection
+    warm-process tasks. Output schema matches tilestore.lookup
+    (parse/status/flip columns + tile_data)."""
     if path_col != "path":
         requests = requests.map_batches(
             lambda b: b.rename_columns(
                 [("path" if c == path_col else c) for c in b.column_names]),
             batch_format="pyarrow")
-    return requests.map_batches(MbtilesLookup,
-                                fn_constructor_args=(db_path, preload_limit),
-                                batch_format="pyarrow",
+
+    def fn(b: pa.Table) -> pa.Table:
+        return _warm_lookup(db_path, preload_limit)(b)
+
+    return requests.map_batches(fn, batch_format="pyarrow",
                                 batch_size=batch_size,
                                 concurrency=concurrency)
 
@@ -344,10 +362,17 @@ class MbtilesShardedLookup:
         return combined.take(pa.array(back, pa.int64()))
 
 
+@lru_cache(maxsize=8)
+def _warm_sharded_lookup(shard_dir: str, num_shards: int,
+                         preload_limit: int | None) -> "MbtilesShardedLookup":
+    """Per-worker-process warm sharded router (see _warm_lookup)."""
+    return MbtilesShardedLookup(shard_dir, num_shards, preload_limit)
+
+
 def lookup_mbtiles_sharded(requests: ray.data.Dataset, shard_dir: str,
                            num_shards: int, path_col: str = "path",
-                           concurrency: tuple[int, int] = (1, 12),
-                           batch_size: int = 4096,
+                           concurrency: int | None = None,
+                           batch_size: int | None = None,
                            preload_limit: int | None = None
                            ) -> ray.data.Dataset:
     """Request paths ⋈ a sharded archive directory (see write_mbtiles_shards).
@@ -357,9 +382,10 @@ def lookup_mbtiles_sharded(requests: ray.data.Dataset, shard_dir: str,
             lambda b: b.rename_columns(
                 [("path" if c == path_col else c) for c in b.column_names]),
             batch_format="pyarrow")
-    return requests.map_batches(MbtilesShardedLookup,
-                                fn_constructor_args=(shard_dir, num_shards,
-                                                     preload_limit),
-                                batch_format="pyarrow",
+
+    def fn(b: pa.Table) -> pa.Table:
+        return _warm_sharded_lookup(shard_dir, num_shards, preload_limit)(b)
+
+    return requests.map_batches(fn, batch_format="pyarrow",
                                 batch_size=batch_size,
                                 concurrency=concurrency)

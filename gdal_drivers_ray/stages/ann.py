@@ -240,9 +240,13 @@ def train_centroids(sample: np.ndarray, n_cells: int, n_iter: int = 10,
 
 
 class IvfAssign:
-    """Actor-pool stage: embedding -> nearest-centroid cell id + normalized
-    vector bytes. Centroids live in actor state (broadcast once via the
-    object store, not re-shipped per batch)."""
+    """Embedding -> nearest-centroid cell id + normalized vector bytes.
+    Centroids are broadcast once via the object store, not re-shipped per
+    batch; ``ray.get`` inside the task is a local zero-copy plasma read.
+    Runs as a TASK pool (``_ivf_assign_fn``): the state is one broadcast
+    array, and an actor pool's cold fork+import per actor was the
+    measured dominant cost of the ann_ivf pipelines (same finding as
+    sources/mbtiles._warm_lookup)."""
 
     def __init__(self, cent_ref):
         self.cent = ray.get(cent_ref) if hasattr(cent_ref, "hex") \
@@ -258,6 +262,12 @@ class IvfAssign:
             "cell": pa.array(cell),
             "vec": pa.array([v.tobytes() for v in vecs], pa.large_binary()),
         })
+
+
+def _ivf_assign_fn(cent_ref):
+    def fn(b: pa.Table) -> pa.Table:
+        return IvfAssign(cent_ref)(b)
+    return fn
 
 
 def _train_from_dataset(emb: ray.data.Dataset, n_cells: int,
@@ -301,9 +311,8 @@ def ann_ivf_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
     cent_ref = ray.put(cent)
 
     # 2. assign cells (actor pool holding centroids)
-    assigned = emb.map_batches(IvfAssign, fn_constructor_args=(cent_ref,),
-                               batch_format="pyarrow", batch_size=1024,
-                               concurrency=(1, 8))
+    assigned = emb.map_batches(_ivf_assign_fn(cent_ref),
+                               batch_format="pyarrow", batch_size=1024)
 
     # 3. queries -> probed cells (driver-side: query set is small), shipped
     # as a cell->queries CSR so refine never loops per query
@@ -348,9 +357,8 @@ def build_ivf_index(emb: ray.data.Dataset, out_dir: str, *,
     cent = _train_from_dataset(emb, n_cells, sample_n)
     cent_ref = ray.put(cent)
 
-    assigned = emb.map_batches(IvfAssign, fn_constructor_args=(cent_ref,),
-                               batch_format="pyarrow", batch_size=1024,
-                               concurrency=(1, 8))
+    assigned = emb.map_batches(_ivf_assign_fn(cent_ref),
+                               batch_format="pyarrow", batch_size=1024)
 
     def write_cells(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"cell": pd.Series([], dtype=np.int64),
