@@ -197,14 +197,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interleave_sources": _tq.q_interleave_sources,
         "stratified_sample": _tq.q_stratified_sample,
         "tfidf_top": _tq.q_tfidf_top,
+        "epoch_shuffle": _tq.q_epoch_shuffle,
+        "wds_export": _mq.q_wds_export,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
         "minhash_dedup": _dq.q_minhash_dedup,
-        "embed_near_dup": _dq.q_embed_near_dup,
         "ann_lsh": _dq.q_ann_lsh,
         "ann_ivf": _dq.q_ann_ivf,
         "ann_ivf_indexed": _dq.q_ann_ivf_indexed,
-        "phash_dedup": _dq.q_phash_dedup,
         # --- round-4 additions land here (window tail) ---
         "warp_cubic": _wq.q_warp_cubic,
         "warp_average": _wq.q_warp_average,
@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q.q_asof_join,
         "blend_mosaic": _bq.q_blend_mosaic,
         "simhash_dedup": _dq.q_simhash_dedup,
+        "embed_near_dup": _dq.q_embed_near_dup,
+        "phash_dedup": _dq.q_phash_dedup,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -324,6 +326,8 @@ def oracle_sql() -> dict[str, str]:
         "interleave_sources": _tq.SQL_INTERLEAVE_SOURCES,
         "stratified_sample": _tq.SQL_STRATIFIED_SAMPLE,
         "tfidf_top": _tq.SQL_TFIDF_TOP,
+        "epoch_shuffle": _tq.SQL_EPOCH_SHUFFLE,
+        "wds_export": _mq.SQL_WDS_EXPORT,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -10,6 +10,8 @@ actor spin-up on the critical path). Stages WITH per-worker state
 
 from __future__ import annotations
 
+import os
+
 import ray
 import ray.data
 
@@ -190,3 +192,46 @@ FROM ranked
 
 
 SQL_AR_BUCKETS = _sql_ar_buckets()
+
+
+_WDS_PER_SHARD = 512
+
+
+def q_wds_export(sf_dir: str) -> ray.data.Dataset:
+    """WebDataset-style sharded tar export of the image+caption corpus
+    (sources/wds.py): single-writer reducer per shard, byte-reproducible
+    tars, manifest read back from the WRITTEN files — the SQL twin
+    recomputes every manifest number from the source parquet, so a
+    truncated member or encoding bug hash-fails. Shards land next to the
+    cached fixture (resume semantics: existing shards are kept)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..sources.wds import write_wds_shards
+
+    path = fixtures.images_path_for(sf_dir)
+    imgs = ray.data.read_parquet(
+        path, columns=["image_id", "bytes", "fmt", "caption"])
+
+    def add_idx(b: pa.Table) -> pa.Table:
+        idx = np.array([int(s[4:]) for s in b["image_id"].to_pylist()],
+                       dtype=np.int64)
+        return b.append_column("idx", pa.array(idx))
+
+    out_dir = os.path.join(os.path.dirname(path.rstrip("/")),
+                           os.path.basename(path.rstrip("/")) + "_wds")
+    manifest = write_wds_shards(
+        imgs.map_batches(add_idx, batch_format="pyarrow", batch_size=None),
+        out_dir, samples_per_shard=_WDS_PER_SHARD)
+    return manifest.select_columns(
+        ["shard", "n_samples", "payload_bytes", "caption_bytes"])
+
+
+SQL_WDS_EXPORT = f"""
+SELECT CAST(substring(image_id, 5) AS BIGINT) // {_WDS_PER_SHARD} AS shard,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(octet_length(bytes)) AS BIGINT) AS payload_bytes,
+       CAST(sum(strlen(caption)) AS BIGINT) AS caption_bytes
+FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet')
+GROUP BY 1
+"""

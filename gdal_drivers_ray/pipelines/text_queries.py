@@ -423,3 +423,36 @@ SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df,
        CAST(score AS BIGINT) AS score
 FROM ranked WHERE rank <= 5
 """
+
+
+_EPOCH = 3
+_SHUF_HEAD = 500
+
+
+def q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-3 global shuffle of orders (stages/mix.py
+    epoch_shuffle): the schedule head pins the distributed sort's exact
+    order against the SQL twin; only _SHUF_HEAD rows reach the driver."""
+    from ..stages.mix import epoch_shuffle
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey"])
+    head = epoch_shuffle(orders, id_col="o_orderkey", epoch=_EPOCH) \
+        .limit(_SHUF_HEAD).to_pandas()
+    head["seq"] = np.arange(len(head), dtype=np.int64)
+    return head[["seq", "o_orderkey", "shuffle_key"]]
+
+
+SQL_EPOCH_SHUFFLE = f"""
+WITH h AS (
+  SELECT o_orderkey,
+         CAST((CAST(o_orderkey AS HUGEINT) * 2654435761
+               + {_EPOCH} * 40503) % 4294967296 AS BIGINT) AS shuffle_key
+  FROM orders
+), head AS (
+  SELECT * FROM h ORDER BY shuffle_key, o_orderkey LIMIT {_SHUF_HEAD}
+)
+SELECT row_number() OVER (ORDER BY shuffle_key, o_orderkey) - 1 AS seq,
+       o_orderkey, shuffle_key
+FROM head
+"""

@@ -129,3 +129,24 @@ def stratified_sample(ds: ray.data.Dataset, *, stratum_col: str,
         return b.filter(pa.array(h.astype(np.int64) < lim))
 
     return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
+
+
+def epoch_shuffle(ds: ray.data.Dataset, *, id_col: str,
+                  epoch: int) -> ray.data.Dataset:
+    """Deterministic per-epoch global shuffle: sort by a seeded
+    multiplicative hash of the id — the reshuffle-each-epoch discipline
+    of a training data loader made reproducible across runs, engines and
+    resume points (an RNG shuffle is not). Ray's range-partitioned sort
+    is the distributed exchange; the 8-byte hash column is the only
+    added payload. hash = (id * 2654435761 + epoch * 40503) mod 2^32 —
+    closed-form in SQL; the (shuffle_key, id) composite sort key keeps
+    the order total under hash collisions."""
+    seed = np.uint64((epoch * 40503) % (1 << 32))
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761) + seed) % np.uint64(1 << 32)
+        return b.append_column("shuffle_key", pa.array(h.astype(np.int64)))
+
+    return ds.map_batches(add_hash, batch_format="pyarrow",
+                          batch_size=None).sort(["shuffle_key", id_col])
