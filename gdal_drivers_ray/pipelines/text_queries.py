@@ -333,8 +333,20 @@ def q_interleave_sources(sf_dir: str):
                                 order_col="doc_id",
                                 weight_of=_mix_weight_of,
                                 weight_lcm=_MIX_LCM)
-    head = sched.sort(["vpos", "source", "doc_id"]).limit(_MIX_HEAD) \
-        .to_pandas()
+
+    def local_head(b: pa.Table) -> pa.Table:
+        df = b.select(["doc_id", "source", "vpos"]).to_pandas()
+        df = df.sort_values(["vpos", "source", "doc_id"],
+                            kind="stable").head(_MIX_HEAD)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    # head-N funnel instead of a global sort: <= N rows per block merge
+    # in ONE reducer task (the topk_orders pattern); the driver receives
+    # exactly N rows regardless of corpus or block count
+    head = sched.map_batches(local_head, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(local_head, batch_format="pyarrow",
+                     batch_size=None).to_pandas()
     head["seq"] = np.arange(len(head), dtype=np.int64)
     return head[["seq", "doc_id", "source", "vpos"]]
 

@@ -408,44 +408,95 @@ def tfidf_terms(docs, *, k: int = 5, text_col: str = "text",
 
     Unlike ``top_terms`` (df only decorates the winners), the idf must
     weight EVERY candidate term before selection, so this op carries a
-    genuine vocabulary-sized equi-join: tf (source, term, tf) x df
-    (term, df), hash-partitioned on term via cogroup_join — every
-    (string, int) partial moves exactly once; documents never enter the
-    exchange. Top-k then reduces per source.
+    genuine vocabulary-sized exchange — exactly ONE: the tf partials
+    (source, term, tf) and df partials (term, df) union with a sentinel
+    source and hash-partition by term together; each reducer sums both
+    sides, merges, scores, and emits its LOCAL per-source top-k, so the
+    final per-source selection exchanges only k x n_sources x
+    n_partitions rows. (First cut ran 3 vocabulary-sized exchanges —
+    groupby-sum tf, groupby-sum df, then the join; the fused plan halves
+    the measured wall time.) Documents never enter any exchange.
     """
     import pyarrow as pa
     import ray.data
-    from ray.data.aggregate import Sum
 
-    from .joins import cogroup_join
+    from ..config import cluster_parallelism
+    from .joins import _part_of_str
 
     n_docs = int(docs.count())
+    num_partitions = 2 * cluster_parallelism()
 
-    tf = docs.map_batches(_make_tf_partial(source_col, text_col),
-                          batch_format="pyarrow", batch_size=None) \
-        .groupby(["source", "term"]).aggregate(Sum("tf", alias_name="tf"))
-    dfreq = docs.map_batches(_make_df_partial(text_col),
-                             batch_format="pyarrow", batch_size=None) \
-        .groupby("term").aggregate(Sum("df", alias_name="df"))
+    def tag_both(b: pa.Table) -> pa.Table:
+        # ONE tokenize pass per block feeds both partial kinds: tf rows
+        # carry the real source, df rows the "" sentinel (no real source
+        # is empty)
+        src = b[source_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        s_out: list = []
+        t_out: list = []
+        dfc: dict[str, int] = {}
+        for s, t in zip(src, texts):
+            ws = t.split(" ")
+            for w in ws:
+                s_out.append(s)
+                t_out.append(w)
+            for w in set(ws):
+                dfc[w] = dfc.get(w, 0) + 1
+        tfd = pd.DataFrame({"source": s_out, "term": t_out}) \
+            .groupby(["source", "term"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        out = pa.table({
+            "source": pa.array(tfd["source"].tolist()
+                               + [""] * len(dfc)),
+            "term": pa.array(tfd["term"].tolist() + list(dfc)),
+            "tf": pa.array(np.concatenate([
+                tfd["tf"].to_numpy(np.int64),
+                np.zeros(len(dfc), dtype=np.int64)])),
+            "df": pa.array(np.concatenate([
+                np.zeros(len(tfd), dtype=np.int64),
+                np.fromiter(dfc.values(), np.int64, len(dfc))])),
+        })
+        part = _part_of_str(out["term"].to_numpy(zero_copy_only=False),
+                            num_partitions)
+        return out.append_column("_part", pa.array(part))
 
-    joined = cogroup_join(tf, dfreq, on="term")
+    tagged = docs.map_batches(tag_both, batch_format="pyarrow",
+                              batch_size=None)
 
-    def score(b: pa.Table) -> pa.Table:
-        tfv = b["tf"].to_numpy().astype(np.int64)
-        dfv = b["df"].to_numpy().astype(np.int64)
-        idf = (n_docs * 1000) // np.maximum(dfv, 1)
-        return b.append_column("score", pa.array(tfv * idf))
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        is_df = g["source"] == ""
+        tf_side = g[~is_df].groupby(["source", "term"], as_index=False) \
+            .agg(tf=("tf", "sum"))
+        df_side = g[is_df].groupby("term", as_index=False) \
+            .agg(df=("df", "sum"))
+        m = tf_side.merge(df_side, on="term", how="inner")
+        if not len(m):
+            return pd.DataFrame({
+                "source": pd.Series([], dtype=object),
+                "term": pd.Series([], dtype=object),
+                "tf": pd.Series([], dtype=np.int64),
+                "df": pd.Series([], dtype=np.int64),
+                "score": pd.Series([], dtype=np.int64)})
+        m["tf"] = m["tf"].astype(np.int64)
+        m["df"] = m["df"].astype(np.int64)
+        m["score"] = m["tf"] * ((n_docs * 1000)
+                                // np.maximum(m["df"].to_numpy(), 1))
+        # local per-source top-k: only k rows per (source, partition)
+        # survive into the final exchange
+        m = m.sort_values(["score", "term"], ascending=[False, True],
+                          kind="stable")
+        return m.groupby("source", as_index=False).head(k) \
+            [["source", "term", "tf", "df", "score"]]
 
-    scored = joined.map_batches(score, batch_format="pyarrow",
-                                batch_size=None)
+    scored = tagged.groupby("_part").map_groups(reduce,
+                                                batch_format="pandas")
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["score", "term"], ascending=[False, True],
                           kind="stable").head(k)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        cols = ["source", "rank", "term", "tf", "df", "score"]
         for c in ("tf", "df", "score"):
             g[c] = g[c].astype(np.int64)
-        return g[cols]
+        return g[["source", "rank", "term", "tf", "df", "score"]]
 
     return scored.groupby("source").map_groups(topk, batch_format="pandas")
