@@ -199,10 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top": _tq.q_tfidf_top,
         "epoch_shuffle": _tq.q_epoch_shuffle,
         "wds_export": _mq.q_wds_export,
+        "psnr_audit": _mq.q_psnr_audit,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
         "minhash_dedup": _dq.q_minhash_dedup,
-        "ann_lsh": _dq.q_ann_lsh,
         "ann_ivf": _dq.q_ann_ivf,
         "ann_ivf_indexed": _dq.q_ann_ivf_indexed,
         # --- round-4 additions land here (window tail) ---
@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _dq.q_simhash_dedup,
         "embed_near_dup": _dq.q_embed_near_dup,
         "phash_dedup": _dq.q_phash_dedup,
+        "ann_lsh": _dq.q_ann_lsh,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -328,6 +329,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top": _tq.SQL_TFIDF_TOP,
         "epoch_shuffle": _tq.SQL_EPOCH_SHUFFLE,
         "wds_export": _mq.SQL_WDS_EXPORT,
+        "psnr_audit": _od.sql_psnr_audit(),
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -235,3 +235,23 @@ SELECT CAST(substring(image_id, 5) AS BIGINT) // {_WDS_PER_SHARD} AS shard,
 FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet')
 GROUP BY 1
 """
+
+
+def q_psnr_audit(sf_dir: str) -> ray.data.Dataset:
+    """North-rule fidelity gate as a pipeline: decode every corpus image
+    and audit PSNR against the generator's ground-truth pixels — lossless
+    rows must be exact (sse 0), lossy rows must clear 40 dB, counted
+    with an integer-exact comparison (no float log enters the hash)."""
+    from .. import fixtures
+    from ..stages.imageprep import psnr_audit
+
+    path = fixtures.images_path_for(sf_dir)
+    images = ray.data.read_parquet(path,
+                                   columns=["image_id", "bytes", "fmt"])
+
+    def original_of(image_id: str):
+        i = int(image_id[4:])
+        src = i - (i % fixtures.DUP_EVERY == 0 and i > 0) * fixtures.DUP_EVERY
+        return fixtures.make_tile_pixels(src)
+
+    return psnr_audit(images, original_of=original_of)

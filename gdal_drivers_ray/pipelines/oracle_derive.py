@@ -402,3 +402,32 @@ def sql_image_norm_stats() -> str:
         "CAST(px_sum AS BIGINT) AS px_sum, "
         "CAST(px_sumsq AS BIGINT) AS px_sumsq, "
         "CAST(mean_milli AS BIGINT) AS mean_milli")
+
+
+def sql_psnr_audit() -> str:
+    """Straight-line decode-vs-generator PSNR audit over the gate
+    fixture; the distributed per-fmt partials + groupby Sum must
+    reproduce these exact integers (and the 40 dB verdicts)."""
+    from .. import codecs, fixtures
+
+    acc: dict[str, list[int]] = {}
+    for i in range(_IMAGES_GATE_N):
+        r = fixtures.image_row(i, _IMAGES_GATE_LOD)
+        px = codecs.decode_image(r["bytes"]).astype(np.int64)
+        src = i - (i % fixtures.DUP_EVERY == 0 and i > 0) * fixtures.DUP_EVERY
+        ref = fixtures.make_tile_pixels(src).astype(np.int64)
+        d = px - ref
+        sse = int((d * d).sum())
+        n = int(d.size)
+        st = acc.setdefault(r["fmt"], [0, 0, 0, 0])
+        st[0] += 1
+        st[1] += n
+        st[2] += sse
+        st[3] += int(sse * 10000 > 65025 * n)
+    rows = [f"('{k}', {v[0]}, {v[1]}, {v[2]}, {v[3]})"
+            for k, v in sorted(acc.items())]
+    return _values_sql(
+        rows, "fmt, n_images, n_px, sse, n_below_bar",
+        "fmt, CAST(n_images AS BIGINT) AS n_images, "
+        "CAST(n_px AS BIGINT) AS n_px, CAST(sse AS BIGINT) AS sse, "
+        "CAST(n_below_bar AS BIGINT) AS n_below_bar")

@@ -192,3 +192,54 @@ def ar_bucket_assign(meta: ray.data.Dataset, *,
 
     return narrow.groupby(["ar_bucket", "rb"]).map_groups(
         finish, batch_format="pyarrow")
+
+
+def psnr_audit(images: ray.data.Dataset, *, original_of,
+               id_col: str = "image_id", bytes_col: str = "bytes",
+               fmt_col: str = "fmt",
+               min_db: float = 40.0) -> ray.data.Dataset:
+    """Decoded-pixel fidelity audit (the north rule's PSNR>=40dB bar for
+    lossy formats): decode every payload, compare against the ground
+    truth `original_of(image_id) -> ndarray`, and aggregate per format as
+    EXACT integers — n_px, the summed squared error, and the count of
+    images below the bar. PSNR >= min_db is evaluated without floats:
+    sse * 10^(min_db/10) <= peak^2 * n_px, precomputed as an integer
+    scale (exact for the default 40 dB / uint8 peak: sse*10000 <=
+    65025*n). A float log10 never enters the comparison, so the verdict
+    hashes identically everywhere.
+    """
+    from ray.data.aggregate import Sum
+
+    scale = int(round(10 ** (min_db / 10.0)))   # 40 dB -> 10000
+    peak2 = 255 * 255
+
+    def partial(b: pa.Table) -> pa.Table:
+        acc: dict[str, list[int]] = {}
+        fmts = b[fmt_col].to_pylist()
+        for i in range(b.num_rows):
+            px = codecs.decode_image(b[bytes_col][i].as_py())
+            ref = original_of(b[id_col][i].as_py())
+            d = px.astype(np.int64) - ref.astype(np.int64)
+            sse = int((d * d).sum())
+            n = int(d.size)
+            st = acc.setdefault(fmts[i], [0, 0, 0, 0])
+            st[0] += 1
+            st[1] += n
+            st[2] += sse
+            st[3] += int(sse * scale > peak2 * n)   # below the dB bar
+        keys = sorted(acc)
+        return pa.table({
+            "fmt": pa.array(keys),
+            "n_images": pa.array([acc[k][0] for k in keys], pa.int64()),
+            "n_px": pa.array([acc[k][1] for k in keys], pa.int64()),
+            "sse": pa.array([acc[k][2] for k in keys], pa.int64()),
+            "n_below_bar": pa.array([acc[k][3] for k in keys],
+                                    pa.int64()),
+        })
+
+    return images.map_batches(partial, batch_format="pyarrow") \
+        .groupby("fmt").aggregate(
+            Sum("n_images", alias_name="n_images"),
+            Sum("n_px", alias_name="n_px"),
+            Sum("sse", alias_name="sse"),
+            Sum("n_below_bar", alias_name="n_below_bar"))

@@ -88,3 +88,29 @@ def test_image_norm_stats_exact(ray_session):
         assert got.loc[fmt, "px_sum"] == s
         assert got.loc[fmt, "px_sumsq"] == s2
         assert got.loc[fmt, "mean_milli"] == s * 1000 // n
+
+
+def test_psnr_audit_integer_verdict(ray_session):
+    """Lossless rows audit sse=0; a synthetic high-error payload counts
+    below the 40 dB bar via the integer comparison."""
+    from gdal_drivers_ray.stages.imageprep import psnr_audit
+
+    rng = np.random.default_rng(21)
+    orig = {}
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        orig[f"im-{i}"] = px
+        if i == 5:   # corrupt one: encode different pixels under same id
+            enc = codecs.encode_image((px ^ 0x80).astype(np.uint8), "png")
+        else:
+            enc = codecs.encode_image(px, "png")
+        rows.append({"image_id": f"im-{i}", "bytes": enc, "fmt": "png"})
+    ds = ray.data.from_items(rows).repartition(3)
+    out = psnr_audit(ds, original_of=lambda k: orig[k]).to_pandas()
+    assert out.loc[0, "fmt"] == "png"
+    assert out.loc[0, "n_images"] == 12
+    assert out.loc[0, "n_below_bar"] == 1
+    # sse exactly equals the corrupted image's squared error
+    d = (orig["im-5"].astype(np.int64) ^ 0x80) - orig["im-5"]
+    assert out.loc[0, "sse"] == int((d * d).sum())
