@@ -300,62 +300,115 @@ def _make_df_partial(text_col: str):
     return df_partial
 
 
+def _fused_term_topk(docs, *, k: int, text_col: str, source_col: str,
+                     score_of):
+    """Shared single-exchange vocabulary plan for the term-statistics
+    family (top_terms, tfidf_terms): tf partials (source, term, tf) and
+    df partials (term, df) emit from ONE tokenize pass per block under a
+    sentinel source, hash-partition by term once; each reducer sums both
+    sides, merges, optionally scores (``score_of(tf, df) -> int64`` or
+    None), and emits its LOCAL per-source top-k — so the final
+    per-source selection exchanges only k x n_sources x n_partitions
+    rows. Correctness rests on the partition key being the TERM: every
+    (source, term) tf partial and every (term) df partial of a term land
+    in the same reducer, so the sums the reducer ranks are complete, and
+    per-source top-k is decomposable across term partitions. Documents
+    never enter any exchange."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..config import cluster_parallelism
+    from .joins import _part_of_str
+
+    num_partitions = 2 * cluster_parallelism()
+    rank_cols = ["score", "term"] if score_of is not None \
+        else ["tf", "term"]
+    out_cols = ["source", "term", "tf", "df"] \
+        + (["score"] if score_of is not None else [])
+
+    def tag_both(b: pa.Table) -> pa.Table:
+        # ONE tokenize pass per block feeds both partial kinds: tf rows
+        # carry the real source, df rows the "" sentinel (no real source
+        # is empty)
+        src = b[source_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        s_out: list = []
+        t_out: list = []
+        dfc: dict[str, int] = {}
+        for s, t in zip(src, texts):
+            ws = t.split(" ")
+            for w in ws:
+                s_out.append(s)
+                t_out.append(w)
+            for w in set(ws):
+                dfc[w] = dfc.get(w, 0) + 1
+        tfd = pd.DataFrame({"source": s_out, "term": t_out}) \
+            .groupby(["source", "term"], as_index=False).size() \
+            .rename(columns={"size": "tf"})
+        out = pa.table({
+            "source": pa.array(tfd["source"].tolist()
+                               + [""] * len(dfc)),
+            "term": pa.array(tfd["term"].tolist() + list(dfc)),
+            "tf": pa.array(np.concatenate([
+                tfd["tf"].to_numpy(np.int64),
+                np.zeros(len(dfc), dtype=np.int64)])),
+            "df": pa.array(np.concatenate([
+                np.zeros(len(tfd), dtype=np.int64),
+                np.fromiter(dfc.values(), np.int64, len(dfc))])),
+        })
+        part = _part_of_str(out["term"].to_numpy(zero_copy_only=False),
+                            num_partitions)
+        return out.append_column("_part", pa.array(part))
+
+    tagged = docs.map_batches(tag_both, batch_format="pyarrow",
+                              batch_size=None)
+
+    def reduce(g: pd.DataFrame) -> pd.DataFrame:
+        is_df = g["source"] == ""
+        tf_side = g[~is_df].groupby(["source", "term"], as_index=False) \
+            .agg(tf=("tf", "sum"))
+        df_side = g[is_df].groupby("term", as_index=False) \
+            .agg(df=("df", "sum"))
+        m = tf_side.merge(df_side, on="term", how="inner")
+        if not len(m):
+            return pd.DataFrame({c: pd.Series(
+                [], dtype=object if c in ("source", "term") else np.int64)
+                for c in out_cols})
+        m["tf"] = m["tf"].astype(np.int64)
+        m["df"] = m["df"].astype(np.int64)
+        if score_of is not None:
+            m["score"] = score_of(m["tf"].to_numpy(),
+                                  m["df"].to_numpy()).astype(np.int64)
+        # local per-source top-k: only k rows per (source, partition)
+        # survive into the final exchange
+        m = m.sort_values(rank_cols, ascending=[False, True],
+                          kind="stable")
+        return m.groupby("source", as_index=False).head(k)[out_cols]
+
+    scored = tagged.groupby("_part").map_groups(reduce,
+                                                batch_format="pandas")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(rank_cols, ascending=[False, True],
+                          kind="stable").head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        for c in out_cols[2:]:
+            g[c] = g[c].astype(np.int64)
+        return g[["source", "rank"] + out_cols[1:]]
+
+    return scored.groupby("source").map_groups(topk, batch_format="pandas")
+
+
 def top_terms(docs, *, k: int = 5, id_col: str = "doc_id",
               text_col: str = "text", source_col: str = "source"):
     """Corpus vocabulary statistics: per source, the top-k terms by term
     frequency (ties break lexicographically), each with its corpus-wide
     document frequency — the vocabulary/stats pass quality-filtering
-    pipelines run before tokenizer training.
-
-    Plan (both exchanges carry (string, int) partials, never documents):
-      tf:  per-batch pandas groupby -> partial (source, term, tf) rows ->
-           groupby(source, term) Sum -> per-source top-k inside one
-           map_groups per source group;
-      df:  per-batch DISTINCT (term, doc) -> partial per-term doc counts
-           (distinct within batch; doc rows never split across batches
-           since a doc is one row) -> groupby(term) Sum.
-    The k x n_sources winners join df via a broadcast-size merge."""
-    import pyarrow as pa
-    import ray.data
-    from ray.data.aggregate import Sum
-
-    tf = docs.map_batches(_make_tf_partial(source_col, text_col),
-                          batch_format="pyarrow", batch_size=None) \
-        .groupby(["source", "term"]).aggregate(Sum("tf", alias_name="tf"))
-    dfreq = docs.map_batches(_make_df_partial(text_col),
-                             batch_format="pyarrow", batch_size=None) \
-        .groupby("term").aggregate(Sum("df", alias_name="df"))
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["tf", "term"], ascending=[False, True],
-                          kind="stable").head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    winners = tf.groupby("source").map_groups(topk, batch_format="pandas")
-    # winners are k x n_sources rows (tiny, collectable); df is
-    # VOCABULARY-sized, so it is filtered DISTRIBUTED against the
-    # broadcast winner-term set and only the <= k x n_sources surviving
-    # rows ever reach the driver
-    import ray
-
-    win_df = winners.to_pandas()
-    tref = ray.put(frozenset(win_df["term"]))
-
-    def keep_winner_terms(b: pa.Table) -> pa.Table:
-        terms = ray.get(tref)
-        mask = [t in terms for t in b["term"].to_pylist()]
-        return b.filter(pa.array(mask))
-
-    dff = dfreq.map_batches(keep_winner_terms, batch_format="pyarrow",
-                            batch_size=None).to_pandas()
-    out = win_df.merge(dff, on="term", how="left")
-    out["df"] = out["df"].fillna(0).astype(np.int64)
-    out["tf"] = out["tf"].astype(np.int64)
-    out = out.sort_values(["source", "rank"], kind="stable") \
-        .reset_index(drop=True)
-    return ray.data.from_pandas(
-        out[["source", "rank", "term", "tf", "df"]])
+    pipelines run before tokenizer training. One fused vocabulary-sized
+    exchange (see _fused_term_topk); per-source top-k by tf is
+    decomposable, so reducers pre-select locally."""
+    return _fused_term_topk(docs, k=k, text_col=text_col,
+                            source_col=source_col, score_of=None)
 
 
 def repetition_stats(docs, *, doc_col: str = "doc_id",
@@ -407,96 +460,16 @@ def tfidf_terms(docs, *, k: int = 5, text_col: str = "text",
     the standard one. Ties -> lexicographic term.
 
     Unlike ``top_terms`` (df only decorates the winners), the idf must
-    weight EVERY candidate term before selection, so this op carries a
-    genuine vocabulary-sized exchange — exactly ONE: the tf partials
-    (source, term, tf) and df partials (term, df) union with a sentinel
-    source and hash-partition by term together; each reducer sums both
-    sides, merges, scores, and emits its LOCAL per-source top-k, so the
-    final per-source selection exchanges only k x n_sources x
-    n_partitions rows. (First cut ran 3 vocabulary-sized exchanges —
-    groupby-sum tf, groupby-sum df, then the join; the fused plan halves
-    the measured wall time.) Documents never enter any exchange.
+    weight EVERY candidate term before selection — both run the shared
+    single-exchange plan (_fused_term_topk), this one with the idf
+    scoring hook. (First cut ran 3 vocabulary-sized exchanges —
+    groupby-sum tf, groupby-sum df, then a join; the fused plan halves
+    the measured wall time.)
     """
-    import pyarrow as pa
-    import ray.data
-
-    from ..config import cluster_parallelism
-    from .joins import _part_of_str
-
     n_docs = int(docs.count())
-    num_partitions = 2 * cluster_parallelism()
 
-    def tag_both(b: pa.Table) -> pa.Table:
-        # ONE tokenize pass per block feeds both partial kinds: tf rows
-        # carry the real source, df rows the "" sentinel (no real source
-        # is empty)
-        src = b[source_col].to_pylist()
-        texts = b[text_col].to_pylist()
-        s_out: list = []
-        t_out: list = []
-        dfc: dict[str, int] = {}
-        for s, t in zip(src, texts):
-            ws = t.split(" ")
-            for w in ws:
-                s_out.append(s)
-                t_out.append(w)
-            for w in set(ws):
-                dfc[w] = dfc.get(w, 0) + 1
-        tfd = pd.DataFrame({"source": s_out, "term": t_out}) \
-            .groupby(["source", "term"], as_index=False).size() \
-            .rename(columns={"size": "tf"})
-        out = pa.table({
-            "source": pa.array(tfd["source"].tolist()
-                               + [""] * len(dfc)),
-            "term": pa.array(tfd["term"].tolist() + list(dfc)),
-            "tf": pa.array(np.concatenate([
-                tfd["tf"].to_numpy(np.int64),
-                np.zeros(len(dfc), dtype=np.int64)])),
-            "df": pa.array(np.concatenate([
-                np.zeros(len(tfd), dtype=np.int64),
-                np.fromiter(dfc.values(), np.int64, len(dfc))])),
-        })
-        part = _part_of_str(out["term"].to_numpy(zero_copy_only=False),
-                            num_partitions)
-        return out.append_column("_part", pa.array(part))
+    def score_of(tf: np.ndarray, df: np.ndarray) -> np.ndarray:
+        return tf * ((n_docs * 1000) // np.maximum(df, 1))
 
-    tagged = docs.map_batches(tag_both, batch_format="pyarrow",
-                              batch_size=None)
-
-    def reduce(g: pd.DataFrame) -> pd.DataFrame:
-        is_df = g["source"] == ""
-        tf_side = g[~is_df].groupby(["source", "term"], as_index=False) \
-            .agg(tf=("tf", "sum"))
-        df_side = g[is_df].groupby("term", as_index=False) \
-            .agg(df=("df", "sum"))
-        m = tf_side.merge(df_side, on="term", how="inner")
-        if not len(m):
-            return pd.DataFrame({
-                "source": pd.Series([], dtype=object),
-                "term": pd.Series([], dtype=object),
-                "tf": pd.Series([], dtype=np.int64),
-                "df": pd.Series([], dtype=np.int64),
-                "score": pd.Series([], dtype=np.int64)})
-        m["tf"] = m["tf"].astype(np.int64)
-        m["df"] = m["df"].astype(np.int64)
-        m["score"] = m["tf"] * ((n_docs * 1000)
-                                // np.maximum(m["df"].to_numpy(), 1))
-        # local per-source top-k: only k rows per (source, partition)
-        # survive into the final exchange
-        m = m.sort_values(["score", "term"], ascending=[False, True],
-                          kind="stable")
-        return m.groupby("source", as_index=False).head(k) \
-            [["source", "term", "tf", "df", "score"]]
-
-    scored = tagged.groupby("_part").map_groups(reduce,
-                                                batch_format="pandas")
-
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["score", "term"], ascending=[False, True],
-                          kind="stable").head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        for c in ("tf", "df", "score"):
-            g[c] = g[c].astype(np.int64)
-        return g[["source", "rank", "term", "tf", "df", "score"]]
-
-    return scored.groupby("source").map_groups(topk, batch_format="pandas")
+    return _fused_term_topk(docs, k=k, text_col=text_col,
+                            source_col=source_col, score_of=score_of)
