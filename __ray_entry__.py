@@ -181,7 +181,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_parent_rollup": _images_parent_rollup,
         # keyed-lookup family (Arrow-native blob path this round)
         "tms_join": _q.q_tms_join,
-        "tms_join_big": _q.q_tms_join_big,
         "mbtiles_join": _q.q_mbtiles_join,
         "mbtiles_sink": _q.q_mbtiles_sink,
         "tile_archive": _q.q_tile_archive,
@@ -200,9 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_shuffle": _tq.q_epoch_shuffle,
         "wds_export": _mq.q_wds_export,
         "psnr_audit": _mq.q_psnr_audit,
+        "gopher_filter": _tq.q_gopher_filter,
+        "adaptive_cut": _tq.q_adaptive_cut,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
-        "minhash_dedup": _dq.q_minhash_dedup,
         "ann_ivf": _dq.q_ann_ivf,
         "ann_ivf_indexed": _dq.q_ann_ivf_indexed,
         # --- round-4 additions land here (window tail) ---
@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": _dq.q_embed_near_dup,
         "phash_dedup": _dq.q_phash_dedup,
         "ann_lsh": _dq.q_ann_lsh,
+        "minhash_dedup": _dq.q_minhash_dedup,
+        "tms_join_big": _q.q_tms_join_big,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -330,6 +332,8 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": _tq.SQL_EPOCH_SHUFFLE,
         "wds_export": _mq.SQL_WDS_EXPORT,
         "psnr_audit": _od.sql_psnr_audit(),
+        "gopher_filter": _tq.SQL_GOPHER_FILTER,
+        "adaptive_cut": _tq.SQL_ADAPTIVE_CUT,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

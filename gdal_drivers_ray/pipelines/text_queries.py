@@ -458,8 +458,9 @@ def q_epoch_shuffle(sf_dir: str):
 SQL_EPOCH_SHUFFLE = f"""
 WITH h AS (
   SELECT o_orderkey,
-         CAST((CAST(o_orderkey AS HUGEINT) * 2654435761
-               + {_EPOCH} * 40503) % 4294967296 AS BIGINT) AS shuffle_key
+         CAST((CAST(o_orderkey AS HUGEINT)
+               * ((2654435761 * (2 * {_EPOCH} + 1)) % 4294967296))
+              % 4294967296 AS BIGINT) AS shuffle_key
   FROM orders
 ), head AS (
   SELECT * FROM h ORDER BY shuffle_key, o_orderkey LIMIT {_SHUF_HEAD}
@@ -467,4 +468,63 @@ WITH h AS (
 SELECT row_number() OVER (ORDER BY shuffle_key, o_orderkey) - 1 AS seq,
        o_orderkey, shuffle_key
 FROM head
+"""
+
+
+def q_gopher_filter(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-rule quality filter (stages/text.gopher_filter): per-doc
+    integer signals, per-rule booleans, composite keep verdict."""
+    return T.gopher_filter(_docs(sf_dir))
+
+
+SQL_GOPHER_FILTER = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_uniq,
+         CAST(strlen(text) - (length(string_split(text, ' ')) - 1)
+              AS BIGINT) AS wchars
+  FROM documents
+), m AS (
+  SELECT doc_id, n_tok,
+         1000 * wchars // greatest(n_tok, 1) AS mean_wl_milli,
+         1000 * n_uniq // greatest(n_tok, 1) AS uniq_permille
+  FROM sig
+)
+SELECT doc_id, n_tok, mean_wl_milli, uniq_permille,
+       (n_tok >= {T.GOPHER_MIN_TOK} AND n_tok <= {T.GOPHER_MAX_TOK})
+           AS ok_len,
+       (mean_wl_milli >= {T.GOPHER_MIN_MEAN_WL_MILLI}
+        AND mean_wl_milli <= {T.GOPHER_MAX_MEAN_WL_MILLI}) AS ok_word_len,
+       (uniq_permille >= {T.GOPHER_MIN_UNIQ_PERMILLE}) AS ok_uniq,
+       ((n_tok >= {T.GOPHER_MIN_TOK} AND n_tok <= {T.GOPHER_MAX_TOK})
+        AND (mean_wl_milli >= {T.GOPHER_MIN_MEAN_WL_MILLI}
+             AND mean_wl_milli <= {T.GOPHER_MAX_MEAN_WL_MILLI})
+        AND (uniq_permille >= {T.GOPHER_MIN_UNIQ_PERMILLE})) AS keep
+FROM m
+"""
+
+
+def q_adaptive_cut(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-adaptive per-language median cut on document length
+    (stages/mix.quantile_cut): phase 1 reduces to a bounded
+    (lang, n_chars) count table, the driver derives each language's
+    exact discrete median, phase 2 is one broadcast-threshold filter."""
+    from ..stages.mix import quantile_cut
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+    return quantile_cut(docs, stratum_col="lang", value_col="n_chars",
+                        q=0.5)
+
+
+SQL_ADAPTIVE_CUT = """
+WITH thr AS (
+  SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS threshold
+  FROM documents GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.n_chars, t.threshold
+FROM documents d JOIN thr t USING (lang)
+WHERE d.n_chars >= t.threshold
 """

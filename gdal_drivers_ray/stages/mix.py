@@ -138,15 +138,63 @@ def epoch_shuffle(ds: ray.data.Dataset, *, id_col: str,
     of a training data loader made reproducible across runs, engines and
     resume points (an RNG shuffle is not). Ray's range-partitioned sort
     is the distributed exchange; the 8-byte hash column is the only
-    added payload. hash = (id * 2654435761 + epoch * 40503) mod 2^32 —
-    closed-form in SQL; the (shuffle_key, id) composite sort key keeps
-    the order total under hash collisions."""
-    seed = np.uint64((epoch * 40503) % (1 << 32))
+    added payload. hash = (id * (2654435761 * (2*epoch+1) mod 2^32))
+    mod 2^32 — the epoch SCALES the multiplier (odd x odd stays odd, so
+    the map remains a bijection mod 2^32, and the per-epoch multipliers
+    are far apart, so orders genuinely differ; an additive seed — or a
+    small additive multiplier perturbation — would preserve the order of
+    any small id set almost everywhere). Closed-form in SQL; the
+    (shuffle_key, id) composite sort key keeps the order total under
+    hash collisions."""
+    mult = np.uint64((2654435761 * (2 * epoch + 1)) % (1 << 32))
 
     def add_hash(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy().astype(np.uint64)
-        h = (ids * np.uint64(2654435761) + seed) % np.uint64(1 << 32)
+        h = (ids * mult) % np.uint64(1 << 32)
         return b.append_column("shuffle_key", pa.array(h.astype(np.int64)))
 
     return ds.map_batches(add_hash, batch_format="pyarrow",
                           batch_size=None).sort(["shuffle_key", id_col])
+
+
+def quantile_cut(ds: ray.data.Dataset, *, stratum_col: str,
+                 value_col: str, q: float = 0.5,
+                 keep: str = "ge") -> ray.data.Dataset:
+    """Adaptive threshold filter: keep rows whose `value_col` clears
+    their stratum's exact discrete q-quantile — the two-phase corpus-
+    adaptive cut ("drop the bottom half by length, per language") that a
+    fixed threshold can't express.
+
+    Phase 1 aggregates (stratum, value) COUNTS — bounded by the number
+    of distinct values per stratum, not by rows (for continuous values,
+    quantize first; this engine's quality signals are all integer by
+    design). The driver computes sorted[floor(q*(n-1))] per stratum
+    (DuckDB quantile_disc semantics, pinned numerically) from the count
+    table and broadcasts the tiny threshold map; phase 2 is one
+    streaming filter. Appends `threshold` so the verdict is auditable.
+    """
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby([stratum_col, value_col]) \
+        .aggregate(Count(alias_name="n")).to_pandas() \
+        .sort_values([stratum_col, value_col])
+    thresholds: dict = {}
+    for s, g in counts.groupby(stratum_col):
+        n = int(g["n"].sum())
+        pos = int(np.floor(q * (n - 1)))
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        thresholds[s] = g[value_col].to_numpy()[
+            int(np.searchsorted(cum, pos + 1))]
+    tref = ray.put(thresholds)
+
+    def filt(b: pa.Table) -> pa.Table:
+        thr = ray.get(tref)
+        vals = b[value_col].to_numpy()
+        strata = b[stratum_col].to_pylist()
+        t = np.fromiter((thr[s] for s in strata), dtype=np.int64,
+                        count=b.num_rows)
+        mask = vals >= t if keep == "ge" else vals <= t
+        return b.append_column("threshold", pa.array(t)) \
+                .filter(pa.array(mask))
+
+    return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)

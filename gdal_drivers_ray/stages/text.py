@@ -473,3 +473,54 @@ def tfidf_terms(docs, *, k: int = 5, text_col: str = "text",
 
     return _fused_term_topk(docs, k=k, text_col=text_col,
                             source_col=source_col, score_of=score_of)
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021 §A1.1, adapted to this
+# corpus's scale; ratios carried as exact integer per-mille so the SQL
+# twin reproduces every verdict bit-for-bit)
+GOPHER_MIN_TOK = 40
+GOPHER_MAX_TOK = 90
+GOPHER_MIN_MEAN_WL_MILLI = 3000    # mean word length in [3, 10] chars
+GOPHER_MAX_MEAN_WL_MILLI = 10000
+GOPHER_MIN_UNIQ_PERMILLE = 500     # distinct-token ratio >= 50%
+
+
+def gopher_filter(docs, *, doc_col: str = "doc_id",
+                  text_col: str = "text"):
+    """Gopher-style document quality filter: per-doc exact-integer
+    signals + one boolean per rule + the composite keep verdict. Tokens
+    are the engine-wide single-space split (parity with DuckDB's
+    string_split); mean word length is carried as
+    1000 * sum(word chars) // n_tok, the distinct ratio as
+    1000 * n_uniq // n_tok — integer division on both sides of the
+    oracle, no floats. Per-row pure map, no shuffle."""
+    import pyarrow as pa
+
+    def f(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        n_tok = np.empty(n, dtype=np.int64)
+        n_uniq = np.empty(n, dtype=np.int64)
+        wchars = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(b[text_col].to_pylist()):
+            ws = t.split(" ")
+            n_tok[i] = len(ws)
+            n_uniq[i] = len(set(ws))
+            wchars[i] = len(t) - (len(ws) - 1)   # total minus separators
+        mean_wl = 1000 * wchars // np.maximum(n_tok, 1)
+        uniq_pm = 1000 * n_uniq // np.maximum(n_tok, 1)
+        ok_len = (n_tok >= GOPHER_MIN_TOK) & (n_tok <= GOPHER_MAX_TOK)
+        ok_wl = (mean_wl >= GOPHER_MIN_MEAN_WL_MILLI) \
+            & (mean_wl <= GOPHER_MAX_MEAN_WL_MILLI)
+        ok_uniq = uniq_pm >= GOPHER_MIN_UNIQ_PERMILLE
+        return pa.table({
+            doc_col: b[doc_col],
+            "n_tok": pa.array(n_tok),
+            "mean_wl_milli": pa.array(mean_wl),
+            "uniq_permille": pa.array(uniq_pm),
+            "ok_len": pa.array(ok_len),
+            "ok_word_len": pa.array(ok_wl),
+            "ok_uniq": pa.array(ok_uniq),
+            "keep": pa.array(ok_len & ok_wl & ok_uniq),
+        })
+
+    return docs.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -126,3 +126,36 @@ def test_tfidf_terms_matches_in_memory(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"tf": "int64", "df": "int64", "score": "int64"}),
         want.astype({"tf": "int64", "df": "int64", "score": "int64"}))
+
+
+def test_quantile_cut_matches_quantile_disc(ray_session):
+    """Two-phase adaptive cut == DuckDB quantile_disc semantics
+    (sorted[floor(q*(n-1))]) per stratum, verified in-memory."""
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 50, 400).astype(np.int64)
+    strata = np.array(["x", "y", "z"])[rng.integers(0, 3, 400)]
+    t = pa.table({"id": pa.array(np.arange(400, dtype=np.int64)),
+                  "s": pa.array(strata), "v": pa.array(vals)})
+    out = M.quantile_cut(ray.data.from_arrow(t).repartition(6),
+                         stratum_col="s", value_col="v", q=0.25) \
+        .to_pandas()
+    for s in ("x", "y", "z"):
+        sv = np.sort(vals[strata == s])
+        thr = sv[int(np.floor(0.25 * (len(sv) - 1)))]
+        got = out[out["s"] == s]
+        assert (got["threshold"] == thr).all()
+        want_ids = set(np.arange(400)[(strata == s) & (vals >= thr)])
+        assert set(got["id"]) == want_ids
+
+
+def test_epoch_shuffle_deterministic_and_epoch_dependent(ray_session):
+    t = pa.table({"id": pa.array(np.arange(100, dtype=np.int64))})
+    a = M.epoch_shuffle(ray.data.from_arrow(t).repartition(4),
+                        id_col="id", epoch=1).to_pandas()["id"].tolist()
+    b = M.epoch_shuffle(ray.data.from_arrow(t).repartition(7),
+                        id_col="id", epoch=1).to_pandas()["id"].tolist()
+    c = M.epoch_shuffle(ray.data.from_arrow(t),
+                        id_col="id", epoch=2).to_pandas()["id"].tolist()
+    assert a == b            # block layout cannot change the order
+    assert a != c            # a different epoch reshuffles
+    assert sorted(a) == list(range(100))
