@@ -182,7 +182,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # keyed-lookup family (Arrow-native blob path this round)
         "tms_join": _q.q_tms_join,
         "mbtiles_join": _q.q_mbtiles_join,
-        "mbtiles_sink": _q.q_mbtiles_sink,
         "tile_archive": _q.q_tile_archive,
         # kNN / top-k finalize (tree-reduce this round)
         "knn_brute": _q.q_knn_brute,
@@ -201,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psnr_audit": _mq.q_psnr_audit,
         "gopher_filter": _tq.q_gopher_filter,
         "adaptive_cut": _tq.q_adaptive_cut,
+        "text_search_indexed": _tq.q_text_search_indexed,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
         "ann_ivf": _dq.q_ann_ivf,
@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh": _dq.q_ann_lsh,
         "minhash_dedup": _dq.q_minhash_dedup,
         "tms_join_big": _q.q_tms_join_big,
+        "mbtiles_sink": _q.q_mbtiles_sink,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "psnr_audit": _od.sql_psnr_audit(),
         "gopher_filter": _tq.SQL_GOPHER_FILTER,
         "adaptive_cut": _tq.SQL_ADAPTIVE_CUT,
+        "text_search_indexed": _tq.SQL_TEXT_SEARCH_INDEXED,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -528,3 +528,42 @@ SELECT d.doc_id, d.lang, d.n_chars, t.threshold
 FROM documents d JOIN thr t USING (lang)
 WHERE d.n_chars >= t.threshold
 """
+
+
+_SEARCH_TERMS = ["spark", "window"]
+
+
+def q_text_search_indexed(sf_dir: str) -> ray.data.Dataset:
+    """Persisted inverted-index retrieval (stages/textindex.py): build
+    the term-hash-sharded postings index once next to the fixture cache
+    (resume keeps shards), then answer a conjunctive query opening ONLY
+    the shards the query terms hash to — partition pruning at the read,
+    the ann_ivf_indexed discipline in the text domain. The SQL twin
+    recomputes membership + relevance from the raw documents, so a stale
+    or corrupt shard hash-fails."""
+    import os
+
+    from ..stages.textindex import build_text_index, search_text_index
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    idx_dir = f"/tmp/graft_fixtures/{sf_tag}/textindex_v1"
+    docs = _docs(sf_dir)
+    build_text_index(docs, idx_dir, num_shards=32)
+    return search_text_index(idx_dir, _SEARCH_TERMS, num_shards=32)
+
+
+def _sql_text_search() -> str:
+    conds = " AND ".join(
+        f"list_contains(string_split(text, ' '), '{t}')"
+        for t in sorted(set(_SEARCH_TERMS)))
+    rel = " + ".join(
+        f"length(list_filter(string_split(text, ' '), x -> x = '{t}'))"
+        for t in sorted(set(_SEARCH_TERMS)))
+    return f"""
+SELECT doc_id, CAST({rel} AS BIGINT) AS relevance
+FROM documents
+WHERE {conds}
+"""
+
+
+SQL_TEXT_SEARCH_INDEXED = _sql_text_search()

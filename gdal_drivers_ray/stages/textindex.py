@@ -1,0 +1,127 @@
+"""Persisted inverted text index — build once, query many.
+
+The text-domain twin of stages/ann.build_ivf_index (same 100 TB
+pattern): the index is a directory of term-hash-partitioned parquet
+shards of postings (term, doc_id, tf); a query hashes its terms and
+opens ONLY the shards those terms land in — partition pruning at the
+read, the full corpus never streams for a query.
+
+Build shape: one tokenize map emits per-doc distinct (term, tf)
+postings, hash-partitioned by term (the same process-stable siphash the
+string cogroup uses, so build and query agree), one single-writer
+reducer per shard writes `shard-K.parquet` sorted by (term, doc_id)
+atomically (tmp + rename). Query shape: read the probed shards with a
+parquet-level term filter, then a doc-keyed groupby counts matched
+terms — conjunctive (AND) retrieval keeps docs matching every query
+term, ranked by summed tf.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from .joins import _part_of_str
+
+
+def build_text_index(docs: ray.data.Dataset, out_dir: str, *,
+                     num_shards: int = 32, doc_col: str = "doc_id",
+                     text_col: str = "text") -> pd.DataFrame:
+    """-> manifest (shard, path, n_postings). Existing shard files are
+    kept (resume); delete the directory for a clean rebuild."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def postings(b: pa.Table) -> pa.Table:
+        ids = b[doc_col].to_numpy()
+        terms: list = []
+        dids: list = []
+        tfs: list = []
+        for i, t in enumerate(b[text_col].to_pylist()):
+            cnt: dict[str, int] = {}
+            for w in t.split(" "):
+                cnt[w] = cnt.get(w, 0) + 1
+            terms.extend(cnt.keys())
+            tfs.extend(cnt.values())
+            dids.extend([int(ids[i])] * len(cnt))
+        t = pa.table({
+            "term": pa.array(terms, pa.string()),
+            "doc_id": pa.array(np.asarray(dids, dtype=np.int64)),
+            "tf": pa.array(np.asarray(tfs, dtype=np.int64)),
+        })
+        part = _part_of_str(t["term"].to_numpy(zero_copy_only=False),
+                            num_shards)
+        return t.append_column("_part", pa.array(part))
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        shard = int(g["_part"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{shard:05d}.parquet")
+        if not os.path.exists(path):
+            g = g.sort_values(["term", "doc_id"], kind="stable")
+            tbl = pa.table({
+                "term": pa.array(g["term"].tolist(), pa.string()),
+                "doc_id": pa.array(g["doc_id"].to_numpy(np.int64)),
+                "tf": pa.array(g["tf"].to_numpy(np.int64)),
+            })
+            tmp = path + f".tmp{os.getpid()}"
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, path)
+        return pd.DataFrame({"shard": [shard], "path": [path],
+                             "n_postings": [len(g)]})
+
+    man = docs.map_batches(postings, batch_format="pyarrow",
+                           batch_size=None) \
+        .groupby("_part").map_groups(write_shard, batch_format="pandas") \
+        .to_pandas()
+    return man.sort_values("shard").reset_index(drop=True)
+
+
+def search_text_index(index_dir: str, terms: list[str], *,
+                      num_shards: int = 32) -> ray.data.Dataset:
+    """Conjunctive (AND) retrieval: docs containing EVERY query term,
+    with relevance = summed tf over the query terms. Opens only the
+    shards the query terms hash to."""
+    terms = sorted(set(terms))
+    shards = sorted(set(
+        int(s) for s in _part_of_str(np.asarray(terms, dtype=object),
+                                     num_shards)))
+    paths = [os.path.join(index_dir, f"shard-{s:05d}.parquet")
+             for s in shards]
+    paths = [p for p in paths if os.path.exists(p)]
+    tset = frozenset(terms)
+    n_terms = len(terms)
+    if not paths:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "relevance": pa.array([], pa.int64())}))
+
+    ds = ray.data.read_parquet(paths, columns=["term", "doc_id", "tf"])
+
+    def match(b: pa.Table) -> pa.Table:
+        mask = pa.array([t in tset for t in b["term"].to_pylist()])
+        m = b.filter(mask)
+        return pa.table({"doc_id": m["doc_id"],
+                         "tf": m["tf"],
+                         "one": pa.array(np.ones(m.num_rows,
+                                                 dtype=np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(match, batch_format="pyarrow",
+                         batch_size=None) \
+        .groupby("doc_id").aggregate(Sum("one", alias_name="n_matched"),
+                                     Sum("tf", alias_name="relevance"))
+
+    def conj(b: pa.Table) -> pa.Table:
+        keep = b["n_matched"].to_numpy() == n_terms
+        m = b.filter(pa.array(keep))
+        return pa.table({"doc_id": m["doc_id"],
+                         "relevance": m["relevance"]})
+
+    return agg.map_batches(conj, batch_format="pyarrow", batch_size=None)
