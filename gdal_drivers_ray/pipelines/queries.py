@@ -1462,3 +1462,34 @@ WITH c AS (
 SELECT c.p_partkey, c.p_type, c.price_cents, s.type_sum_cents, s.type_n
 FROM c JOIN s USING (p_type)
 """
+
+
+def q_bloom_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Both-sides-large semi-join through the Bloom prefilter + exact
+    verify (stages/joins.bloom_semi_join): keep lineitems whose order is
+    high-value. The bloom bitmap (1 MiB) replaces an exact broadcast of
+    the right key set; the surviving stream (matches + false positives)
+    routes through the exact cogroup, so the result equals the plain
+    IN-subquery row-for-row."""
+    from ..stages.joins import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey",
+                                    "l_suppkey"])
+    o = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def high(b: pa.Table) -> pa.Table:
+        keep = b["o_totalprice"].to_numpy() > 150000.0
+        return b.filter(pa.array(keep)).select(["o_orderkey"])
+
+    rich = o.map_batches(high, batch_format="pyarrow", batch_size=None)
+    out = bloom_semi_join(li, rich, on="l_orderkey",
+                          right_on="o_orderkey")
+    return out.select_columns(["l_orderkey", "l_partkey", "l_suppkey"])
+
+
+SQL_BLOOM_SEMI_JOIN = """
+SELECT l_orderkey, l_partkey, l_suppkey
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+"""

