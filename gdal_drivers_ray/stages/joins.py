@@ -719,9 +719,15 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
         return pa.table({"bm": pa.array([out.tobytes()],
                                         pa.large_binary())})
 
-    # per-block bitmaps OR-reduce in ONE funnel task (bitmaps are 1 MiB
-    # each; the driver receives only the final one); blocks never move
-    final = right.map_batches(partial_bitmap, batch_format="pyarrow") \
+    # per-BLOCK bitmaps OR-reduce through a two-level funnel (64-way
+    # fan-in, then 1): bitmaps are m_bits/8 bytes each, so the last task
+    # sees at most 64 of them no matter how many input blocks exist; the
+    # driver receives only the final one. Blocks never move.
+    final = right.map_batches(partial_bitmap, batch_format="pyarrow",
+                              batch_size=None) \
+        .repartition(64) \
+        .map_batches(or_bitmaps, batch_format="pyarrow",
+                     batch_size=None) \
         .repartition(1) \
         .map_batches(or_bitmaps, batch_format="pyarrow",
                      batch_size=None).take_all()
