@@ -340,10 +340,13 @@ def q_interleave_sources(sf_dir: str):
                             kind="stable").head(_MIX_HEAD)
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    # head-N funnel instead of a global sort: <= N rows per block merge
-    # in ONE reducer task (the topk_orders pattern); the driver receives
-    # exactly N rows regardless of corpus or block count
-    head = sched.map_batches(local_head, batch_format="pyarrow") \
+    # head-N funnel instead of a global sort: <= N rows per BLOCK
+    # (batch_size=None — the default 1024-row batches would keep ~98%
+    # of every batch and defeat the funnel) merge in ONE reducer task
+    # (the topk_orders pattern); the driver receives exactly N rows
+    # regardless of corpus or block count
+    head = sched.map_batches(local_head, batch_format="pyarrow",
+                             batch_size=None) \
         .repartition(1) \
         .map_batches(local_head, batch_format="pyarrow",
                      batch_size=None).to_pandas()
@@ -547,8 +550,11 @@ def q_text_search_indexed(sf_dir: str) -> ray.data.Dataset:
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir))
     idx_dir = f"/tmp/graft_fixtures/{sf_tag}/textindex_v1"
-    docs = _docs(sf_dir)
-    build_text_index(docs, idx_dir, num_shards=32)
+    # build ONCE: the _SUCCESS marker short-circuits the whole build
+    # pipeline (otherwise every query run would pay the full corpus
+    # tokenize + vocabulary exchange just to skip the file writes)
+    if not os.path.exists(os.path.join(idx_dir, "_SUCCESS")):
+        build_text_index(_docs(sf_dir), idx_dir, num_shards=32)
     return search_text_index(idx_dir, _SEARCH_TERMS, num_shards=32)
 
 

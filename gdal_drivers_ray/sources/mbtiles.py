@@ -167,7 +167,20 @@ class MbtilesLookup:
                 .append_column("tile_data", tile)
 
 
+def _file_sig(path: str) -> tuple[int, int]:
+    """(mtime_ns, size) — the staleness key for warm-process caches: a
+    rebuilt archive at the same path must not be served from the old
+    connection/preload dict."""
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
+
+
 @lru_cache(maxsize=8)
+def _warm_lookup_sig(db_path: str, preload_limit: int | None,
+                     sig: tuple[int, int]) -> "MbtilesLookup":
+    return MbtilesLookup(db_path, preload_limit)
+
+
 def _warm_lookup(db_path: str, preload_limit: int | None) -> "MbtilesLookup":
     """Per-WORKER-PROCESS warm state (connection + preload dict), the T5
     discipline realized as a task pool: Ray reuses warm worker processes
@@ -175,8 +188,10 @@ def _warm_lookup(db_path: str, preload_limit: int | None) -> "MbtilesLookup":
     An actor pool holds the same state but pays a cold fork + import per
     actor per query — measured 36 s of billed UDF time at sf0.1 (12
     actors) vs ~0.8 s of actual lookup work; the task pool inherits
-    already-imported workers and skips that entirely."""
-    return MbtilesLookup(db_path, preload_limit)
+    already-imported workers and skips that entirely. The cache key
+    includes the file's (mtime, size), so a rebuilt archive at a reused
+    path is re-opened, never served stale (one os.stat per batch)."""
+    return _warm_lookup_sig(db_path, preload_limit, _file_sig(db_path))
 
 
 def lookup_mbtiles(requests: ray.data.Dataset, db_path: str,
@@ -363,10 +378,22 @@ class MbtilesShardedLookup:
 
 
 @lru_cache(maxsize=8)
+def _warm_sharded_sig(shard_dir: str, num_shards: int,
+                      preload_limit: int | None,
+                      sig: tuple) -> "MbtilesShardedLookup":
+    return MbtilesShardedLookup(shard_dir, num_shards, preload_limit)
+
+
 def _warm_sharded_lookup(shard_dir: str, num_shards: int,
                          preload_limit: int | None) -> "MbtilesShardedLookup":
-    """Per-worker-process warm sharded router (see _warm_lookup)."""
-    return MbtilesShardedLookup(shard_dir, num_shards, preload_limit)
+    """Per-worker-process warm sharded router (see _warm_lookup); the
+    staleness key is the tuple of every present shard's (mtime, size)."""
+    sig = tuple((k,) + _file_sig(os.path.join(shard_dir,
+                                              f"shard-{k:05d}.mbtiles"))
+                for k in range(num_shards)
+                if os.path.exists(os.path.join(shard_dir,
+                                               f"shard-{k:05d}.mbtiles")))
+    return _warm_sharded_sig(shard_dir, num_shards, preload_limit, sig)
 
 
 def lookup_mbtiles_sharded(requests: ray.data.Dataset, shard_dir: str,

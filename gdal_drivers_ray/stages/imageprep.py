@@ -94,8 +94,10 @@ def image_norm_stats(images: ray.data.Dataset, *,
             st[1] += int(a.sum())
             st[2] += int((a * a).sum())
         keys = sorted(acc)
+        # explicit string type: an EMPTY batch would otherwise infer a
+        # null-typed column and break downstream schema unification
         return pa.table({
-            "fmt": pa.array(keys),
+            "fmt": pa.array(keys, type=pa.string()),
             "n_px": pa.array([acc[k][0] for k in keys], type=pa.int64()),
             "px_sum": pa.array([acc[k][1] for k in keys], type=pa.int64()),
             "px_sumsq": pa.array([acc[k][2] for k in keys],
@@ -131,67 +133,46 @@ def ar_bucket_assign(meta: ray.data.Dataset, *,
     `rank` is the image's 0-based position inside its aspect-ratio bucket
     in ascending `order_col` order; `batch_id` = rank // capacity(rung).
     meta must be the NARROW metadata table (id, order, w, h) — pixels
-    never enter this op.
+    never enter this op. The rank comes from the shared two-pass
+    prefix-sum primitive (stages/mix.distributed_rank) keyed on the
+    assigned bucket.
     """
-    from ray.data.aggregate import Count
+    from .mix import distributed_rank
 
     lad = ladder if ladder is not None else default_ladder()
-    caps = {bi: batch_capacity(bw, bh, budget_px)
-            for bi, (bw, bh) in enumerate(lad)}
-
-    if n_range_buckets is None:
-        from ..config import cluster_parallelism
-        n_range_buckets = max(64, 8 * cluster_parallelism())
-    max_order = meta.max(order_col)
-    width = max(1, (int(max_order) + n_range_buckets) // n_range_buckets)
+    caps = np.array([batch_capacity(bw, bh, budget_px)
+                     for bw, bh in lad], dtype=np.int64)
+    bws = np.array([bw for bw, _ in lad], dtype=np.int64)
+    bhs = np.array([bh for _, bh in lad], dtype=np.int64)
 
     def keyed(b: pa.Table) -> pa.Table:
-        order = b[order_col].to_numpy().astype(np.int64)
         ab = assign_ar_bucket(b[w_col].to_numpy(), b[h_col].to_numpy(), lad)
         return pa.table({
             "image_id": b[id_col],
-            "ord": pa.array(order),
+            "ord": pa.array(b[order_col].to_numpy().astype(np.int64)),
             "ar_bucket": pa.array(ab),
-            "rb": pa.array(order // width),
         })
 
     narrow = meta.map_batches(keyed, batch_format="pyarrow",
-                              batch_size=None).materialize()
+                              batch_size=None)
+    ranked = distributed_rank(narrow, part_col="ar_bucket",
+                              order_col="ord",
+                              n_range_buckets=n_range_buckets)
 
-    # pass 1: (ar, range-bucket) counts -> driver prefix (bounded:
-    # n_ladder * n_range_buckets rows, independent of corpus size)
-    counts = narrow.groupby(["ar_bucket", "rb"]) \
-        .aggregate(Count(alias_name="n")).to_pandas() \
-        .sort_values(["ar_bucket", "rb"])
-    bases: dict[tuple[int, int], int] = {}
-    run: dict[int, int] = {}
-    for ab, rb, n in counts.itertuples(index=False):
-        bases[(int(ab), int(rb))] = run.get(int(ab), 0)
-        run[int(ab)] = run.get(int(ab), 0) + int(n)
-    bref = ray.put(bases)
-
-    def finish(g: pa.Table) -> pa.Table:
-        base = ray.get(bref)[(int(g["ar_bucket"][0].as_py()),
-                              int(g["rb"][0].as_py()))]
-        ab = int(g["ar_bucket"][0].as_py())
-        order = np.argsort(g["ord"].to_numpy(), kind="stable")
-        rank = base + np.arange(g.num_rows, dtype=np.int64)
-        inv = np.empty_like(order)
-        inv[order] = np.arange(g.num_rows)
-        rank = rank[inv]
-        bw, bh = lad[ab]
+    def finish(b: pa.Table) -> pa.Table:
+        ab = b["ar_bucket"].to_numpy().astype(np.int64)
+        rank = b["rank"].to_numpy().astype(np.int64)
         return pa.table({
-            "image_id": g["image_id"],
-            "ar_bucket": pa.array(np.full(g.num_rows, ab,
-                                          dtype=np.int64)),
-            "bucket_w": pa.array(np.full(g.num_rows, bw, dtype=np.int64)),
-            "bucket_h": pa.array(np.full(g.num_rows, bh, dtype=np.int64)),
+            "image_id": b["image_id"],
+            "ar_bucket": pa.array(ab),
+            "bucket_w": pa.array(bws[ab]),
+            "bucket_h": pa.array(bhs[ab]),
             "rank": pa.array(rank),
             "batch_id": pa.array(rank // caps[ab]),
         })
 
-    return narrow.groupby(["ar_bucket", "rb"]).map_groups(
-        finish, batch_format="pyarrow")
+    return ranked.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
 
 
 def psnr_audit(images: ray.data.Dataset, *, original_of,
@@ -229,7 +210,7 @@ def psnr_audit(images: ray.data.Dataset, *, original_of,
             st[3] += int(sse * scale > peak2 * n)   # below the dB bar
         keys = sorted(acc)
         return pa.table({
-            "fmt": pa.array(keys),
+            "fmt": pa.array(keys, type=pa.string()),
             "n_images": pa.array([acc[k][0] for k in keys], pa.int64()),
             "n_px": pa.array([acc[k][1] for k in keys], pa.int64()),
             "sse": pa.array([acc[k][2] for k in keys], pa.int64()),

@@ -707,7 +707,12 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
         bm = np.zeros(m_bits // 8, dtype=np.uint8)
         keys = np.unique(b[rk].to_numpy().astype(np.int64))
         for pos in _bloom_positions(keys, m_bits, n_hashes):
-            bm[pos >> 3] |= (1 << (pos & 7)).astype(np.uint8)
+            # bitwise_or.at, NOT fancy-index |=: the latter buffers
+            # duplicate byte indices and keeps only ONE key's bit when
+            # two keys land in the same byte — a bloom FALSE NEGATIVE
+            # that silently deletes matching rows
+            np.bitwise_or.at(bm, pos >> 3,
+                             (1 << (pos & 7)).astype(np.uint8))
         return pa.table({"bm": pa.array([bm.tobytes()],
                                         pa.large_binary())})
 
@@ -749,18 +754,14 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
     # not per-key dispatch), then the cogroup exchange. Distinctness
     # matters: a duplicated right key would duplicate left rows in the
     # inner merge.
-    def rkeys(b: pa.Table) -> pa.Table:
-        return pa.table({rk: pa.array(np.unique(
-            b[rk].to_numpy().astype(np.int64)))})
-
-    def part_unique(b: pa.Table) -> pa.Table:
+    def uniq_keys(b: pa.Table) -> pa.Table:
         return pa.table({rk: pa.array(np.unique(
             b[rk].to_numpy().astype(np.int64)))})
 
     rdistinct = partitioned_groups(
-        right.map_batches(rkeys, batch_format="pyarrow",
+        right.map_batches(uniq_keys, batch_format="pyarrow",
                           batch_size=None), [rk],
         num_partitions=num_partitions or 64) \
-        .map_groups(part_unique, batch_format="pyarrow")
+        .map_groups(uniq_keys, batch_format="pyarrow")
     return cogroup_join(survivors, rdistinct, on=on, right_on=rk,
                         how="inner", num_partitions=num_partitions)

@@ -345,10 +345,13 @@ def _fused_term_topk(docs, *, k: int, text_col: str, source_col: str,
         tfd = pd.DataFrame({"source": s_out, "term": t_out}) \
             .groupby(["source", "term"], as_index=False).size() \
             .rename(columns={"size": "tf"})
+        # explicit string types: an EMPTY batch would otherwise infer
+        # null-typed columns and break downstream schema unification
         out = pa.table({
             "source": pa.array(tfd["source"].tolist()
-                               + [""] * len(dfc)),
-            "term": pa.array(tfd["term"].tolist() + list(dfc)),
+                               + [""] * len(dfc), type=pa.string()),
+            "term": pa.array(tfd["term"].tolist() + list(dfc),
+                             type=pa.string()),
             "tf": pa.array(np.concatenate([
                 tfd["tf"].to_numpy(np.int64),
                 np.zeros(len(dfc), dtype=np.int64)])),

@@ -32,8 +32,12 @@ from .joins import _part_of_str
 def build_text_index(docs: ray.data.Dataset, out_dir: str, *,
                      num_shards: int = 32, doc_col: str = "doc_id",
                      text_col: str = "text") -> pd.DataFrame:
-    """-> manifest (shard, path, n_postings). Existing shard files are
-    kept (resume); delete the directory for a clean rebuild."""
+    """-> manifest (shard, path, n_postings), the posting counts READ
+    BACK from the persisted shard files (parquet footers) — a resume
+    run that keeps stale shards reports what is actually on disk, never
+    what this run would have written. A `_SUCCESS` marker lands after
+    every shard exists: callers skip the whole build when it is present
+    (delete the directory for a clean rebuild)."""
     os.makedirs(out_dir, exist_ok=True)
 
     def postings(b: pa.Table) -> pa.Table:
@@ -72,13 +76,18 @@ def build_text_index(docs: ray.data.Dataset, out_dir: str, *,
             tmp = path + f".tmp{os.getpid()}"
             pq.write_table(tbl, tmp)
             os.replace(tmp, path)
+        # manifest from the FILE, not this run's rows: on resume the
+        # kept shard may hold different (stale) postings
+        n = pq.read_metadata(path).num_rows
         return pd.DataFrame({"shard": [shard], "path": [path],
-                             "n_postings": [len(g)]})
+                             "n_postings": [n]})
 
     man = docs.map_batches(postings, batch_format="pyarrow",
                            batch_size=None) \
         .groupby("_part").map_groups(write_shard, batch_format="pandas") \
         .to_pandas()
+    with open(os.path.join(out_dir, "_SUCCESS"), "w") as f:
+        f.write("")
     return man.sort_values("shard").reset_index(drop=True)
 
 

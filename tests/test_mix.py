@@ -174,21 +174,27 @@ def test_bloom_semi_join_exact_and_prefilter_effective(ray_session):
     right = pa.table({"k": pa.array(
         np.repeat(rng.choice(10000, 300, replace=False).astype(np.int64),
                   2))})   # duplicated right keys must NOT duplicate left
+    # tiny bitmap: false-positive-heavy AND same-byte-collision-heavy —
+    # the exact verify must absorb the FPs and the bitmap build must not
+    # produce false negatives
     out = bloom_semi_join(ray.data.from_arrow(left).repartition(4),
                           ray.data.from_arrow(right).repartition(3),
-                          on="k").to_pandas()
+                          on="k", m_bits=1 << 10).to_pandas()
     rset = set(right["k"].to_pylist())
     want = left.to_pandas()[[k in rset for k in left["k"].to_pylist()]]
     got = out.sort_values(["k", "v"]).reset_index(drop=True)
     want = want.sort_values(["k", "v"]).reset_index(drop=True)
     assert got["k"].tolist() == want["k"].tolist()
     assert got["v"].tolist() == want["v"].tolist()
-    # bitmap math: a key set in the filter always probes positive
-    m, k = 1 << 23, 4
+    # bitmap math: a key set in the filter always probes positive —
+    # use a SMALL bitmap so same-byte collisions are guaranteed (the
+    # fancy-index |= construction this pins against silently dropped
+    # duplicate byte writes, i.e. bloom false negatives)
+    m, k = 1 << 10, 4
     bm = np.zeros(m // 8, dtype=np.uint8)
-    keys = np.array(sorted(rset), dtype=np.int64)
+    keys = np.arange(7000, dtype=np.int64)
     for pos in _bloom_positions(keys, m, k):
-        bm[pos >> 3] |= (1 << (pos & 7)).astype(np.uint8)
+        np.bitwise_or.at(bm, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
     probe = np.ones(len(keys), dtype=bool)
     for pos in _bloom_positions(keys, m, k):
         probe &= (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0

@@ -51,9 +51,12 @@ def test_search_prunes_missing_and_unknown(ray_session, tmp_path):
 def test_build_resume_keeps_shards(ray_session, tmp_path):
     idx = str(tmp_path / "idx")
     man1 = build_text_index(_docs(), idx, num_shards=4)
+    assert os.path.exists(os.path.join(idx, "_SUCCESS"))
     mtimes = {f: os.path.getmtime(os.path.join(idx, f))
-              for f in os.listdir(idx)}
+              for f in os.listdir(idx) if f.endswith(".parquet")}
     man2 = build_text_index(_docs(), idx, num_shards=4)
     assert man1["shard"].tolist() == man2["shard"].tolist()
+    # manifest counts come from the persisted files on both runs
+    assert man1["n_postings"].tolist() == man2["n_postings"].tolist()
     for f, m in mtimes.items():
         assert os.path.getmtime(os.path.join(idx, f)) == m   # untouched
