@@ -573,3 +573,36 @@ WHERE {conds}
 
 
 SQL_TEXT_SEARCH_INDEXED = _sql_text_search()
+
+
+_DOMAIN_CAP = 15
+
+
+def q_domain_cap(sf_dir: str) -> ray.data.Dataset:
+    """Per-domain document cap (the dataset-curation step that stops a
+    single crawl domain from dominating the corpus): keep each source's
+    first _DOMAIN_CAP documents by doc_id. Rank comes from the shared
+    distributed prefix-sum primitive; the filter is a streaming map."""
+    from ..stages.mix import distributed_rank
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    ranked = distributed_rank(docs, part_col="source", order_col="doc_id")
+
+    def cap(b: pa.Table) -> pa.Table:
+        keep = b["rank"].to_numpy() < _DOMAIN_CAP
+        return b.filter(pa.array(keep))
+
+    return ranked.map_batches(cap, batch_format="pyarrow",
+                              batch_size=None)
+
+
+SQL_DOMAIN_CAP = f"""
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1
+             AS rank
+  FROM documents
+)
+SELECT doc_id, source, rank FROM ranked WHERE rank < {_DOMAIN_CAP}
+"""
