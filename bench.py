@@ -179,11 +179,17 @@ def run_queries() -> dict[str, float]:
         if name.startswith("images_"):
             continue  # covered by the headline
         t0 = time.perf_counter()
-        res = fn(SF_DIR)
-        import ray.data
-        if isinstance(res, ray.data.Dataset):
-            res.count()
-        out[name] = round(time.perf_counter() - t0, 3)
+        try:
+            res = fn(SF_DIR)
+            import ray.data
+            if isinstance(res, ray.data.Dataset):
+                res.count()
+            out[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not
+            # kill the whole sweep (the driver records this JSON line)
+            import sys
+            print(f"bench: query {name} FAILED: {exc!r}", file=sys.stderr)
+            out[name] = -1.0
     return out
 
 
