@@ -184,7 +184,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mbtiles_join": _q.q_mbtiles_join,
         "tile_archive": _q.q_tile_archive,
         # kNN / top-k finalize (tree-reduce this round)
-        "knn_brute": _q.q_knn_brute,
         # joins + vector tiling (edge-case fixes this round)
         "string_join": _q.q_string_join,
         # image training-prep + data mixing (round 4b)
@@ -201,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_search_indexed": _tq.q_text_search_indexed,
         "bloom_semi_join": _q.q_bloom_semi_join,
         "domain_cap": _tq.q_domain_cap,
+        "coverage_audit": _mq.q_coverage_audit,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
         "ann_ivf": _dq.q_ann_ivf,
@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mbtiles_sink": _q.q_mbtiles_sink,
         "vector_tiling": _vq.q_vector_tiling,
         "topk_orders": _q.q_topk_orders,
+        "knn_brute": _q.q_knn_brute,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "text_search_indexed": _tq.SQL_TEXT_SEARCH_INDEXED,
         "bloom_semi_join": _q.SQL_BLOOM_SEMI_JOIN,
         "domain_cap": _tq.SQL_DOMAIN_CAP,
+        "coverage_audit": _mq.SQL_COVERAGE_AUDIT,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -255,3 +255,74 @@ def q_psnr_audit(sf_dir: str) -> ray.data.Dataset:
         return fixtures.make_tile_pixels(src)
 
     return psnr_audit(images, original_of=original_of)
+
+
+def q_coverage_audit(sf_dir: str) -> ray.data.Dataset:
+    """Tile-coverage gap audit over the image corpus: which cells of the
+    lod-level grid have NO tile — the completeness check a tiling
+    pipeline runs before publishing a layer. The expected-cell side is
+    GENERATED distributed (ray.data.range over the grid, never a driver
+    list); present cells come from the corpus tile addresses; the gap is
+    a broadcast anti-join (present-cell keys are one int64 per tile
+    address — bounded by the grid, not the corpus)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..stages.joins import broadcast_semi_join
+
+    path = fixtures.images_path_for(sf_dir)
+    n = fixtures.count_rows(path)
+    lod = fixtures.lod_for_count(n)
+    side = 1 << lod
+
+    imgs = ray.data.read_parquet(path, columns=["image_id"])
+
+    def present(b: pa.Table) -> pa.Table:
+        idx = np.array([int(s[4:]) for s in b["image_id"].to_pylist()],
+                       dtype=np.int64)
+        x = idx % side
+        y = (idx // side) % side
+        return pa.table({"cell": pa.array(np.unique(y * side + x))})
+
+    # distinct present cells, collected as ONE int64 array bounded by
+    # the grid size (side^2), not the corpus
+    pres = imgs.map_batches(present, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    keys = np.unique(pres["cell"].to_numpy(dtype=np.int64))
+
+    grid = ray.data.range(side * side).map_batches(
+        lambda b: pa.table({"cell": pa.array(
+            b["id"].to_numpy().astype(np.int64))}),
+        batch_format="pyarrow", batch_size=None)
+    gaps = broadcast_semi_join(grid, keys, "cell", anti=True)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        c = b["cell"].to_numpy()
+        return pa.table({
+            "tile_x": pa.array(c % side),
+            "tile_y": pa.array(c // side),
+        })
+
+    return gaps.map_batches(unpack, batch_format="pyarrow",
+                            batch_size=None)
+
+
+def _sql_coverage_audit() -> str:
+    # pinned to the sf0.01 gate fixture grid (lod 6 -> 64x64, 4000 tiles)
+    side = 64
+    return f"""
+WITH grid AS (
+  SELECT (g.x // {side}) AS ty, (g.x % {side}) AS tx
+  FROM (SELECT UNNEST(generate_series(0, {side * side - 1})) AS x) g
+), present AS (
+  SELECT DISTINCT
+         ((CAST(substring(image_id, 5) AS BIGINT) // {side}) % {side}) AS ty,
+         (CAST(substring(image_id, 5) AS BIGINT) % {side}) AS tx
+  FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet')
+)
+SELECT CAST(g.tx AS BIGINT) AS tile_x, CAST(g.ty AS BIGINT) AS tile_y
+FROM grid g ANTI JOIN present p ON g.tx = p.tx AND g.ty = p.ty
+"""
+
+
+SQL_COVERAGE_AUDIT = _sql_coverage_audit()
