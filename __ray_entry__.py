@@ -201,9 +201,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q.q_bloom_semi_join,
         "domain_cap": _tq.q_domain_cap,
         "coverage_audit": _mq.q_coverage_audit,
+        "focal_sum": _wq.q_focal_sum,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
-        "ann_ivf": _dq.q_ann_ivf,
         "ann_ivf_indexed": _dq.q_ann_ivf_indexed,
         # --- round-4 additions land here (window tail) ---
         "warp_cubic": _wq.q_warp_cubic,
@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vector_tiling": _vq.q_vector_tiling,
         "topk_orders": _q.q_topk_orders,
         "knn_brute": _q.q_knn_brute,
+        "ann_ivf": _dq.q_ann_ivf,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -342,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semi_join": _q.SQL_BLOOM_SEMI_JOIN,
         "domain_cap": _tq.SQL_DOMAIN_CAP,
         "coverage_audit": _mq.SQL_COVERAGE_AUDIT,
+        "focal_sum": _wq.SQL_FOCAL_SUM,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

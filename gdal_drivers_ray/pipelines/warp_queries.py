@@ -514,3 +514,27 @@ def _sql_warp_mode() -> str:
 
 
 SQL_WARP_MODE = _sql_warp_mode()
+
+
+def q_focal_sum(sf_dir: str) -> ray.data.Dataset:
+    """3x3 focal sum over a tiled varying raster via the halo exchange
+    (stages/focal.py): each tile ships only its 1-px border strips to
+    the 8 neighbors; per-tile integer checksums are hash-checked
+    against the whole-raster stencil."""
+    from ..stages import focal as F
+
+    nx, ny = 770, 520          # ragged edge tiles in both axes
+    tiles = _tiles_of(_varying_raster(nx, ny))
+    out = F.focal_sum3(tiles, nx=nx, ny=ny, nodata=-1.0)
+    return _tile_stats(out)
+
+
+def _sql_focal_sum() -> str:
+    from ..stages import focal as F
+
+    nx, ny = 770, 520
+    out = F.focal_sum3_oracle(_varying_raster(nx, ny), nodata=-1.0)
+    return _oracle_tile_stats_sql(out, -(-nx // TILE), -(-ny // TILE))
+
+
+SQL_FOCAL_SUM = _sql_focal_sum()

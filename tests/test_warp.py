@@ -322,3 +322,30 @@ def test_mode_tie_breaks_to_smallest():
     dg = W.RasterGrid(Extents(0.0, 0.0, 4.0, 4.0), "local", 1, 1)
     out = W.warp_oracle(src, sg, dg, "mode", nodata=-1.0)
     assert out[0, 0] == 1.0  # 1 and 9 each appear 8 times -> smallest wins
+
+
+def test_focal_sum_halo_exchange_matches_oracle(ray_session):
+    """Tiled 3x3 focal sum (1-px border-strip halo exchange) == the
+    whole-raster stencil, including ragged edge tiles; the raster's
+    outer ring is nodata."""
+    from gdal_drivers_ray.stages import focal as F
+
+    ny, nx = 300, 520
+    src = _int_src(ny, nx)
+    tiles = _tiles_from_array(src)
+    out = F.focal_sum3(tiles, nx=nx, ny=ny, nodata=-1.0)
+    grid = W.RasterGrid(Extents(0.0, 0.0, float(nx), float(ny)),
+                        "local", nx, ny)
+    got = _assemble(out, grid, -1.0)
+    want = F.focal_sum3_oracle(src, -1.0)
+    np.testing.assert_array_equal(got, want)
+    assert (got[0] == -1.0).all() and (got[:, 0] == -1.0).all()
+    assert (got[1:-1, 1:-1] != -1.0).all()
+
+
+def test_focal_sum_tiny_raster():
+    """A raster thinner than the stencil is all nodata."""
+    from gdal_drivers_ray.stages import focal as F
+
+    out = F.focal_sum3_oracle(np.ones((2, 5)), -9.0)
+    assert (out == -9.0).all()
