@@ -180,7 +180,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "images_lod_rollup": _images_lod_rollup,
         "images_parent_rollup": _images_parent_rollup,
         # keyed-lookup family (Arrow-native blob path this round)
-        "tms_join": _q.q_tms_join,
         "mbtiles_join": _q.q_mbtiles_join,
         "tile_archive": _q.q_tile_archive,
         # kNN / top-k finalize (tree-reduce this round)
@@ -202,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_cap": _tq.q_domain_cap,
         "coverage_audit": _mq.q_coverage_audit,
         "focal_sum": _wq.q_focal_sum,
+        "raster_cc": _wq.q_raster_cc,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
         "ann_ivf_indexed": _dq.q_ann_ivf_indexed,
@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": _q.q_topk_orders,
         "knn_brute": _q.q_knn_brute,
         "ann_ivf": _dq.q_ann_ivf,
+        "tms_join": _q.q_tms_join,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -344,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _tq.SQL_DOMAIN_CAP,
         "coverage_audit": _mq.SQL_COVERAGE_AUDIT,
         "focal_sum": _wq.SQL_FOCAL_SUM,
+        "raster_cc": _wq.SQL_RASTER_CC,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -538,3 +538,29 @@ def _sql_focal_sum() -> str:
 
 
 SQL_FOCAL_SUM = _sql_focal_sum()
+
+
+def q_raster_cc(sf_dir: str) -> ray.data.Dataset:
+    """Connected components of a thresholded tiled raster (region
+    labeling across tile seams): local run-min labeling, seam-group
+    equivalence edges, distributed min-label propagation, per-component
+    exact pixel counts (stages/cc.py)."""
+    from ..stages.cc import raster_cc
+
+    nx, ny = 770, 520
+    tiles = _tiles_of(_varying_raster(nx, ny))
+    return raster_cc(tiles, nx=nx, ny=ny, threshold=140.0)
+
+
+def _sql_raster_cc() -> str:
+    from ..stages.cc import raster_cc_oracle
+
+    comp = raster_cc_oracle(_varying_raster(770, 520), 140.0)
+    values = ",\n    ".join(f"({k}, {v})" for k, v in sorted(comp.items()))
+    return f"""
+SELECT CAST(component AS BIGINT) AS component, CAST(n_px AS BIGINT) AS n_px
+FROM (VALUES {values}) t(component, n_px)
+"""
+
+
+SQL_RASTER_CC = _sql_raster_cc()

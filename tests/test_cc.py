@@ -1,0 +1,61 @@
+"""Raster connected components: local labeling kernel + distributed
+seam stitching vs the whole-raster oracle."""
+
+import numpy as np
+import ray.data
+
+from gdal_drivers_ray.grid import TILE
+from gdal_drivers_ray.stages.cc import (label_mask, raster_cc,
+                                        raster_cc_oracle)
+
+
+def _tiles(src):
+    ny, nx = src.shape
+    rows = []
+    for ty in range(-(-ny // TILE)):
+        for tx in range(-(-nx // TILE)):
+            vw = min(TILE, nx - tx * TILE)
+            vh = min(TILE, ny - ty * TILE)
+            blk = np.zeros((TILE, TILE))
+            blk[:vh, :vw] = src[ty * TILE:ty * TILE + vh,
+                                tx * TILE:tx * TILE + vw]
+            rows.append({"lod": 0, "band": 0, "tile_x": tx, "tile_y": ty,
+                         "valid_w": vw, "valid_h": vh, "dtype": "float64",
+                         "px": blk.tobytes()})
+    return ray.data.from_items(rows)
+
+
+def test_label_mask_spiral():
+    """A spiral needs many propagation rounds — the run-min fixpoint
+    must still label it as ONE component."""
+    n = 21
+    m = np.zeros((n, n), bool)
+    m[0, :] = True; m[:, -1] = True; m[-1, :] = True
+    m[2:, 0] = True; m[2, :n - 2] = True; m[2:n - 2, n - 3] = True
+    g = (np.arange(n * n).reshape(n, n)).astype(np.int64)
+    lab = label_mask(m, g)
+    assert len(np.unique(lab[m])) == 1
+    assert lab[m].min() == g[m].min()
+
+
+def test_raster_cc_matches_oracle_random(ray_session):
+    rng = np.random.default_rng(13)
+    src = rng.integers(0, 2, (300, 520)).astype(np.float64) * 200.0
+    got = raster_cc(_tiles(src).repartition(4), nx=520, ny=300,
+                    threshold=100.0).to_pandas()
+    want = raster_cc_oracle(src, 100.0)
+    gd = dict(zip(got["component"].astype(int), got["n_px"].astype(int)))
+    assert gd == want
+
+
+def test_raster_cc_component_spanning_four_tiles(ray_session):
+    """A plus-shaped component crossing both seams around (256, 256)
+    resolves to one label = its min pixel id."""
+    src = np.zeros((520, 520))
+    src[250:262, 200:320] = 255.0     # horizontal bar across x-seam 256
+    src[200:320, 250:262] = 255.0     # vertical bar across y-seam 256
+    got = raster_cc(_tiles(src), nx=520, ny=520,
+                    threshold=100.0).to_pandas()
+    assert len(got) == 1
+    assert int(got["component"].iloc[0]) == 200 * 520 + 250
+    assert int(got["n_px"].iloc[0]) == int((src >= 100.0).sum())
