@@ -189,7 +189,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_norm_stats": _mq.q_image_norm_stats,
         "ar_buckets": _mq.q_ar_buckets,
         "interleave_sources": _tq.q_interleave_sources,
-        "stratified_sample": _tq.q_stratified_sample,
         "tfidf_top": _tq.q_tfidf_top,
         "epoch_shuffle": _tq.q_epoch_shuffle,
         "wds_export": _mq.q_wds_export,
@@ -202,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_audit": _mq.q_coverage_audit,
         "focal_sum": _wq.q_focal_sum,
         "raster_cc": _wq.q_raster_cc,
+        "simplify_lines": _vq.q_simplify_lines,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
         "ann_ivf_indexed": _dq.q_ann_ivf_indexed,
@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": _q.q_knn_brute,
         "ann_ivf": _dq.q_ann_ivf,
         "tms_join": _q.q_tms_join,
+        "stratified_sample": _tq.q_stratified_sample,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_audit": _mq.SQL_COVERAGE_AUDIT,
         "focal_sum": _wq.SQL_FOCAL_SUM,
         "raster_cc": _wq.SQL_RASTER_CC,
+        "simplify_lines": _vq.SQL_SIMPLIFY_LINES,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -220,3 +220,65 @@ FROM (VALUES {values}) t(col, row, layer, n)
 
 
 SQL_VECTOR_TILING = _sql_vector_tiling()
+
+
+def _simplify_fixture(n_features: int = 200, n_pts: int = 120):
+    """Deterministic integer polylines: a drifting walk with occasional
+    sharp turns, parameterized by feature index — collinear stretches
+    make DP genuinely drop points, kinks make it keep them."""
+    import numpy as np
+
+    feats = []
+    for f in range(n_features):
+        t = np.arange(n_pts, dtype=np.int64)
+        xs = 5 * t + ((t * (f + 3)) % 11 == 0) * ((t * 7 + f) % 13)
+        ys = 3 * t + ((t * (f + 5)) % 7 == 0) * ((t * 5 + f) % 17) \
+            + (f % 9) * (t // 10)
+        feats.append((f, xs.tolist(), ys.tolist()))
+    return feats
+
+
+def q_simplify_lines(sf_dir: str) -> "ray.data.Dataset":
+    """Douglas-Peucker simplification (stages/simplify.py) over the
+    deterministic polyline fixture at integer tolerance 3: per-feature
+    counts + an exact kept-vertex checksum, so WHICH vertices survive is
+    hash-pinned, not just how many. Integer-exact criterion (cross^2 vs
+    tol^2*len^2) — no floats anywhere."""
+    import pyarrow as pa
+    import ray.data
+
+    from ..stages.simplify import simplify_lines
+
+    feats = _simplify_fixture()
+    t = pa.table({
+        "feature_id": pa.array([f for f, _, _ in feats], pa.int64()),
+        "xs": pa.array([x for _, x, _ in feats], pa.list_(pa.int64())),
+        "ys": pa.array([y for _, _, y in feats], pa.list_(pa.int64())),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = simplify_lines(ds, tol=3)
+    return out.select_columns(["feature_id", "n_before", "n_after",
+                               "kept_idx_checksum"])
+
+
+def _sql_simplify_lines() -> str:
+    from ..stages.simplify import dp_keep_mask
+    import numpy as np
+
+    rows = []
+    for f, xs, ys in _simplify_fixture():
+        keep = dp_keep_mask(np.asarray(xs), np.asarray(ys), 3)
+        idx = np.flatnonzero(keep).astype(np.int64)
+        rows.append(f"({f}, {len(xs)}, {int(keep.sum())}, "
+                    f"{int(((idx + 1) * (idx + 7)).sum())})")
+    values = ",\n    ".join(rows)
+    return f"""
+SELECT CAST(feature_id AS BIGINT) AS feature_id,
+       CAST(n_before AS BIGINT) AS n_before,
+       CAST(n_after AS BIGINT) AS n_after,
+       CAST(kept_idx_checksum AS BIGINT) AS kept_idx_checksum
+FROM (VALUES {values}) t(feature_id, n_before, n_after, kept_idx_checksum)
+"""
+
+
+SQL_SIMPLIFY_LINES = _sql_simplify_lines()

@@ -59,3 +59,41 @@ def test_raster_cc_component_spanning_four_tiles(ray_session):
     assert len(got) == 1
     assert int(got["component"].iloc[0]) == 200 * 520 + 250
     assert int(got["n_px"].iloc[0]) == int((src >= 100.0).sum())
+
+
+def test_dp_keep_mask_properties():
+    """DP invariants: endpoints always kept; tol=0 keeps every
+    non-collinear vertex; huge tol keeps only endpoints; collinear runs
+    always drop; result is reconstruction-accurate within tol."""
+    from gdal_drivers_ray.stages.simplify import dp_keep_mask
+
+    # straight line -> endpoints only at any tol
+    xs = np.arange(50, dtype=np.int64) * 3
+    ys = np.arange(50, dtype=np.int64) * 2
+    k = dp_keep_mask(xs, ys, 0)
+    assert k.sum() == 2 and k[0] and k[-1]
+    # one kink at index 25 with offset 10 -> kept for tol < 10, dropped
+    # for tol >= 10
+    ys2 = ys.copy(); ys2[25] += 10
+    assert dp_keep_mask(xs, ys2, 3)[25]
+    assert not dp_keep_mask(xs, ys2, 12)[25]
+    # zigzag: tol=0 keeps everything
+    zz = np.array([0, 1, 0, 1, 0, 1], dtype=np.int64)
+    assert dp_keep_mask(np.arange(6, dtype=np.int64), zz, 0).all()
+    # closed ring (a == b endpoints) doesn't crash and keeps the far point
+    cx = np.array([0, 10, 10, 0, 0], dtype=np.int64)
+    cy = np.array([0, 0, 10, 10, 0], dtype=np.int64)
+    kk = dp_keep_mask(cx, cy, 2)
+    assert kk[0] and kk[-1] and kk.sum() >= 4
+    # max perpendicular error of the simplified chain is <= tol
+    rng = np.random.default_rng(5)
+    xs3 = np.cumsum(rng.integers(1, 4, 80)).astype(np.int64)
+    ys3 = rng.integers(0, 30, 80).astype(np.int64)
+    tol = 5
+    keep = dp_keep_mask(xs3, ys3, tol)
+    ki = np.flatnonzero(keep)
+    for a, b in zip(ki[:-1], ki[1:]):
+        dx, dy = xs3[b] - xs3[a], ys3[b] - ys3[a]
+        for j in range(a + 1, b):
+            cross = (xs3[j] - xs3[a]) * dy - (ys3[j] - ys3[a]) * dx
+            assert cross * cross <= tol * tol * (dx * dx + dy * dy)
