@@ -190,7 +190,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ar_buckets": _mq.q_ar_buckets,
         "interleave_sources": _tq.q_interleave_sources,
         "tfidf_top": _tq.q_tfidf_top,
-        "epoch_shuffle": _tq.q_epoch_shuffle,
         "wds_export": _mq.q_wds_export,
         "psnr_audit": _mq.q_psnr_audit,
         "gopher_filter": _tq.q_gopher_filter,
@@ -202,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_sum": _wq.q_focal_sum,
         "raster_cc": _wq.q_raster_cc,
         "simplify_lines": _vq.q_simplify_lines,
+        "kmeans_fit": _dq.q_kmeans_fit,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
         "ann_ivf_indexed": _dq.q_ann_ivf_indexed,
@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": _dq.q_ann_ivf,
         "tms_join": _q.q_tms_join,
         "stratified_sample": _tq.q_stratified_sample,
+        "epoch_shuffle": _tq.q_epoch_shuffle,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -348,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "focal_sum": _wq.SQL_FOCAL_SUM,
         "raster_cc": _wq.SQL_RASTER_CC,
         "simplify_lines": _vq.SQL_SIMPLIFY_LINES,
+        "kmeans_fit": _od.sql_kmeans_fit(),
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -216,3 +216,26 @@ FROM read_parquet('/tmp/graft_fixtures/sf0.01/images_4000/part-*.parquet')
 GROUP BY phash
 HAVING count(*) > 1
 """
+
+
+def q_kmeans_fit(sf_dir: str):
+    """Fully distributed Lloyd k-means over the embeddings table
+    (stages/kmeans.py): per-iteration driver state is the k x (dim+1)
+    statistics table only. Output: per-cell final counts + an exact
+    integer centroid checksum (quantized coordinates), bit-identical to
+    the straight-line oracle on any block layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from ..stages.kmeans import _Q, kmeans_fit
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    cent, counts = kmeans_fit(emb, k=8, n_iter=4)
+    cq = np.round(cent * _Q).astype(np.int64).sum(axis=1)
+    return pd.DataFrame({
+        "cell": np.arange(8, dtype=np.int64),
+        "n_vecs": counts.astype(np.int64),
+        "cent_q_sum": cq,
+    })

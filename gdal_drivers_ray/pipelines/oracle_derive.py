@@ -431,3 +431,23 @@ def sql_psnr_audit() -> str:
         "fmt, CAST(n_images AS BIGINT) AS n_images, "
         "CAST(n_px AS BIGINT) AS n_px, CAST(sse AS BIGINT) AS sse, "
         "CAST(n_below_bar AS BIGINT) AS n_below_bar")
+
+
+def sql_kmeans_fit(sf_dir: str = _SF) -> str:
+    """Straight-line Lloyd over the in-memory embedding matrix (same
+    deterministic quantized kernel): the distributed per-iteration
+    assign/reduce must land on bit-identical centroids."""
+    from ..stages.kmeans import _Q, kmeans_fit_oracle
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())
+    vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[order]
+    cent, counts = kmeans_fit_oracle(vecs, k=8, n_iter=4)
+    cq = np.round(cent * _Q).astype(np.int64).sum(axis=1)
+    rows = [f"({c}, {int(n)}, {int(q)})"
+            for c, (n, q) in enumerate(zip(counts, cq))]
+    return _values_sql(rows, "cell, n_vecs, cent_q_sum",
+                       "CAST(cell AS BIGINT) AS cell, "
+                       "CAST(n_vecs AS BIGINT) AS n_vecs, "
+                       "CAST(cent_q_sum AS BIGINT) AS cent_q_sum")

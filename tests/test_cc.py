@@ -97,3 +97,26 @@ def test_dp_keep_mask_properties():
         for j in range(a + 1, b):
             cross = (xs3[j] - xs3[a]) * dy - (ys3[j] - ys3[a]) * dx
             assert cross * cross <= tol * tol * (dx * dx + dy * dy)
+
+
+def test_kmeans_distributed_bit_equals_oracle(ray_session):
+    """Distributed Lloyd == straight-line oracle BIT-FOR-BIT on any
+    block layout (exact quantized sums + fixed-order score loop)."""
+    import pyarrow as pa
+    from gdal_drivers_ray.stages.kmeans import kmeans_fit, kmeans_fit_oracle
+
+    rng = np.random.default_rng(3)
+    n, dim, k = 300, 16, 5
+    vecs = rng.normal(size=(n, dim))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    for parts in (2, 9):
+        c, cnt = kmeans_fit(ray.data.from_arrow(t).repartition(parts),
+                            k=k, n_iter=3)
+        co, cnto = kmeans_fit_oracle(vecs, k=k, n_iter=3)
+        assert np.array_equal(c, co)
+        assert np.array_equal(cnt, cnto)
+    assert cnt.sum() == n
