@@ -85,6 +85,8 @@ def raster_cc(tiles: ray.data.Dataset, *, nx: int, ny: int,
         lbl_out, n_out = [], []
         seam_out, pos_out, side_lab = [], [], []
         for i in range(b.num_rows):
+            band = int(b["band"][i].as_py()) if "band" in b.column_names \
+                else 0
             tx = int(b["tile_x"][i].as_py())
             ty = int(b["tile_y"][i].as_py())
             vw = int(b["valid_w"][i].as_py())
@@ -94,7 +96,10 @@ def raster_cc(tiles: ray.data.Dataset, *, nx: int, ny: int,
                 .reshape(TILE, TILE)[:vh, :vw]
             mask = blk.astype(np.float64) >= threshold
             yy, xx = np.mgrid[0:vh, 0:vw]
-            gids = ((yy + ty * TILE).astype(np.int64) * nx
+            # gids namespace by BAND: components of different bands must
+            # never share labels (band b pixel (x, y) -> b*nx*ny + ...)
+            gids = (np.int64(band) * nx * ny
+                    + (yy + ty * TILE).astype(np.int64) * nx
                     + (xx + tx * TILE))
             lab = label_mask(mask, gids)
             # per-tile partial counts
@@ -106,18 +111,21 @@ def raster_cc(tiles: ray.data.Dataset, *, nx: int, ny: int,
             # LEFT/TOP contributions to the neighbor's seams
             edges = []
             gx0, gy0 = tx * TILE, ty * TILE
+            bk = np.int64(band) << 40   # seams never cross bands
             if gx0 + vw < nx:                       # right edge -> seam x
-                edges.append((2 * (gx0 + vw), gy0 + yy[:, -1][mask[:, -1]],
+                edges.append((bk | (2 * (gx0 + vw)),
+                              gy0 + yy[:, -1][mask[:, -1]],
                               lab[:, -1][mask[:, -1]]))
             if gx0 > 0:                             # left edge -> seam x
-                edges.append((2 * gx0, gy0 + yy[:, 0][mask[:, 0]],
+                edges.append((bk | (2 * gx0), gy0 + yy[:, 0][mask[:, 0]],
                               lab[:, 0][mask[:, 0]]))
             if gy0 + vh < ny:                       # bottom edge -> seam y
-                edges.append((2 * (gy0 + vh) + 1,
+                edges.append((bk | (2 * (gy0 + vh) + 1),
                               gx0 + xx[-1, :][mask[-1, :]],
                               lab[-1, :][mask[-1, :]]))
             if gy0 > 0:                             # top edge -> seam y
-                edges.append((2 * gy0 + 1, gx0 + xx[0, :][mask[0, :]],
+                edges.append((bk | (2 * gy0 + 1),
+                              gx0 + xx[0, :][mask[0, :]],
                               lab[0, :][mask[0, :]]))
             for key, pos, lb in edges:
                 seam_out.append(np.full(len(pos), key, dtype=np.int64))
@@ -184,10 +192,17 @@ def raster_cc(tiles: ray.data.Dataset, *, nx: int, ny: int,
                               num_partitions=num_partitions)
 
         def fill(b: pa.Table) -> pa.Table:
-            lab = b["lab"].to_numpy(zero_copy_only=False)
+            import pyarrow.compute as pc
+            col = b["lab"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            # Arrow validity bitmap, NOT a float64 round-trip: labels
+            # past 2^53 would round in the float cast
+            miss = pc.is_null(col).to_numpy(zero_copy_only=False)
             own = b["lbl"].to_numpy()
-            lab = np.where(np.isnan(lab.astype(np.float64)), own,
-                           lab).astype(np.int64)
+            lab = np.where(miss, own,
+                           pc.fill_null(col, 0)
+                           .to_numpy(zero_copy_only=False)).astype(np.int64)
             return pa.table({"lbl": b["lbl"], "n": b["n"],
                              "lab": pa.array(lab)})
 

@@ -77,7 +77,10 @@ def focal_sum3(tiles: ray.data.Dataset, *, nx: int, ny: int,
     def emit(b: pa.Table) -> pa.Table:
         dtx, dty, kind = [], [], []
         px, vws, vhs, srcdx, srcdy = [], [], [], [], []
+        lods, bands = [], []
         for i in range(b.num_rows):
+            lod = int(b["lod"][i].as_py())
+            band = int(b["band"][i].as_py())
             tx = int(b["tile_x"][i].as_py())
             ty = int(b["tile_y"][i].as_py())
             vw = int(b["valid_w"][i].as_py())
@@ -87,6 +90,7 @@ def focal_sum3(tiles: ray.data.Dataset, *, nx: int, ny: int,
                 .reshape(TILE, TILE)
             # the tile itself
             dtx.append(tx); dty.append(ty); kind.append(0)
+            lods.append(lod); bands.append(band)
             px.append(blk[:vh, :vw].astype(np.float64).tobytes())
             vws.append(vw); vhs.append(vh); srcdx.append(0); srcdy.append(0)
             # border strips to the 8 neighbors that exist
@@ -94,12 +98,15 @@ def focal_sum3(tiles: ray.data.Dataset, *, nx: int, ny: int,
                 qx, qy = tx + ddx, ty + ddy
                 if 0 <= qx < ntx and 0 <= qy < nty:
                     dtx.append(qx); dty.append(qy); kind.append(1)
+                    lods.append(lod); bands.append(band)
                     px.append(np.ascontiguousarray(
                         strip.astype(np.float64)).tobytes())
                     vws.append(strip.shape[1]); vhs.append(strip.shape[0])
                     srcdx.append(-ddx)   # where the strip sits, seen
                     srcdy.append(-ddy)   # from the DESTINATION tile
         return pa.table({
+            "lod": pa.array(lods, pa.int32()),
+            "band": pa.array(bands, pa.int32()),
             "dst_tx": pa.array(dtx, pa.int32()),
             "dst_ty": pa.array(dty, pa.int32()),
             "kind": pa.array(kind, pa.int8()),
@@ -110,7 +117,22 @@ def focal_sum3(tiles: ray.data.Dataset, *, nx: int, ny: int,
             "px": pa.array(px, pa.large_binary()),
         })
 
+    _EMPTY = pa.table({
+        "lod": pa.array([], pa.int32()), "band": pa.array([], pa.int32()),
+        "tile_x": pa.array([], pa.int32()),
+        "tile_y": pa.array([], pa.int32()),
+        "valid_w": pa.array([], pa.int32()),
+        "valid_h": pa.array([], pa.int32()),
+        "dtype": pa.array([], pa.string()),
+        "px": pa.array([], pa.large_binary()),
+    })
+
     def assemble(g: pa.Table) -> pa.Table:
+        kinds = g["kind"].to_numpy()
+        if not (kinds == 0).any():
+            # a sparse tileset: neighbor strips alone must NOT conjure a
+            # phantom output tile the input never had
+            return _EMPTY
         tx = int(g["dst_tx"][0].as_py())
         ty = int(g["dst_ty"][0].as_py())
         vw = min(TILE, nx - tx * TILE)
@@ -141,8 +163,8 @@ def focal_sum3(tiles: ray.data.Dataset, *, nx: int, ny: int,
         block = np.full((TILE, TILE), nodata, dtype=np.float64)
         block[:vh, :vw] = out
         return pa.table({
-            "lod": pa.array([0], pa.int32()),
-            "band": pa.array([0], pa.int32()),
+            "lod": pa.array([int(g["lod"][0].as_py())], pa.int32()),
+            "band": pa.array([int(g["band"][0].as_py())], pa.int32()),
             "tile_x": pa.array([tx], pa.int32()),
             "tile_y": pa.array([ty], pa.int32()),
             "valid_w": pa.array([vw], pa.int32()),
@@ -152,5 +174,5 @@ def focal_sum3(tiles: ray.data.Dataset, *, nx: int, ny: int,
         })
 
     return tiles.map_batches(emit, batch_format="pyarrow") \
-        .groupby(["dst_tx", "dst_ty"]).map_groups(assemble,
-                                                  batch_format="pyarrow")
+        .groupby(["lod", "band", "dst_tx", "dst_ty"]) \
+        .map_groups(assemble, batch_format="pyarrow")

@@ -14,10 +14,11 @@ any block layout and in a straight-line re-derivation):
   accumulation is exact integer math in any association order;
 - centroids are exact-int sums divided by (count * 2^20) in float64 —
   one deterministic division per coordinate;
-- assignment scores accumulate dimension-by-dimension in a FIXED-order
-  loop (never a BLAS matmul, whose reduction order can vary with
-  operand shape), so a row's score is bit-identical whether its block
-  holds 10 rows or 10^6;
+- assignment uses negated squared Euclidean distance (2 v.c - c.c; the
+  per-row ||v||^2 constant drops out of the argmax) accumulated
+  dimension-by-dimension in a FIXED-order loop (never a BLAS matmul,
+  whose reduction order can vary with operand shape), so a row's score
+  is bit-identical whether its block holds 10 rows or 10^6;
 - ties break to the lowest cell id (argmax on the score matrix).
 """
 
@@ -35,14 +36,25 @@ def _quantize(vecs: np.ndarray) -> np.ndarray:
     return np.round(vecs.astype(np.float64) * _Q).astype(np.int64)
 
 
-def _scores(vq: np.ndarray, cent: np.ndarray) -> np.ndarray:
-    """(n, k) dot-product scores with a fixed dimension-order
-    accumulation — deterministic for any batch size."""
+def _neg_dist2(vq: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) NEGATED squared-Euclidean scores (argmax == nearest
+    centroid): -||v - c||^2 + ||v||^2 = 2 v.c - c.c — the per-row
+    constant ||v||^2 drops out of the argmax, so it is never computed.
+    A raw dot-product argmax would only be nearest-centroid for
+    normalized vectors (the IVF/cosine path); Lloyd centroids are means
+    and NOT unit vectors, so the metric must be Euclidean. vq carries
+    the quantization scale (vq = Q*v), so the c.c term scales by Q to
+    stay commensurate: argmax_c (2*vq.c - Q*c.c) = argmax_c
+    (2Q*(v.c) - Q*(c.c)) = argmin_c ||v - c||^2. Fixed dimension-order
+    accumulation — deterministic for any batch size (never a BLAS
+    matmul, whose reduction order can vary with operand shape)."""
     n, dim = vq.shape
-    out = np.zeros((n, cent.shape[0]), dtype=np.float64)
+    cross = np.zeros((n, cent.shape[0]), dtype=np.float64)
+    cc = np.zeros(cent.shape[0], dtype=np.float64)
     for j in range(dim):
-        out += vq[:, j:j + 1].astype(np.float64) * cent[None, :, j]
-    return out
+        cross += vq[:, j:j + 1].astype(np.float64) * cent[None, :, j]
+        cc += cent[:, j] * cent[:, j]
+    return 2.0 * cross - float(_Q) * cc[None, :]
 
 
 def kmeans_fit(emb: ray.data.Dataset, *, k: int = 8, n_iter: int = 5,
@@ -50,11 +62,32 @@ def kmeans_fit(emb: ray.data.Dataset, *, k: int = 8, n_iter: int = 5,
                vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
     """-> (centroids float64 (k, dim), counts int64 (k,)) after n_iter
     Lloyd iterations. Init: the k vectors with the smallest ids (fetched
-    via a bounded filter — ids are dense in the fixture; pass a
-    different init upstream for sparse id spaces)."""
-    seed_rows = emb.filter(lambda r: r[id_col] < k).take_all()
-    seed_rows.sort(key=lambda r: r[id_col])
-    cent = np.stack([_quantize(np.asarray(r[vec_col], dtype=np.float64))
+    via a bounded vectorized filter — ids are dense in the fixture; pass
+    a different init upstream for sparse id spaces).
+
+    The quantized vectors MATERIALIZE once up front (int64 blobs in the
+    object store, spillable); the iteration loop re-reads that narrow
+    dataset, never the source parquet — n_iter passes over cached
+    blocks, one pass over the input."""
+
+    def quant_rows(b: pa.Table) -> pa.Table:
+        vq = _quantize(np.stack(
+            b[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64))
+        return pa.table({
+            "vec_id": b[id_col],
+            "vq": pa.array([v.tobytes() for v in vq], pa.large_binary()),
+        })
+
+    narrow = emb.map_batches(quant_rows, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def keep_seeds(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(b["vec_id"].to_numpy() < k))
+
+    seed_rows = narrow.map_batches(keep_seeds, batch_format="pyarrow",
+                                   batch_size=None).take_all()
+    seed_rows.sort(key=lambda r: r["vec_id"])
+    cent = np.stack([np.frombuffer(r["vq"], dtype=np.int64)
                      for r in seed_rows]).astype(np.float64) / _Q
     dim = cent.shape[1]
 
@@ -63,10 +96,9 @@ def kmeans_fit(emb: ray.data.Dataset, *, k: int = 8, n_iter: int = 5,
 
         def partial(b: pa.Table) -> pa.Table:
             c = ray.get(cref)
-            vecs = np.stack(b[vec_col].to_numpy(zero_copy_only=False)) \
-                .astype(np.float64)
-            vq = _quantize(vecs)
-            assign = np.argmax(_scores(vq, c), axis=1)
+            vq = np.stack([np.frombuffer(x, dtype=np.int64)
+                           for x in b["vq"].to_pylist()])
+            assign = np.argmax(_neg_dist2(vq, c), axis=1)
             cells, cnts = np.unique(assign, return_counts=True)
             sums = np.zeros((len(cells), vq.shape[1]), dtype=np.int64)
             for i, cell in enumerate(cells):
@@ -88,7 +120,7 @@ def kmeans_fit(emb: ray.data.Dataset, *, k: int = 8, n_iter: int = 5,
                 "sums": pa.array([acc.tobytes()], pa.large_binary()),
             })
 
-        stats = emb.map_batches(partial, batch_format="pyarrow") \
+        stats = narrow.map_batches(partial, batch_format="pyarrow") \
             .groupby("cell").map_groups(merge, batch_format="pyarrow") \
             .take_all()                      # k rows, bounded
         counts = np.zeros(k, dtype=np.int64)
@@ -113,7 +145,7 @@ def kmeans_fit_oracle(vecs: np.ndarray, *, k: int = 8,
     cent = vq[:k].astype(np.float64) / _Q
     counts = np.zeros(k, dtype=np.int64)
     for _ in range(n_iter):
-        assign = np.argmax(_scores(vq, cent), axis=1)
+        assign = np.argmax(_neg_dist2(vq, cent), axis=1)
         new = cent.copy()
         counts = np.zeros(k, dtype=np.int64)
         for c in range(k):

@@ -72,9 +72,9 @@ def simplify_lines(features: ray.data.Dataset, *, tol: int,
                    ) -> ray.data.Dataset:
     """Per-feature DP simplification of list<int64> coordinate columns:
     -> (feature_id, n_before, n_after, kept_xs, kept_ys,
-    kept_idx_checksum). The checksum is sum((i+1) * 31^min(i,9)-free):
-    a simple exact integer rolling sum of kept indices, enough to pin
-    WHICH vertices survived (not just how many)."""
+    kept_idx_checksum). The checksum is sum((i+1) * (i+7)) over the kept
+    vertex indices i — an exact integer that pins WHICH vertices
+    survived (not just how many)."""
 
     def f(b: pa.Table) -> pa.Table:
         ids = b[id_col].to_numpy()

@@ -120,3 +120,64 @@ def test_kmeans_distributed_bit_equals_oracle(ray_session):
         assert np.array_equal(c, co)
         assert np.array_equal(cnt, cnto)
     assert cnt.sum() == n
+
+
+def test_focal_multiband_separated_and_no_phantoms(ray_session):
+    """Two bands of the same tile grid stay separate through the halo
+    exchange, and a sparse tileset emits NO phantom tiles."""
+    from gdal_drivers_ray.stages.focal import focal_sum3, focal_sum3_oracle
+
+    ny = nx = 300
+    src0 = np.full((ny, nx), 1.0)
+    src1 = np.full((ny, nx), 10.0)
+    rows = []
+    for band, src in ((0, src0), (1, src1)):
+        for ty in range(-(-ny // TILE)):
+            for tx in range(-(-nx // TILE)):
+                if band == 1 and (tx, ty) == (1, 1):
+                    continue                  # sparse: band 1 misses a tile
+                vw = min(TILE, nx - tx * TILE)
+                vh = min(TILE, ny - ty * TILE)
+                blk = np.zeros((TILE, TILE))
+                blk[:vh, :vw] = src[ty * TILE:ty * TILE + vh,
+                                    tx * TILE:tx * TILE + vw]
+                rows.append({"lod": 0, "band": band, "tile_x": tx,
+                             "tile_y": ty, "valid_w": vw, "valid_h": vh,
+                             "dtype": "float64", "px": blk.tobytes()})
+    out = focal_sum3(ray.data.from_items(rows).repartition(5),
+                     nx=nx, ny=ny, nodata=-1.0).to_pandas()
+    # band 0: full 2x2 tile grid present in the output; band 1: 3 tiles
+    assert len(out[out["band"] == 0]) == 4
+    assert len(out[out["band"] == 1]) == 3      # no phantom (1,1)
+    # interior values never mix bands: 9*1 for band 0, 9*10 for band 1
+    for _, r in out.iterrows():
+        a = np.frombuffer(r["px"], dtype=np.float64).reshape(TILE, TILE)
+        vals = a[(a != -1.0)]
+        want = 9.0 if r["band"] == 0 else 90.0
+        assert (vals == want).all()
+
+
+def test_raster_cc_multiband_no_merge(ray_session):
+    """The same mask in two bands yields two DISJOINT component sets
+    (band-namespaced gids + band-keyed seams)."""
+    src = np.zeros((300, 300))
+    src[100:150, 100:150] = 255.0
+    rows = []
+    for band in (0, 1):
+        for ty in range(2):
+            for tx in range(2):
+                vw = min(TILE, 300 - tx * TILE)
+                vh = min(TILE, 300 - ty * TILE)
+                blk = np.zeros((TILE, TILE))
+                blk[:vh, :vw] = src[ty * TILE:ty * TILE + vh,
+                                    tx * TILE:tx * TILE + vw]
+                rows.append({"lod": 0, "band": band, "tile_x": tx,
+                             "tile_y": ty, "valid_w": vw, "valid_h": vh,
+                             "dtype": "float64", "px": blk.tobytes()})
+    out = raster_cc(ray.data.from_items(rows), nx=300, ny=300,
+                    threshold=100.0).to_pandas()
+    assert len(out) == 2                          # one component PER BAND
+    assert sorted(out["n_px"]) == [2500, 2500]
+    comps = sorted(out["component"].astype(int))
+    assert comps[0] == 100 * 300 + 100            # band 0 namespace
+    assert comps[1] == 1 * 300 * 300 + 100 * 300 + 100   # band 1
