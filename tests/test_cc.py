@@ -181,3 +181,39 @@ def test_raster_cc_multiband_no_merge(ray_session):
     comps = sorted(out["component"].astype(int))
     assert comps[0] == 100 * 300 + 100            # band 0 namespace
     assert comps[1] == 1 * 300 * 300 + 100 * 300 + 100   # band 1
+
+
+def test_kmeans_is_actually_lloyd():
+    """Algorithmic-intent pins the shared-kernel oracle cannot give
+    (the dot-product-metric bug hash-PASSED): (1) assignment is truly
+    nearest-centroid under Euclidean distance, including against a
+    large-norm decoy centroid; (2) Lloyd inertia is non-increasing
+    across iterations."""
+    from gdal_drivers_ray.stages.kmeans import (_Q, _neg_dist2, _quantize,
+                                                kmeans_fit_oracle)
+
+    # (1) large-norm decoy: points near the small centroid must NOT be
+    # stolen by the far, big-norm one (a raw dot-product argmax steals)
+    vq = _quantize(np.array([[0.2, 0.0], [0.1, 0.1]]))
+    cent = np.array([[0.15, 0.05], [10.0, 10.0]])
+    assign = np.argmax(_neg_dist2(vq, cent), axis=1)
+    assert (assign == 0).all()
+    # exhaustive: random points/centroids, compare to brute-force argmin
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(200, 8))
+    c = rng.normal(size=(6, 8)) * rng.uniform(0.1, 5.0, (6, 1))
+    got = np.argmax(_neg_dist2(_quantize(v), c), axis=1)
+    vquant = _quantize(v).astype(np.float64) / _Q
+    d2 = ((vquant[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+    assert (got == np.argmin(d2, axis=1)).all()
+
+    # (2) monotone inertia over the oracle's iterations
+    vecs = rng.normal(size=(300, 8))
+    vquant = _quantize(vecs).astype(np.float64) / _Q
+    prev = np.inf
+    for it in range(1, 6):
+        cent, _ = kmeans_fit_oracle(vecs, k=4, n_iter=it)
+        d2 = ((vquant[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        inertia = d2.min(axis=1).sum()
+        assert inertia <= prev + 1e-9
+        prev = inertia
