@@ -193,7 +193,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top": _tq.q_tfidf_top,
         "wds_export": _mq.q_wds_export,
         "psnr_audit": _mq.q_psnr_audit,
-        "gopher_filter": _tq.q_gopher_filter,
         "adaptive_cut": _tq.q_adaptive_cut,
         "text_search_indexed": _tq.q_text_search_indexed,
         "bloom_semi_join": _q.q_bloom_semi_join,
@@ -203,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_cc": _wq.q_raster_cc,
         "simplify_lines": _vq.q_simplify_lines,
         "kmeans_fit": _dq.q_kmeans_fit,
+        "curation_pipeline": _tq.q_curation_pipeline,
         # dedup suite + ANN (simhash_dedup, r3 driver-green and untouched,
         # rotates past 50 for the round-4b ops)
         "ann_ivf_indexed": _dq.q_ann_ivf_indexed,
@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tms_join": _q.q_tms_join,
         "stratified_sample": _tq.q_stratified_sample,
         "epoch_shuffle": _tq.q_epoch_shuffle,
+        "gopher_filter": _tq.q_gopher_filter,
         "weighted_blend": _q.q_weighted_blend,
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
@@ -351,6 +352,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_cc": _wq.SQL_RASTER_CC,
         "simplify_lines": _vq.SQL_SIMPLIFY_LINES,
         "kmeans_fit": _od.sql_kmeans_fit(),
+        "curation_pipeline": _tq.SQL_CURATION_PIPELINE,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,

@@ -606,3 +606,120 @@ WITH ranked AS (
 )
 SELECT doc_id, source, rank FROM ranked WHERE rank < {_DOMAIN_CAP}
 """
+
+
+def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
+    """End-to-end corpus curation — the composition showcase: Gopher
+    quality filter -> exact dedup (keep min doc_id per 40-char content
+    key) -> per-language stratified sample -> per-source corpus stats.
+    Every stage is the engine's own op (stages/text.gopher_filter,
+    groupby-Min keeper semantics of dedup_exact, stages/mix.
+    stratified_sample); the SQL twin composes the same four stages, so
+    a drift in ANY stage or in how they chain hash-fails."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min, Sum
+
+    from ..stages.mix import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"])
+
+    # stage 1: quality filter — the same integer signals and thresholds
+    # as stages/text.gopher_filter, fused with the projection so text is
+    # read exactly once
+    def quality(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        n_tok = np.empty(n, dtype=np.int64)
+        n_uniq = np.empty(n, dtype=np.int64)
+        wchars = np.empty(n, dtype=np.int64)
+        for i, t in enumerate(b["text"].to_pylist()):
+            ws = t.split(" ")
+            n_tok[i] = len(ws)
+            n_uniq[i] = len(set(ws))
+            wchars[i] = len(t) - (len(ws) - 1)
+        mean_wl = 1000 * wchars // np.maximum(n_tok, 1)
+        uniq_pm = 1000 * n_uniq // np.maximum(n_tok, 1)
+        keep = (n_tok >= T.GOPHER_MIN_TOK) & (n_tok <= T.GOPHER_MAX_TOK) \
+            & (mean_wl >= T.GOPHER_MIN_MEAN_WL_MILLI) \
+            & (mean_wl <= T.GOPHER_MAX_MEAN_WL_MILLI) \
+            & (uniq_pm >= T.GOPHER_MIN_UNIQ_PERMILLE)
+        out = b.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": out["doc_id"],
+            "lang": out["lang"],
+            "source": out["source"],
+            "content_key": pc.utf8_slice_codeunits(out["text"], 0, 40),
+        })
+
+    kept = docs.map_batches(quality, batch_format="pyarrow",
+                            batch_size=None)
+
+    # stage 2: exact dedup — keeper = min doc_id per content key; carry
+    # lang/source via a keyed reduce (Min doc_id picks the keeper row)
+    keepers = kept.groupby("content_key").aggregate(
+        Min("doc_id", alias_name="doc_id"))
+    # rejoin the keeper's attributes (semi-join on keeper ids — the key
+    # set is corpus-bounded but the gate corpus is small; at scale this
+    # is the cogroup path)
+    import ray as _ray
+
+    ids = keepers.to_pandas()["doc_id"].to_numpy()
+    from ..stages.joins import broadcast_semi_join
+    surv = broadcast_semi_join(kept.map_batches(
+        lambda b: b.drop_columns(["content_key"]),
+        batch_format="pyarrow", batch_size=None), ids, "doc_id")
+
+    # stage 3: per-language stratified sample (shared rates table)
+    samp = stratified_sample(surv, stratum_col="lang", id_col="doc_id",
+                             rates_permille=_STRATA_PERMILLE)
+
+    # stage 4: per-source corpus stats
+    def ones(b: pa.Table) -> pa.Table:
+        return pa.table({"source": b["source"],
+                         "n": pa.array(np.ones(b.num_rows, np.int64)),
+                         "id_sum": b["doc_id"]})
+
+    return samp.map_batches(ones, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby("source").aggregate(Sum("n", alias_name="n_docs"),
+                                     Sum("id_sum", alias_name="id_sum"))
+
+
+def _sql_curation_pipeline() -> str:
+    rates = " ".join(f"WHEN '{k}' THEN {v}"
+                     for k, v in sorted(_STRATA_PERMILLE.items()))
+    return f"""
+WITH sig AS (
+  SELECT doc_id, lang, source, substring(text, 1, 40) AS content_key,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT)
+             AS n_uniq,
+         CAST(strlen(text) - (length(string_split(text, ' ')) - 1)
+              AS BIGINT) AS wchars
+  FROM documents
+), kept AS (
+  SELECT doc_id, lang, source, content_key
+  FROM sig
+  WHERE n_tok BETWEEN {T.GOPHER_MIN_TOK} AND {T.GOPHER_MAX_TOK}
+    AND (1000 * wchars // greatest(n_tok, 1))
+        BETWEEN {T.GOPHER_MIN_MEAN_WL_MILLI} AND {T.GOPHER_MAX_MEAN_WL_MILLI}
+    AND (1000 * n_uniq // greatest(n_tok, 1))
+        >= {T.GOPHER_MIN_UNIQ_PERMILLE}
+), dedup AS (
+  SELECT doc_id, lang, source FROM (
+    SELECT *, row_number() OVER (PARTITION BY content_key
+                                 ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+), samp AS (
+  SELECT * FROM dedup
+  WHERE (CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296 % 1000
+        < CASE lang {rates} ELSE 0 END
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM samp GROUP BY source
+"""
+
+
+SQL_CURATION_PIPELINE = _sql_curation_pipeline()
