@@ -662,13 +662,17 @@ def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
     # rejoin the keeper's attributes (semi-join on keeper ids — the key
     # set is corpus-bounded but the gate corpus is small; at scale this
     # is the cogroup path)
-    import ray as _ray
+    # rejoin keeper attributes through the cogroup exchange — the keeper
+    # id set is distinct-content-key-sized (grows with the corpus), so it
+    # must NEVER collect to the driver; keeper ids are unique by
+    # construction (one Min per content key), so the inner merge is a
+    # semi-join
+    from ..stages.joins import cogroup_join
 
-    ids = keepers.to_pandas()["doc_id"].to_numpy()
-    from ..stages.joins import broadcast_semi_join
-    surv = broadcast_semi_join(kept.map_batches(
-        lambda b: b.drop_columns(["content_key"]),
-        batch_format="pyarrow", batch_size=None), ids, "doc_id")
+    surv = cogroup_join(
+        kept.map_batches(lambda b: b.drop_columns(["content_key"]),
+                         batch_format="pyarrow", batch_size=None),
+        keepers.select_columns(["doc_id"]), on="doc_id", how="inner")
 
     # stage 3: per-language stratified sample (shared rates table)
     samp = stratified_sample(surv, stratum_col="lang", id_col="doc_id",
