@@ -75,9 +75,22 @@ def set_push_based_shuffle(on: bool = True) -> bool:
     return the previous value. Pull-based is the single-box default (the
     round-3 A/B measured no local advantage for push; on a real cluster
     push-based avoids the n_map x n_reduce fetch matrix crossing the
-    network, so flip this ON when nodes > 1)."""
+    network, so flip this ON when nodes > 1). Uses the current
+    ``shuffle_strategy`` API when present (``use_push_based_shuffle`` is
+    deprecated and may become a no-op on a Ray upgrade), falling back to
+    the legacy flag on older Ray."""
     from ray.data import DataContext
     ctx = DataContext.get_current()
+    try:
+        from ray.data.context import ShuffleStrategy
+    except ImportError:
+        ShuffleStrategy = None
+    if ShuffleStrategy is not None and hasattr(ctx, "shuffle_strategy"):
+        prev = ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        ctx.shuffle_strategy = (
+            ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED if on
+            else ShuffleStrategy.SORT_SHUFFLE_PULL_BASED)
+        return prev
     prev = bool(getattr(ctx, "use_push_based_shuffle", False))
     ctx.use_push_based_shuffle = on
     return prev

@@ -270,23 +270,21 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
 
     def join_part(g: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        # split sides IN ARROW before pandas: converting the union with its
-        # other-side nulls would upcast int64 keys to float64 and corrupt
-        # keys above 2^53
+        # split sides IN ARROW and merge IN ARROW (Acero hash join): the
+        # former pandas merge forced a full columnar->object round-trip
+        # per partition and was the measured superlinear term in the
+        # partition-size sweep; it also upcast int64 keys to float64 via
+        # the union's other-side nulls unless split first. use_threads
+        # stays off so one reducer task costs one CPU, as scheduled.
         l = g.filter(pc.equal(g["_side"], 0)) \
-            .select(["l__" + c for c in lcols]) \
-            .rename_columns(lcols).to_pandas()
+            .select(["l__" + c for c in lcols]).rename_columns(lcols)
         r = g.filter(pc.equal(g["_side"], 1)) \
-            .select(["r__" + c for c in rcols]) \
-            .rename_columns(rcols).to_pandas()
-        if same_key:
-            m = l.merge(r, on=on, how=how, suffixes=("", suffix))
-        else:
-            m = l.merge(r, left_on=on, right_on=rk, how=how,
-                        suffixes=("", suffix))
-        m = m[out_names]
-        return pa.Table.from_pandas(m, schema=out_schema,
-                                    preserve_index=False)
+            .select(["r__" + c for c in rcols]).rename_columns(rcols)
+        m = l.join(r, keys=[on], right_keys=[rk],
+                   join_type="inner" if how == "inner" else "left outer",
+                   right_suffix=suffix, coalesce_keys=same_key,
+                   use_threads=False)
+        return m.select(out_names).cast(out_schema)
 
     # Ray Data quirk outside this operator's control: empty partitions
     # emit SCHEMALESS empty blocks and Ray SKIPS map UDFs on empty
@@ -603,15 +601,15 @@ def range_join(points: ray.data.Dataset, intervals,
         b1 = int(np.ceil(hi[i] / bucket_width))
         for b in range(b0, max(b1, b0 + 1)):
             buckets[b].append(i)
-    ref = ray.put((dict(buckets), intervals))
+    # the broadcast carries the interval table as ARROW so the probe's
+    # fan-out is two zero-copy takes, not a pandas round-trip per batch
+    iv_tab = pa.Table.from_pandas(intervals, preserve_index=False)
+    ref = ray.put((dict(buckets), iv_tab, lo, hi))
 
     def probe(batch: pa.Table) -> pa.Table:
-        bks, iv = ray.get(ref)
-        df = batch.to_pandas()
-        v = df[value_col].to_numpy()
+        bks, iv, ilo, ihi = ray.get(ref)
+        v = batch[value_col].to_numpy()
         pb = np.floor(v / bucket_width).astype(np.int64)
-        ilo = iv[lo_col].to_numpy()
-        ihi = iv[hi_col].to_numpy()
         # candidate intervals = union over buckets present in this batch;
         # then one vectorized containment mask per candidate interval
         cand = sorted({i for b in np.unique(pb) for i in bks.get(int(b), ())})
@@ -623,17 +621,14 @@ def range_join(points: ray.data.Dataset, intervals,
                 idx = np.nonzero(m)[0]
                 out_p.append(idx)
                 out_i.append(np.full(len(idx), i, dtype=np.int64))
-        if not out_p:
-            return pa.Table.from_pandas(
-                pd.concat([df.iloc[:0].reset_index(drop=True),
-                           iv.iloc[:0].reset_index(drop=True)], axis=1),
-                preserve_index=False)
-        pi = np.concatenate(out_p)
-        ii = np.concatenate(out_i)
-        left = df.iloc[pi].reset_index(drop=True)
-        right = iv.iloc[ii].reset_index(drop=True)
-        return pa.Table.from_pandas(pd.concat([left, right], axis=1),
-                                    preserve_index=False)
+        empty = np.array([], dtype=np.int64)
+        pi = np.concatenate(out_p) if out_p else empty
+        ii = np.concatenate(out_i) if out_i else empty
+        left = batch.take(pa.array(pi))
+        right = iv.take(pa.array(ii))
+        cols = dict(zip(left.column_names, left.columns))
+        cols.update(zip(right.column_names, right.columns))
+        return pa.table(cols)
 
     return points.map_batches(probe, batch_format="pyarrow",
                               batch_size=None)
@@ -703,6 +698,17 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
     rk = right_on or on
     import ray as _ray
 
+    def uniq_keys(b: pa.Table) -> pa.Table:
+        return pa.table({rk: pa.array(np.unique(
+            b[rk].to_numpy().astype(np.int64)))})
+
+    # ONE scan of the (potentially wide) right side: project each block to
+    # its distinct keys and materialize the narrow int64 stream; BOTH the
+    # bitmap funnel and the exact verify's distinct-key side derive from
+    # it, so the right input is read once (it used to be scanned twice).
+    rkeys = right.map_batches(uniq_keys, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
     def partial_bitmap(b: pa.Table) -> pa.Table:
         bm = np.zeros(m_bits // 8, dtype=np.uint8)
         keys = np.unique(b[rk].to_numpy().astype(np.int64))
@@ -728,7 +734,7 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
     # fan-in, then 1): bitmaps are m_bits/8 bytes each, so the last task
     # sees at most 64 of them no matter how many input blocks exist; the
     # driver receives only the final one. Blocks never move.
-    final = right.map_batches(partial_bitmap, batch_format="pyarrow",
+    final = rkeys.map_batches(partial_bitmap, batch_format="pyarrow",
                               batch_size=None) \
         .repartition(64) \
         .map_batches(or_bitmaps, batch_format="pyarrow",
@@ -736,6 +742,18 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
         .repartition(1) \
         .map_batches(or_bitmaps, batch_format="pyarrow",
                      batch_size=None).take_all()
+    if not final:
+        # empty right side (or all blocks emptied upstream): Ray skips
+        # map UDFs on empty blocks, so the funnel yields nothing — and a
+        # semi-join against an empty right keeps nothing. Return an empty
+        # dataset with the cogroup output schema instead of crashing.
+        lsch = _arrow_schema(left)
+        fields = [(c, lsch.field(c).type) for c in lsch.names]
+        if rk != on:
+            name = rk + "_r" if rk in lsch.names else rk
+            fields.append((name, pa.int64()))
+        return ray.data.from_arrow(pa.table(
+            {n: pa.array([], t) for n, t in fields}))
     bref = _ray.put(np.frombuffer(final[0]["bm"], dtype=np.uint8))
 
     def prefilter(b: pa.Table) -> pa.Table:
@@ -750,18 +768,12 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
                                  batch_size=None)
 
     # exact verify on the (small) surviving stream: distinct right keys
-    # (per-block unique, then per-PARTITION unique — partitioned_groups,
-    # not per-key dispatch), then the cogroup exchange. Distinctness
-    # matters: a duplicated right key would duplicate left rows in the
-    # inner merge.
-    def uniq_keys(b: pa.Table) -> pa.Table:
-        return pa.table({rk: pa.array(np.unique(
-            b[rk].to_numpy().astype(np.int64)))})
-
+    # (per-block unique from the SAME materialized key stream, then
+    # per-PARTITION unique — partitioned_groups, not per-key dispatch),
+    # then the cogroup exchange. Distinctness matters: a duplicated right
+    # key would duplicate left rows in the inner merge.
     rdistinct = partitioned_groups(
-        right.map_batches(uniq_keys, batch_format="pyarrow",
-                          batch_size=None), [rk],
-        num_partitions=num_partitions or 64) \
+        rkeys, [rk], num_partitions=num_partitions or 64) \
         .map_groups(uniq_keys, batch_format="pyarrow")
     return cogroup_join(survivors, rdistinct, on=on, right_on=rk,
                         how="inner", num_partitions=num_partitions)

@@ -45,6 +45,11 @@ def distributed_rank(ds: ray.data.Dataset, *, part_col: str,
         from ..config import cluster_parallelism
         n_range_buckets = max(64, 8 * cluster_parallelism())
     max_order = ds.max(order_col)
+    if max_order is None:   # empty input: rank of nothing is nothing
+        return ds.map_batches(
+            lambda b: b.append_column(
+                out_col, pa.array(np.zeros(b.num_rows, np.int64))),
+            batch_format="pyarrow", batch_size=None)
     width = max(1, (int(max_order) + n_range_buckets) // n_range_buckets)
 
     def add_rb(b: pa.Table) -> pa.Table:

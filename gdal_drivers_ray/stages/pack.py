@@ -71,6 +71,11 @@ def pack_sequences(docs: ray.data.Dataset, *, ctx: int = 2048,
     if bucket_width is None:
         from ..config import cluster_parallelism
         max_id = narrow0.max("doc_id")   # cheap: the materialized narrow
+        if max_id is None:   # empty corpus packs to an empty result
+            return ray.data.from_arrow(pa.table({
+                c: pa.array([], pa.int64())
+                for c in ("doc_id", "n_tok", "start_off", "first_pack",
+                          "last_pack", "n_packs")}))
         n_buckets = max(64, 8 * cluster_parallelism())
         bucket_width = max(1, (int(max_id) + n_buckets) // n_buckets)
 

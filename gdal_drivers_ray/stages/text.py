@@ -328,9 +328,15 @@ def _fused_term_topk(docs, *, k: int, text_col: str, source_col: str,
 
     def tag_both(b: pa.Table) -> pa.Table:
         # ONE tokenize pass per block feeds both partial kinds: tf rows
-        # carry the real source, df rows the "" sentinel (no real source
-        # is empty)
+        # carry the real source, df rows the "" sentinel — enforced below:
+        # an actually-empty source value would merge its tf rows into the
+        # df side and corrupt both counts
         src = b[source_col].to_pylist()
+        if "" in src:
+            raise ValueError(
+                "term-statistics source column contains an empty string, "
+                "which collides with the df-partial sentinel; rename the "
+                "empty source before calling top_terms/tfidf_terms")
         texts = b[text_col].to_pylist()
         s_out: list = []
         t_out: list = []

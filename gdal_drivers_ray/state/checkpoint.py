@@ -136,6 +136,13 @@ def compact_parquet(src_dir: str, out_dir: str, *,
         raise ValueError("compact_parquet: src_dir == out_dir (the atomic "
                          "swap would race the streaming read); write to a "
                          "sibling dir and rotate")
+    # Recover from a crash inside a previous rotation: if out_dir vanished
+    # between its os.replace(out_dir, .compact-old) and the promotion of
+    # .compact-tmp, the old contents still live under .compact-old —
+    # restore them before compacting so out_dir is never silently lost.
+    _old = out_dir + ".compact-old"
+    if not os.path.exists(out_dir) and os.path.exists(_old):
+        os.replace(_old, out_dir)
     files = [os.path.join(src_dir, f) for f in sorted(os.listdir(src_dir))
              if f.endswith(".parquet")]
     if not files:
@@ -148,8 +155,10 @@ def compact_parquet(src_dir: str, out_dir: str, *,
     shutil.rmtree(tmp, ignore_errors=True)
     ray.data.read_parquet(files).repartition(n_out).write_parquet(tmp)
     # Rotate, don't delete-then-rename: a crash between rmtree and the
-    # rename would leave out_dir missing entirely. With a rotation the
-    # destination is always either the old contents or the new ones.
+    # rename would leave the old contents unrecoverable. There is still a
+    # window between the two os.replace calls where out_dir is missing,
+    # but the contents survive in .compact-old and the entry guard above
+    # restores them on the next call.
     old = out_dir + ".compact-old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.exists(out_dir):

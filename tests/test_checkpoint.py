@@ -56,3 +56,30 @@ def test_compact_parquet_over_existing_out_dir(ray_session, tmp_path):
     got = ray.data.read_parquet(out).to_pandas()
     assert sorted(got["k"]) == [0, 1, 2, 3] and "stale" not in got
     assert not os.path.exists(out + ".compact-old")
+
+
+def test_compact_parquet_recovers_interrupted_rotation(ray_session,
+                                                       tmp_path):
+    """If a previous compaction crashed between its two os.replace calls
+    (out_dir gone, contents surviving under .compact-old), the next call
+    restores the old contents before compacting — the data is never lost."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gdal_drivers_ray.state.checkpoint import compact_parquet
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    src.mkdir()
+    t = pa.table({"x": pa.array(range(10), pa.int64())})
+    pq.write_table(t, src / "a.parquet")
+    # simulate the crash window: out_dir missing, old contents rotated away
+    old = str(out) + ".compact-old"
+    os.makedirs(old)
+    pq.write_table(t, os.path.join(old, "survivor.parquet"))
+    assert not out.exists()
+    res = compact_parquet(str(src), str(out), rows_per_file=100)
+    assert res["rows"] == 10 and out.exists()
+    assert not os.path.exists(old)   # consumed by the rotation

@@ -41,9 +41,11 @@ def test_push_based_shuffle_toggle():
     prev = C.set_push_based_shuffle(True)
     try:
         from ray.data import DataContext
-        assert DataContext.get_current().use_push_based_shuffle is True
+        from ray.data.context import ShuffleStrategy
+        ctx = DataContext.get_current()
+        assert ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
         assert C.set_push_based_shuffle(False) is True
-        assert DataContext.get_current().use_push_based_shuffle is False
+        assert ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     finally:
         C.set_push_based_shuffle(prev)
 

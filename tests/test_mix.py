@@ -199,3 +199,79 @@ def test_bloom_semi_join_exact_and_prefilter_effective(ray_session):
     for pos in _bloom_positions(keys, m, k):
         probe &= (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
     assert probe.all()    # no false negatives, ever
+
+
+def test_bloom_semi_join_empty_right(ray_session):
+    """A semi-join against an empty right side (here: emptied by an
+    upstream filter, so Ray skips the bitmap UDFs on every block) returns
+    an empty dataset with the left schema instead of crashing."""
+    from gdal_drivers_ray.stages.joins import bloom_semi_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(100, dtype=np.int64)),
+        "v": pa.array(np.arange(100, dtype=np.int64))}))
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(50, dtype=np.int64))})) \
+        .filter(lambda r: False)
+    out = bloom_semi_join(left, right, on="k")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"k", "v"}
+
+
+def test_bloom_semi_join_reads_right_once(ray_session):
+    """The round-5 single-pass build: the right input's blocks are scanned
+    exactly once (the bitmap funnel and the distinct-key side both derive
+    from the same materialized narrow key stream)."""
+    from gdal_drivers_ray.stages.joins import bloom_semi_join
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def bump(self, k: int) -> None:
+            self.n += k
+
+        def get(self) -> int:
+            return self.n
+
+    c = Counter.remote()
+
+    def spy(b: pa.Table) -> pa.Table:
+        ray.get(c.bump.remote(b.num_rows))
+        return b
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(200, dtype=np.int64))})).repartition(4)
+    right = ray.data.from_arrow(pa.table({
+        "k": pa.array(np.arange(0, 400, 2, dtype=np.int64))})) \
+        .repartition(4) \
+        .map_batches(spy, batch_format="pyarrow", batch_size=None)
+    out = bloom_semi_join(left, right, on="k").to_pandas()
+    assert sorted(out["k"].tolist()) == list(range(0, 200, 2))
+    assert ray.get(c.get.remote()) == 200   # 200 right rows, seen once
+
+
+def test_distributed_rank_empty_input(ray_session):
+    """Empty input short-circuits (ds.max() is None) to an empty ranked
+    output instead of a TypeError."""
+    from gdal_drivers_ray.stages.mix import distributed_rank
+
+    ds = ray.data.from_arrow(pa.table({
+        "p": pa.array([], pa.string()),
+        "o": pa.array([], pa.int64())}))
+    out = distributed_rank(ds, part_col="p", order_col="o")
+    assert out.count() == 0
+
+
+def test_pack_sequences_empty_corpus(ray_session):
+    """An empty corpus packs to an empty result (derived bucket width has
+    no max doc_id to derive from)."""
+    from gdal_drivers_ray.stages.pack import pack_sequences
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string())}))
+    out = pack_sequences(ds, ctx=16)
+    assert out.count() == 0
+    assert "n_packs" in out.schema().names

@@ -273,3 +273,20 @@ def test_pack_sequences_derived_bucket_width(ray_session):
     b = pack_sequences(docs, ctx=32, bucket_width=11).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_term_topk_rejects_empty_source(ray_session):
+    """An actually-empty source value collides with the df-partial
+    sentinel and must be rejected up front, not silently merged."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import top_terms
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "source": pa.array(["web", ""], pa.string()),
+        "text": pa.array(["a b", "c d"], pa.string())}))
+    with pytest.raises(Exception, match="empty string"):
+        top_terms(docs, k=2).to_pandas()
