@@ -626,18 +626,10 @@ def q_curation_pipeline(sf_dir: str) -> ray.data.Dataset:
         columns=["doc_id", "text", "lang", "source"])
 
     # stage 1: quality filter — the same integer signals and thresholds
-    # as stages/text.gopher_filter, fused with the projection so text is
-    # read exactly once
+    # as stages/text.gopher_filter (the shared vectorized kernel), fused
+    # with the projection so text is read exactly once
     def quality(b: pa.Table) -> pa.Table:
-        n = b.num_rows
-        n_tok = np.empty(n, dtype=np.int64)
-        n_uniq = np.empty(n, dtype=np.int64)
-        wchars = np.empty(n, dtype=np.int64)
-        for i, t in enumerate(b["text"].to_pylist()):
-            ws = t.split(" ")
-            n_tok[i] = len(ws)
-            n_uniq[i] = len(set(ws))
-            wchars[i] = len(t) - (len(ws) - 1)
+        n_tok, n_uniq, wchars = T.token_signals(b["text"])
         mean_wl = 1000 * wchars // np.maximum(n_tok, 1)
         uniq_pm = 1000 * n_uniq // np.maximum(n_tok, 1)
         keep = (n_tok >= T.GOPHER_MIN_TOK) & (n_tok <= T.GOPHER_MAX_TOK) \
