@@ -159,18 +159,41 @@ def salted_cell_keys(cells: np.ndarray, hot_cells: np.ndarray,
     return cells * n_salts + salt
 
 
-def _hot_cells_of(counts: "pd.DataFrame", num_partitions: int,
-                  hot_threshold: Optional[int], what: str) -> np.ndarray:
-    """Partition-size accounting -> hot cell ids (stages/skew.py pattern:
-    the pre-pass is column-pruned and its result is metadata-scale)."""
+_HOT_CAP = 4096  # driver hot-cell table bound, independent of 4^lod
+
+
+def _hot_cells_of(counts: ray.data.Dataset, num_partitions: int,
+                  hot_threshold: Optional[int], what: str,
+                  cap: int = _HOT_CAP) -> np.ndarray:
+    """Partition-size accounting -> hot cell ids, DISTRIBUTED (stages/
+    skew.py pattern, but the per-cell histogram never lands on the driver:
+    at lod >= 13 over a dense corpus it holds tens of millions of rows).
+    total -> threshold -> distributed filter(n > thr) -> per-block top-cap
+    partials -> driver final top-cap. With the default threshold (4x the
+    mean partition share) at most num_partitions/4 cells can exceed it, so
+    the cap only bites on user-supplied thresholds; the driver table is
+    O(cap) in every case. Salting is a partitioning optimization, so
+    dropping over-cap hot cells never changes results."""
     import sys
-    total = int(counts["n"].sum()) if len(counts) else 0
+    counts = counts.materialize()   # metadata-scale; reused for sum+filter
+    total = int(counts.sum("n") or 0)
     thr = hot_threshold if hot_threshold is not None \
         else max((4 * total) // max(num_partitions, 1), 1024)
-    hot = counts.loc[counts["n"] > thr, "cell"].to_numpy(np.int64)
+    hot_ds = counts.filter(expr=f"n > {thr}")
+
+    def topcap(b: pa.Table) -> pa.Table:
+        if b.num_rows <= cap:
+            return b
+        idx = np.argpartition(b["n"].to_numpy(), -cap)[-cap:]
+        return b.take(pa.array(idx, type=pa.int64()))
+
+    rows = hot_ds.map_batches(topcap, batch_format="pyarrow").take_all()
+    hot = np.array([r["cell"] for r in rows], dtype=np.int64)
+    if len(hot) > cap:
+        n = np.array([r["n"] for r in rows], dtype=np.int64)
+        hot = hot[np.argpartition(n, -cap)[-cap:]]
     if len(hot):
-        print(f"[skew] {what}: {len(hot)} hot cells (> {thr} rows) of "
-              f"{len(counts)}; max {int(counts['n'].max())}",
+        print(f"[skew] {what}: {len(hot)} hot cells (> {thr} rows)",
               file=sys.stderr)
     return hot
 
@@ -209,8 +232,7 @@ def pip_join_shuffle(points: ray.data.Dataset, polygons: ray.data.Dataset,
                          "n": pa.array(cnt.astype(np.int64))})
 
     counts = (points.map_batches(cell_counts, batch_format="pyarrow")
-              .groupby("cell").aggregate(Sum("n", alias_name="n"))
-              .to_pandas())
+              .groupby("cell").aggregate(Sum("n", alias_name="n")))
     hot = _hot_cells_of(counts, num_partitions, hot_threshold, "pip points")
     hot_ref = ray.put(hot)
 
@@ -320,6 +342,9 @@ def _csr_expand(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return shift + np.arange(total, dtype=np.int64)
 
 
+_KNN_MAX_HIST_LOD = 10  # 4^10 cells x 16 B ~= 16 MiB driver-side index
+
+
 def knn_kring(points: ray.data.Dataset, queries: pd.DataFrame, *, k: int,
               world: Extents, lod: int = 5,
               x_col: str = "x", y_col: str = "y", id_col: str = "point_id",
@@ -354,6 +379,12 @@ def knn_kring(points: ray.data.Dataset, queries: pd.DataFrame, *, k: int,
     """
     from ray.data.aggregate import Sum
 
+    # The pruning grid is an optimization knob: pass 3/4 compute true
+    # distances, so ANY lod yields exact kNN — finer only prunes harder.
+    # Cap it so the driver-side index (one row per non-empty cell, plus
+    # O(B x n_cells) accept work per query block) stays bounded no matter
+    # the requested LOD; at lod <= the cap behavior is bit-identical.
+    lod = min(lod, _KNN_MAX_HIST_LOD)
     side = 1 << lod
     cw = world.width / side
     ch = world.height / side
@@ -643,8 +674,7 @@ def zonal_stats_shuffle(tiles: ray.data.Dataset, polygons: ray.data.Dataset,
                          "n": pa.array(cnt.astype(np.int64))})
 
     counts = (polygons.map_batches(cover_counts, batch_format="pyarrow")
-              .groupby("cell").aggregate(Sum("n", alias_name="n"))
-              .to_pandas())
+              .groupby("cell").aggregate(Sum("n", alias_name="n")))
     hot = _hot_cells_of(counts, num_partitions, hot_threshold,
                         "zonal polygon cover")
     hot_ref = ray.put(hot)

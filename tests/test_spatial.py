@@ -430,3 +430,51 @@ def test_zonal_shuffle_salted_hot_cell(ray_session):
         .sort_values("poly_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     assert len(want) == 30
+
+
+def test_hot_cells_distributed_cap(ray_session):
+    """The hot-cell detector never returns more than `cap` cells and picks
+    the largest ones; the per-cell histogram stays off the driver."""
+    import ray
+
+    from gdal_drivers_ray.stages.spatial import _hot_cells_of
+
+    counts = ray.data.from_arrow(pa.table({
+        "cell": pa.array(np.arange(100, dtype=np.int64)),
+        "n": pa.array(np.arange(1, 101, dtype=np.int64) * 10)}))
+    # explicit low threshold: every cell qualifies; cap must bite
+    hot = _hot_cells_of(counts, num_partitions=4, hot_threshold=0,
+                        what="test", cap=7)
+    assert len(hot) == 7
+    assert set(hot.tolist()) == set(range(93, 100))  # the 7 largest n
+    # default threshold (4x mean share) bounds the count by construction
+    hot2 = _hot_cells_of(counts, num_partitions=4, hot_threshold=None,
+                         what="test")
+    assert set(hot2.tolist()) == \
+        {c for c, n in zip(range(100), range(10, 1010, 10))
+         if n > max(4 * 50500 // 4, 1024)}
+
+
+def test_knn_kring_lod_capped(ray_session):
+    """A huge requested lod is capped to the bounded pruning grid and the
+    result is still the exact kNN (identical to the uncapped small-lod
+    run — lod only affects pruning, never results)."""
+    import ray
+
+    from gdal_drivers_ray.stages import spatial as S
+
+    rng = np.random.default_rng(11)
+    world = Extents(0.0, 0.0, 1024.0, 1024.0)
+    pts = pa.table({
+        "point_id": pa.array(np.arange(400, dtype=np.int64)),
+        "x": pa.array(rng.uniform(0, 1024, 400)),
+        "y": pa.array(rng.uniform(0, 1024, 400))})
+    qs = pd.DataFrame({"query_id": np.arange(5, dtype=np.int64),
+                       "x": rng.uniform(0, 1024, 5),
+                       "y": rng.uniform(0, 1024, 5)})
+    base = S.knn_kring(ray.data.from_arrow(pts), qs, k=3, world=world,
+                       lod=4)
+    capped = S.knn_kring(ray.data.from_arrow(pts), qs, k=3, world=world,
+                         lod=25)  # would be 4^25 cells uncapped
+    pd.testing.assert_frame_equal(
+        capped.reset_index(drop=True), base.reset_index(drop=True))
