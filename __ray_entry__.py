@@ -204,12 +204,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "solid_copy": _rq.q_solid_copy,
         "mvt_pipeline": _vq.q_mvt_pipeline,
         "mvt_errors": _vq.q_mvt_errors,
-        # --- slots 48-50: changed or added in round 5 ---
+        # --- slots 48-50: changed or added in round 5. curation_pipeline
+        # routes through BOTH r5 code changes (Arrow cogroup reducer +
+        # vectorized text signals); semantic_dedup and dup_spans_merged
+        # are new this round and must get their first driver row now ---
         "curation_pipeline": _tq.q_curation_pipeline,
+        "semantic_dedup": _dq.q_semantic_dedup,
+        "dup_spans_merged": _tq.q_dup_spans_merged,
+        # --- past slot 50: all driver-green in CORRECTNESS_r04 (50/50),
+        # judge-covered via tools/check_oracle.py full sweep.
+        # string_join / bloom_semi_join moved here to make room for the
+        # two new round-5 entries: both are r4 driver-green, and their
+        # r5 reducer/single-pass changes are exercised in-window by
+        # tms_join_big + curation_pipeline and judge-covered directly ---
         "string_join": _q.q_string_join,
         "bloom_semi_join": _q.q_bloom_semi_join,
-        # --- past slot 50: all driver-green in CORRECTNESS_r04 (50/50),
-        # judge-covered via tools/check_oracle.py full sweep ---
         "cluster_labels": _dq.q_cluster_labels,
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
@@ -345,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_cc": _wq.SQL_RASTER_CC,
         "simplify_lines": _vq.SQL_SIMPLIFY_LINES,
         "kmeans_fit": _od.sql_kmeans_fit(),
+        "semantic_dedup": _od.sql_semantic_dedup(),
         "curation_pipeline": _tq.SQL_CURATION_PIPELINE,
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
@@ -358,6 +368,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": _tq.SQL_JACCARD_PAIRS,
         "decontaminate": _tq.SQL_DECONTAMINATE,
         "dup_spans": _tq.SQL_DUP_SPANS,
+        "dup_spans_merged": _tq.SQL_DUP_SPANS_MERGED,
         "top_terms": _tq.SQL_TOP_TERMS,
         "pack_sequences": _tq.SQL_PACK_SEQUENCES,
         "repetition_stats": _tq.SQL_REPETITION_STATS,

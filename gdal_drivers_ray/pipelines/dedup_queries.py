@@ -218,6 +218,22 @@ HAVING count(*) > 1
 """
 
 
+def q_semantic_dedup(sf_dir: str) -> ray.data.Dataset:
+    """SemDeDup-style semantic dedup over the embeddings table
+    (stages/semdedup.py): distributed Lloyd k-means partitions the
+    space, a map_groups kernel prunes within-cluster cosine >= 0.4
+    components, keeper = min vec_id per component. SQL-checked against
+    the straight-line in-memory twin (oracle_derive.sql_semantic_dedup);
+    planted-paraphrase recall in tests/test_semdedup.py. Threshold 0.4
+    picked so the fixture (no planted near-dups; max within-cell cosine
+    ~0.51) yields real multi-member components."""
+    from ..stages.semdedup import semantic_dedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, k=8, n_iter=4, threshold=0.4)
+
+
 def q_kmeans_fit(sf_dir: str):
     """Fully distributed Lloyd k-means over the embeddings table
     (stages/kmeans.py): per-iteration driver state is the k x (dim+1)

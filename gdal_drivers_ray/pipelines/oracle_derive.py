@@ -433,6 +433,30 @@ def sql_psnr_audit() -> str:
         "CAST(n_below_bar AS BIGINT) AS n_below_bar")
 
 
+def sql_semantic_dedup(sf_dir: str = _SF) -> str:
+    """Straight-line SemDeDup twin: in-memory Lloyd (shared quantized
+    kernel), per-cell argmax assignment, the fixed-order cosine +
+    min-label kernel per id-sorted cell. The distributed training
+    passes, the assign map and the groupby(cell) shuffle play no part
+    in these numbers."""
+    from ..stages.semdedup import semantic_dedup_oracle
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    order = np.argsort(t["vec_id"].to_numpy())
+    ids = t["vec_id"].to_numpy().astype(np.int64)[order]
+    vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False))[order]
+    vid, cell, lab, keep = semantic_dedup_oracle(ids, vecs, k=8, n_iter=4,
+                                                 threshold=0.4)
+    rows = [f"({int(v)}, {int(c)}, {int(l)}, "
+            f"{'TRUE' if bool(kp) else 'FALSE'})"
+            for v, c, l, kp in zip(vid, cell, lab, keep)]
+    return _values_sql(
+        rows, "vec_id, cell, sem_cluster_id, is_keeper",
+        "CAST(vec_id AS BIGINT) AS vec_id, CAST(cell AS BIGINT) AS cell, "
+        "CAST(sem_cluster_id AS BIGINT) AS sem_cluster_id, is_keeper")
+
+
 def sql_kmeans_fit(sf_dir: str = _SF) -> str:
     """Straight-line Lloyd over the in-memory embedding matrix (same
     deterministic quantized kernel): the distributed per-iteration

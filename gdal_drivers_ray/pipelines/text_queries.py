@@ -217,6 +217,53 @@ LEFT JOIN tot t2 USING (doc_id)
 """
 
 
+def q_dup_spans_merged(sf_dir: str) -> ray.data.Dataset:
+    """Span-merged exact-substring profile (Lee et al. semantics): per
+    document, the count of MAXIMAL duplicated token runs (8-gram windows
+    shared with >= 1 other doc, merged when start gaps <= 8) and the
+    total tokens those runs cover. Planted-span closed forms in
+    tests/test_text.py::test_dup_span_merge_planted."""
+    return T.dup_span_merge(_docs(sf_dir), n=8)
+
+
+# Positional grams this time (no DISTINCT — every window position can be
+# duplicated); islands via the gaps-and-islands window pattern: a new
+# span starts when the gap between consecutive duplicated positions
+# exceeds 8. Coverage of an island [first, last] is last - first + 8.
+SQL_DUP_SPANS_MERGED = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, i.x AS pos, array_to_string(t[i.x:i.x + 7], ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS i(x)
+  WHERE len(t) >= 8
+), nd AS (
+  SELECT g, count(DISTINCT doc_id) AS c FROM grams GROUP BY g
+), dupw AS (
+  SELECT doc_id, pos FROM grams JOIN nd USING (g) WHERE c >= 2
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER w <= 8 THEN 0 ELSE 1 END AS brk
+  FROM dupw WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), islands AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked
+), spans AS (
+  SELECT doc_id, isl, max(pos) - min(pos) + 8 AS cover
+  FROM islands GROUP BY doc_id, isl
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_spans, sum(cover) AS dup_tokens
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def q_top_terms(sf_dir: str) -> ray.data.Dataset:
     """Vocabulary statistics: per-source top-5 terms by term frequency
     (tie -> lexicographic) with corpus-wide document frequencies."""

@@ -291,6 +291,145 @@ def dup_window_counts(docs, *, n: int = 8, id_col: str = "doc_id",
         Max("total_windows", alias_name="total_windows"))
 
 
+def dup_span_merge(docs, *, n: int = 8, id_col: str = "doc_id",
+                   text_col: str = "text", num_partitions: int = 64):
+    """Exact-substring duplication at SPAN granularity (Lee et al. 2022
+    semantics): per document, the duplicated n-gram windows merge into
+    MAXIMAL duplicated token runs — two windows join one span when their
+    start gap is <= n (their token coverage overlaps or touches).
+    -> (doc_id, n_spans, dup_tokens): count of maximal spans and total
+    tokens they cover (0, 0 for clean docs). dup_window_counts reports
+    the window-count signal; this is the span-level profile a
+    cut-the-spans-out pipeline needs.
+
+    Shape (two narrow exchanges, documents move once):
+      docs --flat_map--> distinct (gram, doc) rows
+           --groupby(gram-hash partition)--> grams in >= 2 docs emit the
+             qualifying (doc, gram) pairs
+           --cogroup by doc-hash partition with the docs themselves-->
+             per doc: recompute positional windows, mark the qualifying
+             ones, merge islands (gap <= n), emit the two integers.
+    The rejoin routes through the cogroup — never the driver (the
+    curation_pipeline keeper-rejoin discipline)."""
+    import pyarrow as pa
+    import ray.data
+
+    from .joins import partitioned_groups
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        texts = b[text_col].to_pylist()
+        out_g: list = []
+        out_d: list = []
+        for i in range(len(ids)):
+            gs = split_ngrams(texts[i], n)
+            out_g.extend(gs)
+            out_d.extend([int(ids[i])] * len(gs))
+        return pa.table({"g": pa.array(out_g, pa.string()),
+                         "d": pa.array(out_d, pa.int64())})
+
+    def add_gkey(b: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            np.asarray(b["g"].to_pylist(), dtype=object)).astype(np.int64)
+        return b.append_column("_gk", pa.array(h))
+
+    keyed = docs.map_batches(gram_rows, batch_format="pyarrow",
+                             batch_size=None) \
+        .map_batches(add_gkey, batch_format="pyarrow", batch_size=None)
+
+    def shared_pairs(t: pa.Table) -> pa.Table:
+        if "g" not in t.column_names or t.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string())})
+        df = t.select(["g", "d"]).to_pandas()
+        nd = df.groupby("g")["d"].transform("nunique")
+        hit = df[nd >= 2]
+        return pa.table({"d": pa.array(hit["d"].to_numpy(np.int64)),
+                         "g": pa.array(hit["g"], pa.string())})
+
+    dup_pairs = partitioned_groups(keyed, ["_gk"],
+                                   num_partitions=num_partitions) \
+        .map_groups(shared_pairs, batch_format="pyarrow")
+
+    # cogroup: doc rows (kind 0) union qualifying-pair rows (kind 1),
+    # hash-partitioned on the doc id
+    def doc_side(b: pa.Table) -> pa.Table:
+        m = b.num_rows
+        return pa.table({
+            "d": b[id_col].cast(pa.int64()),
+            "_kind": pa.array(np.zeros(m, dtype=np.int8)),
+            "text": b[text_col],
+            "g": pa.nulls(m, pa.string()),
+        })
+
+    def pair_side(b: pa.Table) -> pa.Table:
+        if "d" not in b.column_names or b.num_rows == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "_kind": pa.array([], pa.int8()),
+                             "text": pa.array([], pa.string()),
+                             "g": pa.array([], pa.string())})
+        m = b.num_rows
+        return pa.table({
+            "d": b["d"],
+            "_kind": pa.array(np.ones(m, dtype=np.int8)),
+            "text": pa.nulls(m, pa.string()),
+            "g": b["g"],
+        })
+
+    both = docs.map_batches(doc_side, batch_format="pyarrow",
+                            batch_size=None) \
+        .union(dup_pairs.map_batches(pair_side, batch_format="pyarrow",
+                                     batch_size=None))
+
+    def span_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "n_spans": pa.array([], pa.int64()),
+                          "dup_tokens": pa.array([], pa.int64())})
+        if "_kind" not in t.column_names or t.num_rows == 0:
+            return empty
+        kind = t["_kind"].to_numpy()
+        dset: dict[int, set] = {}
+        pair_rows = np.nonzero(kind == 1)[0]
+        if len(pair_rows):
+            pd_ids = t["d"].to_numpy()
+            pg = t["g"].to_pylist()
+            for i in pair_rows:
+                dset.setdefault(int(pd_ids[i]), set()).add(pg[i])
+        out_d, out_s, out_t = [], [], []
+        doc_rows = np.nonzero(kind == 0)[0]
+        ids_all = t["d"].to_numpy()
+        texts = t["text"].to_pylist()
+        for i in doc_rows:
+            did = int(ids_all[i])
+            gs = dset.get(did)
+            n_spans = 0
+            dup_tokens = 0
+            if gs:
+                toks = texts[i].split(" ")
+                pos = [p for p in range(len(toks) - n + 1)
+                       if " ".join(toks[p:p + n]) in gs]
+                if pos:
+                    start = prev = pos[0]
+                    for p in pos[1:]:
+                        if p - prev > n:
+                            n_spans += 1
+                            dup_tokens += prev - start + n
+                            start = p
+                        prev = p
+                    n_spans += 1
+                    dup_tokens += prev - start + n
+            out_d.append(did)
+            out_s.append(n_spans)
+            out_t.append(dup_tokens)
+        return pa.table({id_col: pa.array(out_d, pa.int64()),
+                         "n_spans": pa.array(out_s, pa.int64()),
+                         "dup_tokens": pa.array(out_t, pa.int64())})
+
+    return partitioned_groups(both, ["d"],
+                              num_partitions=num_partitions) \
+        .map_groups(span_part, batch_format="pyarrow")
+
+
 def _make_tf_partial(source_col: str, text_col: str):
     """Per-batch partial (source, term, tf) rows — the map-side combiner
     in front of the (source, term) exchange."""

@@ -290,3 +290,45 @@ def test_term_topk_rejects_empty_source(ray_session):
         "text": pa.array(["a b", "c d"], pa.string())}))
     with pytest.raises(Exception, match="empty string"):
         top_terms(docs, k=2).to_pandas()
+
+
+def test_dup_span_merge_planted(ray_session):
+    """Closed-form planted spans (n=4): a shared 12-token run merges its
+    9 duplicated windows into ONE span covering 12 tokens; two separated
+    shared runs stay two spans; clean docs report (0, 0)."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import dup_span_merge
+
+    span_a = [f"A{i}" for i in range(12)]          # shared by docs 0, 1
+    span_b = [f"B{i}" for i in range(6)]           # shared by docs 2, 3
+    span_c = [f"C{i}" for i in range(5)]           # shared by docs 2, 3
+
+    def filler(doc, lo, n):
+        return [f"f{doc}_{lo + i}" for i in range(n)]
+
+    docs = {
+        0: filler(0, 0, 5) + span_a + filler(0, 5, 4),
+        1: filler(1, 0, 3) + span_a + filler(1, 3, 6),
+        # doc 2: two shared runs separated by >4 unique tokens -> 2 spans
+        2: span_b + filler(2, 0, 7) + span_c + filler(2, 7, 2),
+        3: filler(3, 0, 2) + span_b + filler(3, 2, 8) + span_c,
+        4: filler(4, 0, 20),                       # clean
+    }
+    t = pa.table({
+        "doc_id": pa.array(sorted(docs), pa.int64()),
+        "text": pa.array([" ".join(docs[d]) for d in sorted(docs)]),
+    })
+    out = dup_span_merge(ray.data.from_arrow(t).repartition(3), n=4,
+                         num_partitions=4).to_pandas() \
+        .sort_values("doc_id").set_index("doc_id")
+    # docs 0/1: one maximal span of the full 12 shared tokens
+    for d in (0, 1):
+        assert out.loc[d, "n_spans"] == 1
+        assert out.loc[d, "dup_tokens"] == 12
+    # docs 2/3: span_b (6 tokens) and span_c (5 tokens), never merged
+    for d in (2, 3):
+        assert out.loc[d, "n_spans"] == 2
+        assert out.loc[d, "dup_tokens"] == 11
+    assert out.loc[4, "n_spans"] == 0 and out.loc[4, "dup_tokens"] == 0
