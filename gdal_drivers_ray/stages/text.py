@@ -430,48 +430,6 @@ def dup_span_merge(docs, *, n: int = 8, id_col: str = "doc_id",
         .map_groups(span_part, batch_format="pyarrow")
 
 
-def _make_tf_partial(source_col: str, text_col: str):
-    """Per-batch partial (source, term, tf) rows — the map-side combiner
-    in front of the (source, term) exchange."""
-    import pyarrow as pa
-
-    def tf_partial(b: pa.Table) -> pa.Table:
-        src = b[source_col].to_pylist()
-        texts = b[text_col].to_pylist()
-        s_out: list = []
-        t_out: list = []
-        for s, t in zip(src, texts):
-            for w in t.split(" "):
-                s_out.append(s)
-                t_out.append(w)
-        df = pd.DataFrame({"source": s_out, "term": t_out}) \
-            .groupby(["source", "term"], as_index=False).size() \
-            .rename(columns={"size": "tf"})
-        df["tf"] = df["tf"].astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return tf_partial
-
-
-def _make_df_partial(text_col: str):
-    """Per-batch partial per-term document counts (distinct within batch;
-    a doc is one row, so doc rows never split across batches)."""
-    import pyarrow as pa
-
-    def df_partial(b: pa.Table) -> pa.Table:
-        texts = b[text_col].to_pylist()
-        counts: dict = {}
-        for t in texts:
-            for w in set(t.split(" ")):
-                counts[w] = counts.get(w, 0) + 1
-        return pa.table({"term": pa.array(list(counts), pa.string()),
-                         "df": pa.array(np.fromiter(counts.values(),
-                                                    np.int64,
-                                                    len(counts)))})
-
-    return df_partial
-
-
 def _fused_term_topk(docs, *, k: int, text_col: str, source_col: str,
                      score_of):
     """Shared single-exchange vocabulary plan for the term-statistics
@@ -502,40 +460,60 @@ def _fused_term_topk(docs, *, k: int, text_col: str, source_col: str,
         # ONE tokenize pass per block feeds both partial kinds: tf rows
         # carry the real source, df rows the "" sentinel — enforced below:
         # an actually-empty source value would merge its tf rows into the
-        # df side and corrupt both counts
-        src = b[source_col].to_pylist()
-        if "" in src:
+        # df side and corrupt both counts. Fully vectorized (the text
+        # family's dominant CPU at corpus scale): one split kernel, one
+        # dictionary-encode (C++ hashing), then np.unique over integer
+        # (source|doc, term-code) keys — no Python per token.
+        import pyarrow.compute as pc
+        src_arr = b[source_col].combine_chunks() \
+            if isinstance(b[source_col], pa.ChunkedArray) else b[source_col]
+        if bool(pc.any(pc.equal(src_arr, "")).as_py() or False):
             raise ValueError(
                 "term-statistics source column contains an empty string, "
                 "which collides with the df-partial sentinel; rename the "
                 "empty source before calling top_terms/tfidf_terms")
-        texts = b[text_col].to_pylist()
-        s_out: list = []
-        t_out: list = []
-        dfc: dict[str, int] = {}
-        for s, t in zip(src, texts):
-            ws = t.split(" ")
-            for w in ws:
-                s_out.append(s)
-                t_out.append(w)
-            for w in set(ws):
-                dfc[w] = dfc.get(w, 0) + 1
-        tfd = pd.DataFrame({"source": s_out, "term": t_out}) \
-            .groupby(["source", "term"], as_index=False).size() \
-            .rename(columns={"size": "tf"})
+        texts = b[text_col].combine_chunks() \
+            if isinstance(b[text_col], pa.ChunkedArray) else b[text_col]
+        lst = pc.split_pattern(texts, " ")
+        n_tok = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        flat = lst.flatten()
         # explicit string types: an EMPTY batch would otherwise infer
         # null-typed columns and break downstream schema unification
+        if len(flat) == 0:
+            out = pa.table({"source": pa.array([], pa.string()),
+                            "term": pa.array([], pa.string()),
+                            "tf": pa.array([], pa.int64()),
+                            "df": pa.array([], pa.int64())})
+            return out.append_column("_part", pa.array([], pa.int32()))
+        enc = pc.dictionary_encode(flat)
+        tcode = enc.indices.to_numpy().astype(np.int64)
+        terms = enc.dictionary
+        m = len(terms)
+        senc = pc.dictionary_encode(src_arr)
+        srow = senc.indices.to_numpy().astype(np.int64)
+        parent = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        # tf: exact counts per (source, term) within the block
+        uk, tf_cnt = np.unique(srow[parent] * m + tcode,
+                               return_counts=True)
+        tf_src = pc.take(senc.dictionary, pa.array(uk // m))
+        tf_term = pc.take(terms, pa.array(uk % m))
+        # df: distinct (doc, term) pairs, then docs per term
+        dterm, df_cnt = np.unique(np.unique(parent * m + tcode) % m,
+                                  return_counts=True)
+        df_term = pc.take(terms, pa.array(dterm))
+        n_tf, n_df = len(uk), len(dterm)
         out = pa.table({
-            "source": pa.array(tfd["source"].tolist()
-                               + [""] * len(dfc), type=pa.string()),
-            "term": pa.array(tfd["term"].tolist() + list(dfc),
-                             type=pa.string()),
+            "source": pa.concat_arrays([
+                tf_src.cast(pa.string()),
+                pa.array([""] * n_df, type=pa.string())]),
+            "term": pa.concat_arrays([tf_term.cast(pa.string()),
+                                      df_term.cast(pa.string())]),
             "tf": pa.array(np.concatenate([
-                tfd["tf"].to_numpy(np.int64),
-                np.zeros(len(dfc), dtype=np.int64)])),
+                tf_cnt.astype(np.int64),
+                np.zeros(n_df, dtype=np.int64)])),
             "df": pa.array(np.concatenate([
-                np.zeros(len(tfd), dtype=np.int64),
-                np.fromiter(dfc.values(), np.int64, len(dfc))])),
+                np.zeros(n_tf, dtype=np.int64),
+                df_cnt.astype(np.int64)])),
         })
         part = _part_of_str(out["term"].to_numpy(zero_copy_only=False),
                             num_partitions)
