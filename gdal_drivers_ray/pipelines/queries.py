@@ -652,11 +652,11 @@ def q_token_count(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
-        import re
-        pat = re.compile(r"\S+")
-        toks = [len(pat.findall(t)) for t in b["text"].to_pylist()]
+        # RE2 kernel (one C++ pass per batch) — the same engine the
+        # DuckDB twin runs, so the count semantics are pinned once
+        n = pc.count_substring_regex(b["text"], r"\S+")
         return pa.table({"doc_id": b["doc_id"],
-                         "n_tokens": pa.array(np.asarray(toks, dtype=np.int64))})
+                         "n_tokens": n.cast(pa.int64())})
 
     return docs.map_batches(f, batch_format="pyarrow")
 
@@ -678,12 +678,11 @@ def q_bpe_token_count(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
-        import re
-        pat = re.compile(_BPE_PAT)
-        toks = [len(pat.findall(t)) for t in b["text"].to_pylist()]
+        # Arrow's count_substring_regex is RE2 — identical alternation
+        # behavior to the DuckDB twin on this lookahead-free subset
+        n = pc.count_substring_regex(b["text"], _BPE_PAT)
         return pa.table({"doc_id": b["doc_id"],
-                         "n_bpe_tokens": pa.array(np.asarray(toks,
-                                                             dtype=np.int64))})
+                         "n_bpe_tokens": n.cast(pa.int64())})
 
     return docs.map_batches(f, batch_format="pyarrow")
 
@@ -706,13 +705,11 @@ def q_quality(sf_dir: str) -> ray.data.Dataset:
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def f(b: pa.Table) -> pa.Table:
-        import re
-        up = re.compile(r"[A-Z]")
-        pun = re.compile(r"[.,!?;:]")
-        texts = b["text"].to_pylist()
-        n_chars = np.array([len(t) for t in texts], dtype=np.int64)
-        n_upper = np.array([len(up.findall(t)) for t in texts], dtype=np.int64)
-        n_punct = np.array([len(pun.findall(t)) for t in texts], dtype=np.int64)
+        n_chars = pc.utf8_length(b["text"]).to_numpy().astype(np.int64)
+        n_upper = pc.count_substring_regex(b["text"], "[A-Z]") \
+            .to_numpy().astype(np.int64)
+        n_punct = pc.count_substring_regex(b["text"], "[.,!?;:]") \
+            .to_numpy().astype(np.int64)
         score = n_upper / np.maximum(n_chars, 1).astype(np.float64)
         return pa.table({"doc_id": b["doc_id"],
                          "n_chars_calc": pa.array(n_chars),

@@ -55,16 +55,24 @@ def token_signals(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     n_tok = pc.list_value_length(lst).to_numpy().astype(np.int64)
     wchars = pc.utf8_length(texts).to_numpy().astype(np.int64) \
         - (n_tok - 1)
-    flat = lst.flatten()
+    n_uniq = _uniq_per_parent(lst.flatten(), n_tok)
+    return n_tok, n_uniq, wchars
+
+
+def _uniq_per_parent(flat, counts: np.ndarray) -> np.ndarray:
+    """Distinct-element count per parent list, vectorized: one
+    dictionary-encode (C++ hashing) + one np.unique over (parent,
+    element-code) integer pairs. `flat` is the flattened element array,
+    `counts` the per-parent lengths."""
+    import pyarrow.compute as pc
+
     if len(flat) == 0:
-        return n_tok, np.zeros(len(n_tok), np.int64), wchars
+        return np.zeros(len(counts), np.int64)
     codes = pc.dictionary_encode(flat).indices.to_numpy().astype(np.int64)
-    parent = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+    parent = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     m = codes.max() + 1
     pairs = np.unique(parent * m + codes)
-    n_uniq = np.bincount(pairs // m,
-                         minlength=len(n_tok)).astype(np.int64)
-    return n_tok, n_uniq, wchars
+    return np.bincount(pairs // m, minlength=len(counts)).astype(np.int64)
 
 
 def _count_word(padded: str, w: str) -> int:
@@ -579,25 +587,27 @@ def repetition_stats(docs, *, doc_col: str = "doc_id",
 
     Lines split on bare newline with empties kept (Python str.split ==
     DuckDB string_split semantics: empty text -> one empty line); tokens
-    are the engine-wide whitespace definition (\\S+, q_token_count).
-    Per-row pure map — no shuffle."""
+    are the engine-wide whitespace definition (\\S+, q_token_count) —
+    vectorized as utf8_split_whitespace with empty tokens dropped, the
+    same maximal non-whitespace runs. Per-row pure map — no shuffle."""
     import pyarrow as pa
-    import re as _re
-
-    tok = _re.compile(r"\S+")
+    import pyarrow.compute as pc
 
     def f(b: pa.Table) -> pa.Table:
-        n_lines = np.empty(b.num_rows, dtype=np.int64)
-        u_lines = np.empty(b.num_rows, dtype=np.int64)
-        n_tok = np.empty(b.num_rows, dtype=np.int64)
-        u_tok = np.empty(b.num_rows, dtype=np.int64)
-        for i, t in enumerate(b[text_col].to_pylist()):
-            lines = t.split("\n")
-            n_lines[i] = len(lines)
-            u_lines[i] = len(set(lines))
-            toks = tok.findall(t)
-            n_tok[i] = len(toks)
-            u_tok[i] = len(set(toks))
+        texts = b[text_col].combine_chunks() \
+            if isinstance(b[text_col], pa.ChunkedArray) else b[text_col]
+        lines = pc.split_pattern(texts, "\n")
+        n_lines = pc.list_value_length(lines).to_numpy().astype(np.int64)
+        u_lines = _uniq_per_parent(lines.flatten(), n_lines)
+        toks = pc.utf8_split_whitespace(texts)
+        flat = toks.flatten()
+        raw_n = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        keep = pc.not_equal(flat, "")
+        parent = np.repeat(np.arange(len(raw_n), dtype=np.int64), raw_n)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        n_tok = np.bincount(parent,
+                            minlength=len(raw_n)).astype(np.int64)
+        u_tok = _uniq_per_parent(flat.filter(keep), n_tok)
         return pa.table({
             "doc_id": b[doc_col],
             "n_lines": pa.array(n_lines),
