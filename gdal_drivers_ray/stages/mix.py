@@ -124,13 +124,22 @@ def stratified_sample(ds: ray.data.Dataset, *, stratum_col: str,
     rref = ray.put(dict(rates_permille))
 
     def filt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         rates = ray.get(rref)
         ids = b[id_col].to_numpy().astype(np.int64)
         h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
             % np.uint64(1 << 32) % np.uint64(1000)
-        strata = b[stratum_col].to_pylist()
-        lim = np.fromiter((rates.get(s, default_permille) for s in strata),
-                          dtype=np.int64, count=b.num_rows)
+        # rate lookup once per DISTINCT stratum, fanned out by the
+        # dictionary indices (strata are few, rows are many)
+        enc = pc.dictionary_encode(b[stratum_col].combine_chunks()
+                                   if isinstance(b[stratum_col],
+                                                 pa.ChunkedArray)
+                                   else b[stratum_col])
+        per = np.fromiter((rates.get(s, default_permille)
+                           for s in enc.dictionary.to_pylist()),
+                          dtype=np.int64, count=len(enc.dictionary))
+        lim = per[enc.indices.to_numpy().astype(np.int64)] \
+            if len(per) else np.empty(0, np.int64)
         return b.filter(pa.array(h.astype(np.int64) < lim))
 
     return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
@@ -193,11 +202,17 @@ def quantile_cut(ds: ray.data.Dataset, *, stratum_col: str,
     tref = ray.put(thresholds)
 
     def filt(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         thr = ray.get(tref)
         vals = b[value_col].to_numpy()
-        strata = b[stratum_col].to_pylist()
-        t = np.fromiter((thr[s] for s in strata), dtype=np.int64,
-                        count=b.num_rows)
+        enc = pc.dictionary_encode(b[stratum_col].combine_chunks()
+                                   if isinstance(b[stratum_col],
+                                                 pa.ChunkedArray)
+                                   else b[stratum_col])
+        per = np.fromiter((thr[s] for s in enc.dictionary.to_pylist()),
+                          dtype=np.int64, count=len(enc.dictionary))
+        t = per[enc.indices.to_numpy().astype(np.int64)] \
+            if len(per) else np.empty(0, np.int64)
         mask = vals >= t if keep == "ge" else vals <= t
         return b.append_column("threshold", pa.array(t)) \
                 .filter(pa.array(mask))

@@ -41,21 +41,32 @@ def build_text_index(docs: ray.data.Dataset, out_dir: str, *,
     os.makedirs(out_dir, exist_ok=True)
 
     def postings(b: pa.Table) -> pa.Table:
-        ids = b[doc_col].to_numpy()
-        terms: list = []
-        dids: list = []
-        tfs: list = []
-        for i, t in enumerate(b[text_col].to_pylist()):
-            cnt: dict[str, int] = {}
-            for w in t.split(" "):
-                cnt[w] = cnt.get(w, 0) + 1
-            terms.extend(cnt.keys())
-            tfs.extend(cnt.values())
-            dids.extend([int(ids[i])] * len(cnt))
+        # vectorized (doc, term) -> tf: one split kernel, one
+        # dictionary-encode, one np.unique over integer pair keys —
+        # no Python per token (the same kernel family as the fused
+        # term-statistics pass in stages/text.py)
+        import pyarrow.compute as pc
+        ids = b[doc_col].to_numpy().astype(np.int64)
+        texts = b[text_col].combine_chunks() \
+            if isinstance(b[text_col], pa.ChunkedArray) else b[text_col]
+        lst = pc.split_pattern(texts, " ")
+        n_tok = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        flat = lst.flatten()
+        if len(flat) == 0:
+            t = pa.table({"term": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64())})
+            return t.append_column("_part", pa.array([], pa.int32()))
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        m = len(enc.dictionary)
+        parent = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        uk, tf = np.unique(parent * m + codes, return_counts=True)
         t = pa.table({
-            "term": pa.array(terms, pa.string()),
-            "doc_id": pa.array(np.asarray(dids, dtype=np.int64)),
-            "tf": pa.array(np.asarray(tfs, dtype=np.int64)),
+            "term": pc.take(enc.dictionary,
+                            pa.array(uk % m)).cast(pa.string()),
+            "doc_id": pa.array(ids[uk // m]),
+            "tf": pa.array(tf.astype(np.int64)),
         })
         part = _part_of_str(t["term"].to_numpy(zero_copy_only=False),
                             num_shards)
@@ -113,8 +124,9 @@ def search_text_index(index_dir: str, terms: list[str], *,
     ds = ray.data.read_parquet(paths, columns=["term", "doc_id", "tf"])
 
     def match(b: pa.Table) -> pa.Table:
-        mask = pa.array([t in tset for t in b["term"].to_pylist()])
-        m = b.filter(mask)
+        import pyarrow.compute as pc
+        m = b.filter(pc.is_in(b["term"],
+                              value_set=pa.array(sorted(tset))))
         return pa.table({"doc_id": m["doc_id"],
                          "tf": m["tf"],
                          "one": pa.array(np.ones(m.num_rows,
