@@ -182,7 +182,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blend_shuffle": _bq.q_blend_shuffle,
         "tile_assign": _q.q_tile_assign,
         "lod_rollup": _q.q_lod_rollup,
-        "zigzag": _q.q_zigzag,
+        # pii_scrub is new in round 5 (never driver-verified); it takes
+        # zigzag's slot — the trivial scalar carrier, byte-stable since
+        # r1, r3 driver-green AND pytest-pinned, parked past 50 below
+        "pii_scrub": _tq.q_pii_scrub,
         "solid_agg": _q.q_solid_agg,
         "pip_rect": _q.q_pip_rect,
         "dedup_exact": _q.q_dedup_exact,
@@ -219,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tms_join_big + curation_pipeline and judge-covered directly ---
         "string_join": _q.q_string_join,
         "bloom_semi_join": _q.q_bloom_semi_join,
+        "zigzag": _q.q_zigzag,
         "cluster_labels": _dq.q_cluster_labels,
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
@@ -369,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _tq.SQL_DECONTAMINATE,
         "dup_spans": _tq.SQL_DUP_SPANS,
         "dup_spans_merged": _tq.SQL_DUP_SPANS_MERGED,
+        "pii_scrub": _tq.SQL_PII_SCRUB,
         "top_terms": _tq.SQL_TOP_TERMS,
         "pack_sequences": _tq.SQL_PACK_SEQUENCES,
         "repetition_stats": _tq.SQL_REPETITION_STATS,

@@ -217,6 +217,30 @@ LEFT JOIN tot t2 USING (doc_id)
 """
 
 
+def q_pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction over documents: emails/phones/IPv4 -> typed
+    placeholders, with per-kind counts on the original text. Both sides
+    are RE2 (Arrow kernels / DuckDB regexp_*), so every replacement
+    boundary is pinned; planted-PII closed forms in tests/test_text.py."""
+    return T.pii_scrub(_docs(sf_dir))
+
+
+SQL_PII_SCRUB = f"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+           text, '{T.PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{T.PII_PHONE}', '<PHONE>', 'g'),
+                 '{T.PII_IP}', '<IP>', 'g') AS text_scrubbed,
+       CAST(length(regexp_extract_all(text, '{T.PII_EMAIL}')) AS BIGINT)
+           AS n_emails,
+       CAST(length(regexp_extract_all(text, '{T.PII_PHONE}')) AS BIGINT)
+           AS n_phones,
+       CAST(length(regexp_extract_all(text, '{T.PII_IP}')) AS BIGINT)
+           AS n_ips
+FROM documents
+"""
+
+
 def q_dup_spans_merged(sf_dir: str) -> ray.data.Dataset:
     """Span-merged exact-substring profile (Lee et al. semantics): per
     document, the count of MAXIMAL duplicated token runs (8-gram windows

@@ -438,6 +438,42 @@ def dup_span_merge(docs, *, n: int = 8, id_col: str = "doc_id",
         .map_groups(span_part, batch_format="pyarrow")
 
 
+# PII scrubbing patterns — RE2-safe (no lookarounds), evaluated by the
+# SAME engine on both sides (Arrow's replace/count_substring_regex and
+# DuckDB's regexp_* are both RE2), so the scrub is pinned once.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_scrub(docs, *, id_col: str = "doc_id", text_col: str = "text"):
+    """PII redaction — the scrub pass public LLM curation pipelines run
+    before training (emails, phone numbers, IPv4 literals -> typed
+    placeholder tokens). Counts are measured on the ORIGINAL text;
+    replacements compose in a fixed order (email -> phone -> ip) so the
+    output is deterministic and the DuckDB twin reproduces it exactly.
+    Pure vectorized map (three RE2 kernels per batch) — no shuffle, no
+    Python per row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def f(b: pa.Table) -> pa.Table:
+        t = b[text_col]
+        n_em = pc.count_substring_regex(t, PII_EMAIL).cast(pa.int64())
+        n_ph = pc.count_substring_regex(t, PII_PHONE).cast(pa.int64())
+        n_ip = pc.count_substring_regex(t, PII_IP).cast(pa.int64())
+        s = pc.replace_substring_regex(t, PII_EMAIL, "<EMAIL>")
+        s = pc.replace_substring_regex(s, PII_PHONE, "<PHONE>")
+        s = pc.replace_substring_regex(s, PII_IP, "<IP>")
+        return pa.table({id_col: b[id_col],
+                         "text_scrubbed": s,
+                         "n_emails": n_em,
+                         "n_phones": n_ph,
+                         "n_ips": n_ip})
+
+    return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def _fused_term_topk(docs, *, k: int, text_col: str, source_col: str,
                      score_of):
     """Shared single-exchange vocabulary plan for the term-statistics

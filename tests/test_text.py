@@ -332,3 +332,36 @@ def test_dup_span_merge_planted(ray_session):
         assert out.loc[d, "n_spans"] == 2
         assert out.loc[d, "dup_tokens"] == 11
     assert out.loc[4, "n_spans"] == 0 and out.loc[4, "dup_tokens"] == 0
+
+
+def test_pii_scrub_planted(ray_session):
+    """Planted PII closed forms: each kind redacts to its placeholder,
+    counts are measured on the original text, and clean text passes
+    through byte-identical."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import pii_scrub
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "write to alice.smith+x@mail.example.org or bob@ex.io now",
+            "call 415-555-0100 or +1 650.555.0199 today",
+            "server at 10.0.0.1 and 192.168.100.200 are up",
+            "nothing sensitive here at all",
+        ]),
+    })
+    out = pii_scrub(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").set_index("doc_id")
+    assert out.loc[0, "text_scrubbed"] == \
+        "write to <EMAIL> or <EMAIL> now"
+    assert out.loc[0, "n_emails"] == 2
+    # "+1 650.555.0199": the +1 prefix is not part of the 3-3-4 shape,
+    # so the match starts at 650
+    assert out.loc[1, "text_scrubbed"] == "call <PHONE> or +1 <PHONE> today"
+    assert out.loc[1, "n_phones"] == 2
+    assert out.loc[2, "text_scrubbed"] == "server at <IP> and <IP> are up"
+    assert out.loc[2, "n_ips"] == 2
+    assert out.loc[3, "text_scrubbed"] == "nothing sensitive here at all"
+    assert (out.loc[3, ["n_emails", "n_phones", "n_ips"]] == 0).all()
