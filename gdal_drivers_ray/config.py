@@ -70,9 +70,11 @@ def path_bytes(path: str) -> int | None:
         return None
 
 
-def set_push_based_shuffle(on: bool = True) -> bool:
+def set_push_based_shuffle(on=True):
     """Toggle Ray Data's push-based shuffle for subsequent executions and
-    return the previous value. Pull-based is the single-box default (the
+    return the previous value — the raw ``shuffle_strategy`` on current
+    Ray (pass it back to restore exactly, including non-sort strategies
+    like HASH_SHUFFLE), a bool on the legacy-flag fallback. Pull-based is the single-box default (the
     round-3 A/B measured no local advantage for push; on a real cluster
     push-based avoids the n_map x n_reduce fetch matrix crossing the
     network, so flip this ON when nodes > 1). Uses the current
@@ -86,10 +88,16 @@ def set_push_based_shuffle(on: bool = True) -> bool:
     except ImportError:
         ShuffleStrategy = None
     if ShuffleStrategy is not None and hasattr(ctx, "shuffle_strategy"):
-        prev = ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-        ctx.shuffle_strategy = (
-            ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED if on
-            else ShuffleStrategy.SORT_SHUFFLE_PULL_BASED)
+        # return (and accept) the RAW previous strategy, not a bool: a
+        # context configured with a third state (e.g. HASH_SHUFFLE) must
+        # survive a save/flip/restore cycle intact
+        prev = ctx.shuffle_strategy
+        if isinstance(on, bool):
+            ctx.shuffle_strategy = (
+                ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED if on
+                else ShuffleStrategy.SORT_SHUFFLE_PULL_BASED)
+        else:
+            ctx.shuffle_strategy = on
         return prev
     prev = bool(getattr(ctx, "use_push_based_shuffle", False))
     ctx.use_push_based_shuffle = on

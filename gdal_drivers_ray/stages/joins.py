@@ -604,6 +604,14 @@ def range_join(points: ray.data.Dataset, intervals,
     # the broadcast carries the interval table as ARROW so the probe's
     # fan-out is two zero-copy takes, not a pandas round-trip per batch
     iv_tab = pa.Table.from_pandas(intervals, preserve_index=False)
+    overlap = set(_arrow_schema(points).names) & set(iv_tab.column_names)
+    if overlap:
+        # the probe assembles output as {point cols} | {interval cols};
+        # a shared name would silently REPLACE point values with
+        # interval values — refuse instead
+        raise ValueError(
+            f"range_join: column name(s) {sorted(overlap)} exist on both "
+            "sides; rename the interval columns before joining")
     ref = ray.put((dict(buckets), iv_tab, lo, hi))
 
     def probe(batch: pa.Table) -> pa.Table:

@@ -45,11 +45,16 @@ def distributed_rank(ds: ray.data.Dataset, *, part_col: str,
         from ..config import cluster_parallelism
         n_range_buckets = max(64, 8 * cluster_parallelism())
     max_order = ds.max(order_col)
-    if max_order is None:   # empty input: rank of nothing is nothing
-        return ds.map_batches(
-            lambda b: b.append_column(
-                out_col, pa.array(np.zeros(b.num_rows, np.int64))),
-            batch_format="pyarrow", batch_size=None)
+    if max_order is None:   # empty input: rank of nothing is nothing.
+        # Build the empty result EXPLICITLY (schema + out_col): Ray skips
+        # map UDFs on empty blocks, so an append_column map would return
+        # an empty dataset WITHOUT the rank column and downstream
+        # sort/select on out_col would still crash (the pack_sequences
+        # empty-path pattern).
+        sch = ds.schema()
+        fields = list(zip(sch.names, sch.types)) + [(out_col, pa.int64())]
+        return ray.data.from_arrow(pa.table(
+            {n: pa.array([], type=t) for n, t in fields}))
     width = max(1, (int(max_order) + n_range_buckets) // n_range_buckets)
 
     def add_rb(b: pa.Table) -> pa.Table:
@@ -130,7 +135,9 @@ def stratified_sample(ds: ray.data.Dataset, *, stratum_col: str,
         h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
             % np.uint64(1 << 32) % np.uint64(1000)
         # rate lookup once per DISTINCT stratum, fanned out by the
-        # dictionary indices (strata are few, rows are many)
+        # dictionary indices (strata are few, rows are many); a NULL
+        # stratum samples at the default rate (index -1 -> appended
+        # default slot), matching the old per-row rates.get(None, ...)
         enc = pc.dictionary_encode(b[stratum_col].combine_chunks()
                                    if isinstance(b[stratum_col],
                                                  pa.ChunkedArray)
@@ -138,9 +145,9 @@ def stratified_sample(ds: ray.data.Dataset, *, stratum_col: str,
         per = np.fromiter((rates.get(s, default_permille)
                            for s in enc.dictionary.to_pylist()),
                           dtype=np.int64, count=len(enc.dictionary))
-        lim = per[enc.indices.to_numpy().astype(np.int64)] \
-            if len(per) else np.empty(0, np.int64)
-        return b.filter(pa.array(h.astype(np.int64) < lim))
+        per = np.append(per, np.int64(default_permille))
+        idx = enc.indices.fill_null(-1).to_numpy().astype(np.int64)
+        return b.filter(pa.array(h.astype(np.int64) < per[idx]))
 
     return ds.map_batches(filt, batch_format="pyarrow", batch_size=None)
 
@@ -209,6 +216,12 @@ def quantile_cut(ds: ray.data.Dataset, *, stratum_col: str,
                                    if isinstance(b[stratum_col],
                                                  pa.ChunkedArray)
                                    else b[stratum_col])
+        if enc.indices.null_count:
+            # phase 1's groupby drops null strata, so no threshold
+            # exists for them — fail loudly, never look up a wrong slot
+            raise ValueError("quantile_cut: null stratum value has no "
+                             "computed threshold; filter or fill nulls "
+                             "upstream")
         per = np.fromiter((thr[s] for s in enc.dictionary.to_pylist()),
                           dtype=np.int64, count=len(enc.dictionary))
         t = per[enc.indices.to_numpy().astype(np.int64)] \

@@ -169,11 +169,13 @@ def _hot_cells_of(counts: ray.data.Dataset, num_partitions: int,
     skew.py pattern, but the per-cell histogram never lands on the driver:
     at lod >= 13 over a dense corpus it holds tens of millions of rows).
     total -> threshold -> distributed filter(n > thr) -> per-block top-cap
-    partials -> driver final top-cap. With the default threshold (4x the
-    mean partition share) at most num_partitions/4 cells can exceed it, so
-    the cap only bites on user-supplied thresholds; the driver table is
-    O(cap) in every case. Salting is a partitioning optimization, so
-    dropping over-cap hot cells never changes results."""
+    partials -> single-task final top-cap -> take_all of <= cap rows.
+    With the default threshold (4x the mean partition share) at most
+    num_partitions/4 cells can exceed it, so the cap only bites on
+    user-supplied thresholds; the DRIVER receives O(cap) rows in every
+    case (the per-block partials funnel into one reduce task off the
+    driver). Salting is a partitioning optimization, so dropping
+    over-cap hot cells never changes results."""
     import sys
     counts = counts.materialize()   # metadata-scale; reused for sum+filter
     total = int(counts.sum("n") or 0)
@@ -187,11 +189,12 @@ def _hot_cells_of(counts: ray.data.Dataset, num_partitions: int,
         idx = np.argpartition(b["n"].to_numpy(), -cap)[-cap:]
         return b.take(pa.array(idx, type=pa.int64()))
 
-    rows = hot_ds.map_batches(topcap, batch_format="pyarrow").take_all()
+    rows = hot_ds.map_batches(topcap, batch_format="pyarrow",
+                              batch_size=None) \
+        .repartition(1) \
+        .map_batches(topcap, batch_format="pyarrow", batch_size=None) \
+        .take_all()
     hot = np.array([r["cell"] for r in rows], dtype=np.int64)
-    if len(hot) > cap:
-        n = np.array([r["n"] for r in rows], dtype=np.int64)
-        hot = hot[np.argpartition(n, -cap)[-cap:]]
     if len(hot):
         print(f"[skew] {what}: {len(hot)} hot cells (> {thr} rows)",
               file=sys.stderr)

@@ -216,6 +216,17 @@ def decontaminate(docs, *, bench_mod: int = 97, n: int = 8,
     return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
+def _add_gkey(b: "pa.Table") -> "pa.Table":
+    """Append the deterministic gram-hash key (pandas' C siphash —
+    stable across processes, unlike Python's seeded hash()); the
+    partitioner then keys on the int column. Shared by the gram-keyed
+    exchanges (dup_window_counts, dup_span_merge)."""
+    import pyarrow as pa
+    h = pd.util.hash_array(
+        b["g"].to_numpy(zero_copy_only=False)).astype(np.int64)
+    return b.append_column("_gk", pa.array(h))
+
+
 def dup_window_counts(docs, *, n: int = 8, id_col: str = "doc_id",
                       text_col: str = "text", num_partitions: int = 64):
     """Exact substring-duplication profile: for every document, how many
@@ -281,12 +292,8 @@ def dup_window_counts(docs, *, n: int = 8, id_col: str = "doc_id",
     # gram strings hash-partition by a deterministic vectorized string
     # hash (pandas' C siphash — stable across processes, unlike Python's
     # seeded hash()); partitioned_groups then keys on the int column
-    def add_gkey(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            np.asarray(b["g"].to_pylist(), dtype=object)).astype(np.int64)
-        return b.append_column("_gk", pa.array(h))
 
-    keyed = grams.map_batches(add_gkey, batch_format="pyarrow",
+    keyed = grams.map_batches(_add_gkey, batch_format="pyarrow",
                               batch_size=None)
     hits = partitioned_groups(keyed, ["_gk"],
                               num_partitions=num_partitions) \
@@ -336,14 +343,10 @@ def dup_span_merge(docs, *, n: int = 8, id_col: str = "doc_id",
         return pa.table({"g": pa.array(out_g, pa.string()),
                          "d": pa.array(out_d, pa.int64())})
 
-    def add_gkey(b: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            np.asarray(b["g"].to_pylist(), dtype=object)).astype(np.int64)
-        return b.append_column("_gk", pa.array(h))
 
     keyed = docs.map_batches(gram_rows, batch_format="pyarrow",
                              batch_size=None) \
-        .map_batches(add_gkey, batch_format="pyarrow", batch_size=None)
+        .map_batches(_add_gkey, batch_format="pyarrow", batch_size=None)
 
     def shared_pairs(t: pa.Table) -> pa.Table:
         if "g" not in t.column_names or t.num_rows == 0:
@@ -623,9 +626,12 @@ def repetition_stats(docs, *, doc_col: str = "doc_id",
 
     Lines split on bare newline with empties kept (Python str.split ==
     DuckDB string_split semantics: empty text -> one empty line); tokens
-    are the engine-wide whitespace definition (\\S+, q_token_count) —
-    vectorized as utf8_split_whitespace with empty tokens dropped, the
-    same maximal non-whitespace runs. Per-row pure map — no shuffle."""
+    are the engine-wide whitespace definition (RE2 \\S+, q_token_count's
+    twin) — vectorized as split_pattern_regex(\\s+) with empty tokens
+    dropped: Arrow's regex engine IS RE2, so the whitespace class is the
+    SAME one the DuckDB oracle evaluates (utf8_split_whitespace would
+    split on Unicode spaces RE2's \\s does not match). Per-row pure map
+    — no shuffle."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -635,7 +641,7 @@ def repetition_stats(docs, *, doc_col: str = "doc_id",
         lines = pc.split_pattern(texts, "\n")
         n_lines = pc.list_value_length(lines).to_numpy().astype(np.int64)
         u_lines = _uniq_per_parent(lines.flatten(), n_lines)
-        toks = pc.utf8_split_whitespace(texts)
+        toks = pc.split_pattern_regex(texts, r"\s+")
         flat = toks.flatten()
         raw_n = pc.list_value_length(toks).to_numpy().astype(np.int64)
         keep = pc.not_equal(flat, "")

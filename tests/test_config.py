@@ -44,7 +44,9 @@ def test_push_based_shuffle_toggle():
         from ray.data.context import ShuffleStrategy
         ctx = DataContext.get_current()
         assert ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
-        assert C.set_push_based_shuffle(False) is True
+        # returns the RAW previous strategy (restorable), not a bool
+        assert C.set_push_based_shuffle(False) \
+            == ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
         assert ctx.shuffle_strategy == ShuffleStrategy.SORT_SHUFFLE_PULL_BASED
     finally:
         C.set_push_based_shuffle(prev)
@@ -65,3 +67,27 @@ def test_cogroup_join_derived_partitions(ray_session):
     out = cogroup_join(left, right, on="k").to_pandas()
     assert len(out) == 50
     assert (out["w"] == out["k"] * 3).all()
+
+
+def test_set_push_based_shuffle_restores_third_state(ray_session):
+    """save/flip/restore must preserve a non-sort strategy exactly."""
+    from ray.data import DataContext
+
+    from gdal_drivers_ray.config import set_push_based_shuffle
+
+    try:
+        from ray.data.context import ShuffleStrategy
+    except ImportError:
+        return  # legacy Ray: only the bool flag exists
+    ctx = DataContext.get_current()
+    if not hasattr(ctx, "shuffle_strategy"):
+        return
+    orig = ctx.shuffle_strategy
+    try:
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        prev = set_push_based_shuffle(True)
+        assert prev == ShuffleStrategy.HASH_SHUFFLE
+        set_push_based_shuffle(prev)
+        assert ctx.shuffle_strategy == ShuffleStrategy.HASH_SHUFFLE
+    finally:
+        ctx.shuffle_strategy = orig

@@ -275,3 +275,54 @@ def test_pack_sequences_empty_corpus(ray_session):
     out = pack_sequences(ds, ctx=16)
     assert out.count() == 0
     assert "n_packs" in out.schema().names
+
+
+def test_stratified_sample_null_stratum(ray_session):
+    """A null stratum samples at the default rate instead of crashing."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.mix import stratified_sample
+
+    t = pa.table({"doc_id": pa.array(range(100), pa.int64()),
+                  "source": pa.array(
+                      [None if i % 2 else "a" for i in range(100)])})
+    out = stratified_sample(ray.data.from_arrow(t), stratum_col="source",
+                            id_col="doc_id",
+                            rates_permille={"a": 1000},
+                            default_permille=0).to_pandas()
+    # all kept rows are stratum 'a' (nulls got the 0 default)
+    assert (out["source"] == "a").all()
+    assert len(out) == 50
+
+
+def test_distributed_rank_empty_schema(ray_session):
+    """Empty input returns an empty dataset WITH the rank column (Ray
+    skips map UDFs on empty blocks, so this must be built explicitly)."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.mix import distributed_rank
+
+    empty = ray.data.from_arrow(pa.table({
+        "source": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64())}))
+    out = distributed_rank(empty, part_col="source", order_col="doc_id")
+    assert out.count() == 0
+    assert "rank" in out.schema().names
+    # downstream ops on the rank column work on the empty result
+    assert out.sort("rank").count() == 0
+
+
+def test_quantile_cut_null_stratum_raises(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from gdal_drivers_ray.stages.mix import quantile_cut
+
+    t = pa.table({"source": pa.array(["a", None, "a", "a"]),
+                  "v": pa.array([1, 2, 3, 4], pa.int64())})
+    with pytest.raises(Exception, match="null stratum|threshold"):
+        quantile_cut(ray.data.from_arrow(t), stratum_col="source",
+                     value_col="v", q=0.5).take_all()
