@@ -198,7 +198,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window": _q.q_hopping_window,
         "topk_fullsort": _q.q_topk_fullsort,
         "distinct_sketch": _q.q_distinct_sketch,
-        "sample_mod": _q.q_sample_mod,
+        # unigram_surprisal is new in round 5 (never driver-verified);
+        # it takes sample_mod's slot — sample_mod is r3 driver-green and
+        # its deterministic-hash-filter kernel is exercised in-window by
+        # stratified_sample (slot 1); parked past 50 below
+        "unigram_surprisal": _tq.q_unigram_surprisal,
         "set_ops": _q.q_set_ops,
         "group_quantile": _q.q_group_quantile,
         "solid_tiles": _rq.q_solid_tiles,
@@ -223,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_join": _q.q_string_join,
         "bloom_semi_join": _q.q_bloom_semi_join,
         "zigzag": _q.q_zigzag,
+        "sample_mod": _q.q_sample_mod,
         "cluster_labels": _dq.q_cluster_labels,
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
@@ -374,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": _tq.SQL_DUP_SPANS,
         "dup_spans_merged": _tq.SQL_DUP_SPANS_MERGED,
         "pii_scrub": _tq.SQL_PII_SCRUB,
+        "unigram_surprisal": _tq.SQL_UNIGRAM_SURPRISAL,
         "top_terms": _tq.SQL_TOP_TERMS,
         "pack_sequences": _tq.SQL_PACK_SEQUENCES,
         "repetition_stats": _tq.SQL_REPETITION_STATS,

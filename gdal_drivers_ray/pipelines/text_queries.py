@@ -217,6 +217,30 @@ LEFT JOIN tot t2 USING (doc_id)
 """
 
 
+def q_unigram_surprisal(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-adaptive unigram surprisal score per document — the
+    CCNet-style rarity/quality signal with an integer surrogate
+    (stages/text.unigram_surprisal): term counts stay partitioned by
+    term hash, never broadcast, never on the driver."""
+    return T.unigram_surprisal(_docs(sf_dir))
+
+
+SQL_UNIGRAM_SURPRISAL = """
+WITH words AS (
+  SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+), cnt AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS c FROM words GROUP BY term
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS t FROM words
+)
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tok,
+       CAST(sum((t.t * 1000) // c.c) AS BIGINT) AS surprise
+FROM words w JOIN cnt c USING (term) CROSS JOIN tot t
+GROUP BY w.doc_id
+"""
+
+
 def q_pii_scrub(sf_dir: str) -> ray.data.Dataset:
     """PII redaction over documents: emails/phones/IPv4 -> typed
     placeholders, with per-kind counts on the original text. Both sides

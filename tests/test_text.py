@@ -365,3 +365,29 @@ def test_pii_scrub_planted(ray_session):
     assert out.loc[2, "n_ips"] == 2
     assert out.loc[3, "text_scrubbed"] == "nothing sensitive here at all"
     assert (out.loc[3, ["n_emails", "n_phones", "n_ips"]] == 0).all()
+
+
+def test_unigram_surprisal_planted(ray_session):
+    """Closed form on a planted corpus: rare tokens score T*1000//1 per
+    occurrence, common ones T*1000//c — rare-vocab docs rank above
+    common-vocab docs, and totals match exact integer arithmetic."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import unigram_surprisal
+
+    # corpus: 'the' x 6 (doc0: 3, doc1: 3), 'qux' x 1 (doc1), total T=7
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["the the the", "the the qux the"]),
+    })
+    out = unigram_surprisal(ray.data.from_arrow(t).repartition(2)) \
+        .to_pandas().sort_values("doc_id").set_index("doc_id")
+    T = 7
+    the = (T * 1000) // 6
+    qux = (T * 1000) // 1
+    assert out.loc[0, "n_tok"] == 3
+    assert out.loc[0, "surprise"] == 3 * the
+    assert out.loc[1, "n_tok"] == 4
+    assert out.loc[1, "surprise"] == 3 * the + qux
+    assert out.loc[1, "surprise"] > out.loc[0, "surprise"]
