@@ -185,7 +185,8 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
                  how: str = "inner",
                  num_partitions: Optional[int] = None,
                  input_bytes: Optional[int] = None,
-                 suffix: str = "_r") -> ray.data.Dataset:
+                 suffix: str = "_r",
+                 dedupe_right: bool = False) -> ray.data.Dataset:
     """Both-sides-large equi-join that cannot deadlock: hash-partition both
     sides on the key, union them with side tags, and merge per PARTITION
     (`groupby(_part).map_groups` = one vectorized pandas merge per
@@ -280,6 +281,23 @@ def cogroup_join(left: ray.data.Dataset, right: ray.data.Dataset,
             .select(["l__" + c for c in lcols]).rename_columns(lcols)
         r = g.filter(pc.equal(g["_side"], 1)) \
             .select(["r__" + c for c in rcols]).rename_columns(rcols)
+        if dedupe_right and r.num_rows:
+            # every copy of a key co-locates in this partition, so a
+            # per-partition dedup IS a global dedup — this is how
+            # bloom_semi_join avoids a whole pre-dedup exchange. Keeps
+            # one arbitrary (first-in-partition) row per key: meant for
+            # keys-only right sides (semi-join), where all copies are
+            # identical and the choice cannot matter.
+            kc = r[rk]
+            if pa.types.is_integer(kc.type):
+                kv = kc.to_numpy()
+            else:
+                kv = pc.dictionary_encode(
+                    kc.combine_chunks() if isinstance(kc, pa.ChunkedArray)
+                    else kc).indices.to_numpy()
+            _, first = np.unique(kv, return_index=True)
+            if len(first) < r.num_rows:
+                r = r.take(pa.array(np.sort(first)))
         m = l.join(r, keys=[on], right_keys=[rk],
                    join_type="inner" if how == "inner" else "left outer",
                    right_suffix=suffix, coalesce_keys=same_key,
@@ -775,13 +793,12 @@ def bloom_semi_join(left: ray.data.Dataset, right: ray.data.Dataset,
     survivors = left.map_batches(prefilter, batch_format="pyarrow",
                                  batch_size=None)
 
-    # exact verify on the (small) surviving stream: distinct right keys
-    # (per-block unique from the SAME materialized key stream, then
-    # per-PARTITION unique — partitioned_groups, not per-key dispatch),
-    # then the cogroup exchange. Distinctness matters: a duplicated right
-    # key would duplicate left rows in the inner merge.
-    rdistinct = partitioned_groups(
-        rkeys, [rk], num_partitions=num_partitions or 64) \
-        .map_groups(uniq_keys, batch_format="pyarrow")
-    return cogroup_join(survivors, rdistinct, on=on, right_on=rk,
-                        how="inner", num_partitions=num_partitions)
+    # exact verify on the (small) surviving stream: the per-block-unique
+    # key stream goes STRAIGHT into the cogroup, which dedupes per
+    # partition inside the reducer (the exchange partitions by the key,
+    # so per-partition dedup is globally exact) — one exchange instead of
+    # a pre-dedup exchange plus the join's. Distinctness matters: a
+    # duplicated right key would duplicate left rows in the inner merge.
+    return cogroup_join(survivors, rkeys, on=on, right_on=rk,
+                        how="inner", num_partitions=num_partitions,
+                        dedupe_right=True)
