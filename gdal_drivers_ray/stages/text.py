@@ -451,7 +451,9 @@ def unigram_surprisal(docs, *, id_col: str = "doc_id",
     count, c = the term's corpus count — monotone in -log p(term), no
     float log (libm would make the hash fragile, the tfidf idf_int
     lesson). Output (doc_id, n_tok, surprise); high surprise = rare
-    vocabulary.
+    vocabulary. Int64 bound: a doc's surprise <= n_tok * T * 1000, so
+    the integer surrogate is safe through T ~ 10^12 tokens for 10^3-
+    token docs; past that, drop the x1000 scale (ranking unchanged).
 
     FULLY DISTRIBUTED — no vocabulary broadcast (CCNet ships a pruned LM;
     an exact corpus unigram table at 100 TB is ~10^8 terms and must NOT
