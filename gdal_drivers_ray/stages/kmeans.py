@@ -86,6 +86,11 @@ def kmeans_fit(emb: ray.data.Dataset, *, k: int = 8, n_iter: int = 5,
 
     seed_rows = narrow.map_batches(keep_seeds, batch_format="pyarrow",
                                    batch_size=None).take_all()
+    if not seed_rows:
+        raise ValueError(
+            "kmeans_fit: no seed vectors with id < k found — the input "
+            "is empty or its id space does not start at 0 (pass a dense-"
+            "id projection or re-key upstream)")
     seed_rows.sort(key=lambda r: r["vec_id"])
     cent = np.stack([np.frombuffer(r["vq"], dtype=np.int64)
                      for r in seed_rows]).astype(np.float64) / _Q

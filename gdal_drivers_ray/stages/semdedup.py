@@ -97,6 +97,13 @@ def semantic_dedup(emb: ray.data.Dataset, *, k: int = 8, n_iter: int = 4,
     input vector; sem_cluster_id = min vec_id of its within-cell cosine
     component at `threshold`; keepers are the component minima (the
     deduped corpus = filter is_keeper)."""
+    emb = emb.materialize()   # consumed twice: k-means training + assign
+    if emb.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cell": pa.array([], pa.int64()),
+            "sem_cluster_id": pa.array([], pa.int64()),
+            "is_keeper": pa.array([], pa.bool_())}))
     cent, _ = kmeans_fit(emb, k=k, n_iter=n_iter, id_col=id_col,
                          vec_col=vec_col)
     cref = ray.put(cent)

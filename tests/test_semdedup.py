@@ -73,3 +73,21 @@ def test_oversized_cluster_chunking(ray_session):
     for j in range(4):
         dup = out[out.vec_id == 30 + j].iloc[0]
         assert dup.sem_cluster_id == j and not bool(dup.is_keeper)
+
+
+def test_empty_input(ray_session):
+    """Empty embeddings -> typed empty output, not a stack crash; the
+    underlying kmeans raises a clear error when seeds are missing."""
+    import pytest
+
+    from gdal_drivers_ray.stages.kmeans import kmeans_fit
+
+    empty = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float64()))}))
+    out = semantic_dedup(empty, k=2, n_iter=1)
+    assert out.count() == 0
+    assert set(out.schema().names) == \
+        {"vec_id", "cell", "sem_cluster_id", "is_keeper"}
+    with pytest.raises(ValueError, match="seed"):
+        kmeans_fit(empty, k=2, n_iter=1)
