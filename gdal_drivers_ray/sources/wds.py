@@ -65,6 +65,14 @@ def write_wds_shards(images: ray.data.Dataset, out_dir: str, *,
         return b.append_column("_shard", pa.array(o // samples_per_shard))
 
     def write_shard(g: pa.Table) -> pa.Table:
+        if "_shard" not in g.column_names or g.num_rows == 0:
+            # empty/column-less probe block (the write_cells guard in
+            # stages/ann.py): a typed empty manifest, not an IndexError
+            return pa.table({"shard": pa.array([], pa.int64()),
+                             "path": pa.array([], pa.string()),
+                             "n_samples": pa.array([], pa.int64()),
+                             "payload_bytes": pa.array([], pa.int64()),
+                             "caption_bytes": pa.array([], pa.int64())})
         shard = int(g["_shard"][0].as_py())
         path = os.path.join(out_dir, f"shard-{shard:06d}{_TAR_SUFFIX}")
         if not os.path.exists(path):

@@ -24,15 +24,7 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from .dedup import EmbeddingBucketer, hyperplanes
-
-
-def _bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
-    bits = (vecs @ planes.T) > 0
-    out = np.zeros(len(vecs), dtype=np.int64)
-    for i in range(planes.shape[0]):
-        out |= bits[:, i].astype(np.int64) << i
-    return out
+from .dedup import EmbeddingBucketer, bucket_of, hyperplanes
 
 
 def _vec_matrix(col, dim: int) -> np.ndarray:
@@ -131,14 +123,16 @@ def _finalize_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
 def ann_lsh_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
                  query_mat: np.ndarray, *, k: int = 10, n_bits: int = 8,
                  dim: int = 64, multiprobe: int = 1) -> pd.DataFrame:
-    """-> (query_id, neighbor_id, rank) over LSH-pruned candidates.
+    """-> (query_id, neighbor_id, rank) over LSH-pruned candidates, with
+    a query's own row excluded (the same self-exclusion contract as
+    ann_ivf_topk, so the two paths are swappable on in-corpus queries).
 
     query_mat rows need not be normalized. Queries are broadcast once; the
     candidate stream is pruned per batch by bucket membership before any
     dot product happens."""
     planes = hyperplanes(dim, n_bits)
     q = query_mat / np.linalg.norm(query_mat, axis=1, keepdims=True)
-    qb = _bucket_of(q, planes)
+    qb = bucket_of(q, planes)
     # multiprobe: each query accepts its bucket plus single-bit flips
     accept: list[set[int]] = []
     for b in qb:
@@ -186,8 +180,12 @@ def ann_lsh_topk(emb: ray.data.Dataset, query_ids: np.ndarray,
         ln = lens[pos[rows]]
         local = np.repeat(np.arange(len(rows)), ln)   # candidate row index
         qi = qidx[_csr_expand(starts[pos[rows]], ln)]  # query per pair
-        sims = np.einsum("ij,ij->i", vecs[local], mat_q[qi])
         nid = vid[rows][local]
+        keep = nid != ids_q[qi]   # self-exclusion — the ann_ivf contract
+        local, qi, nid = local[keep], qi[keep], nid[keep]
+        if len(qi) == 0:
+            return empty
+        sims = np.einsum("ij,ij->i", vecs[local], mat_q[qi])
         # per-query partial top-k within this batch (vectorized rank trick)
         o = np.lexsort((nid, -sims, qi))
         qi, nid, sims = qi[o], nid[o], sims[o]
@@ -225,6 +223,13 @@ def train_centroids(sample: np.ndarray, n_cells: int, n_iter: int = 10,
     the trained centroid matrix is the broadcast state — standard IVF
     (Jégou et al., "Product quantization for nearest neighbor search",
     TPAMI 2011, public method)."""
+    if len(sample) == 0:
+        raise ValueError("train_centroids: empty training sample — the "
+                         "input dataset has no vectors")
+    # fewer sample rows than requested cells: clamp (every vector still
+    # gets a cell; pruning is just weaker) instead of the opaque
+    # rng.choice 'larger sample than population' crash
+    n_cells = min(n_cells, len(sample))
     rng = np.random.default_rng(seed)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
@@ -291,6 +296,8 @@ def _train_from_dataset(emb: ray.data.Dataset, n_cells: int,
     # The hash filter alone bounds the pull to ~2*sample_n expected rows;
     # sorting by vec_id makes the final truncation order-independent.
     samp = emb.map_batches(keep_sample, batch_format="pyarrow").to_pandas()
+    if "embedding" not in samp.columns or not len(samp):
+        raise ValueError("IVF training: the embeddings dataset is empty")
     samp = samp.sort_values("vec_id", kind="stable").head(sample_n)
     mat = np.stack([np.asarray(e, np.float64)
                     for e in samp["embedding"]])
@@ -348,11 +355,21 @@ def build_ivf_index(emb: ray.data.Dataset, out_dir: str, *,
     Returns the manifest (cell, part, n_vecs, path); the query path
     prunes on it."""
     import os
+    import shutil
 
     import pyarrow.parquet as pq
 
     from .joins import partitioned_groups
 
+    # a COMPLETED index in out_dir means this call is a REBUILD (the
+    # build-once consumers gate on centroids.npy and never get here):
+    # wipe it, or run-1's centroids/manifest would mark a half-rebuilt
+    # dir complete and stale part files (a cell shrinking from 3 parts
+    # to 2) would survive for the glob fallback to read. A dir with cell
+    # files but NO centroids is an interrupted build of the SAME input —
+    # that resumes (per-part atomic writes are kept).
+    if os.path.exists(os.path.join(out_dir, "centroids.npy")):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     cent = _train_from_dataset(emb, n_cells, sample_n)
     cent_ref = ray.put(cent)

@@ -484,6 +484,19 @@ def hyperplanes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
+def bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-bit LSH bucket ids: bit i = (v . plane_i) > 0. THE one
+    definition — the dataset side (EmbeddingBucketer) and the query side
+    (stages/ann.ann_lsh_topk) must bucket identically or LSH recall
+    silently collapses to ~zero; never fork this (comparison direction,
+    bit order and the hyperplane seed are all part of the contract)."""
+    bits = (vecs @ planes.T) > 0
+    out = np.zeros(len(vecs), dtype=np.int64)
+    for i in range(planes.shape[0]):
+        out |= bits[:, i].astype(np.int64) << i
+    return out
+
+
 class EmbeddingBucketer:
     """Actor-pool stage: embedding -> hyperplane sign bucket (state: the
     projection matrix, built once per actor)."""
@@ -494,10 +507,7 @@ class EmbeddingBucketer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
         vecs = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
-        bits = (vecs @ self.planes.T) > 0
-        bucket = np.zeros(len(vecs), dtype=np.int64)
-        for i in range(self.planes.shape[0]):
-            bucket |= bits[:, i].astype(np.int64) << i
+        bucket = bucket_of(vecs, self.planes)
         return pa.table({"vec_id": batch["vec_id"],
                          "bucket": pa.array(bucket),
                          "vec": pa.array([v.tobytes() for v in vecs],

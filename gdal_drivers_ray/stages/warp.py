@@ -159,14 +159,6 @@ class RasterGrid:
     def n_tiles(self) -> tuple[int, int]:
         return (-(-self.nx // TILE), -(-self.ny // TILE))
 
-    def tile_extents(self, tx: int, ty: int, pad_px: float = 0.0) -> Extents:
-        rx, ry = self.res
-        x0 = self.extents.llx + (tx * TILE - pad_px) * rx
-        x1 = self.extents.llx + ((tx + 1) * TILE + pad_px) * rx
-        y1 = self.extents.ury - (ty * TILE - pad_px) * ry
-        y0 = self.extents.ury - ((ty + 1) * TILE + pad_px) * ry
-        return Extents(x0, y0, x1, y1)
-
 
 # per-kernel src-px padding for the cover join: how far a dst pixel's
 # stencil can reach from its sample point (bilinear 1.5, cubic 2.5,
@@ -369,15 +361,6 @@ def _sample_footprint(patch: np.ndarray, off_x: int, off_y: int,
     return out
 
 
-def _sample_average(patch: np.ndarray, off_x: int, off_y: int,
-                    fx0: np.ndarray, fx1: np.ndarray,
-                    fy0: np.ndarray, fy1: np.ndarray,
-                    nx: int, ny: int, nodata: float) -> np.ndarray:
-    """Back-compat alias: 'average' through the footprint-kernel family."""
-    return _sample_footprint(patch, off_x, off_y, fx0, fx1, fy0, fy1,
-                             nx, ny, "average", nodata)
-
-
 def _sample(patch: np.ndarray, off_x: int, off_y: int,
             pfx: np.ndarray, pfy: np.ndarray, nx: int, ny: int,
             resampling: str, nodata: float) -> np.ndarray:
@@ -497,6 +480,21 @@ def _cover_flat_map(src_grid: RasterGrid, dst_grid: RasterGrid,
     ntx, nty = dst_grid.n_tiles()
 
     def fn(b: pa.Table) -> pa.Table:
+        # normalize the group-key columns: a band-less tileset warps as
+        # band 0, and OVERVIEW rows (lod > 0) are dropped — their tile
+        # coords are in overview units, not level-0 pixels, so warping
+        # them with base-level math would corrupt output (warp the base
+        # level, rebuild overviews after — the gdalwarp discipline)
+        if "lod" in b.column_names:
+            import pyarrow.compute as pc
+            b = b.filter(pc.equal(b["lod"].cast(pa.int64()), 0))
+        if "band" not in b.column_names:
+            b = b.append_column(
+                "band", pa.array(np.zeros(b.num_rows, np.int32)))
+        if b.num_rows == 0:
+            return b.append_column(
+                "dst_tx", pa.array([], pa.int32())).append_column(
+                "dst_ty", pa.array([], pa.int32()))
         txs = b["tile_x"].to_numpy().astype(np.int64)
         tys = b["tile_y"].to_numpy().astype(np.int64)
         n = b.num_rows
@@ -624,6 +622,10 @@ def warp_tiles(tiles: "ray.data.Dataset", src_grid: RasterGrid,
     covered = tiles.map_batches(
         _cover_flat_map(src_grid, dst_grid, pad_px=_COVER_PAD[resampling]),
         batch_format="pyarrow")
-    return covered.groupby(["dst_tx", "dst_ty"]).map_groups(
+    # band is part of the group key: a multi-band tileset has one row per
+    # band at the same (tile_x, tile_y), and merging bands into one patch
+    # would mix their pixels nondeterministically (the focal/CC band-
+    # namespacing rule). Overviews are dropped in the cover map.
+    return covered.groupby(["band", "dst_tx", "dst_ty"]).map_groups(
         _resample_group(src_grid, dst_grid, resampling, nodata),
         batch_format="pyarrow")

@@ -349,3 +349,31 @@ def test_focal_sum_tiny_raster():
 
     out = F.focal_sum3_oracle(np.ones((2, 5)), -9.0)
     assert (out == -9.0).all()
+
+
+def test_warp_tiles_multiband(ray_session):
+    """Each band warps independently (band is part of the group key):
+    a two-band constant raster keeps both bands, each pixel-constant —
+    merged groups would mix the bands nondeterministically. Overview
+    rows are dropped (their coords are overview units, not level-0)."""
+    import numpy as np
+    import ray.data
+
+    from gdal_drivers_ray.sources import solid
+    from gdal_drivers_ray.stages.warp import RasterGrid, warp_tiles
+
+    world = solid.Extents(0.0, 0.0, 512.0, 512.0)
+    spec = solid.SolidSpec(srs="local", size=(512, 512), extents=world,
+                           bands=[solid.Band(37.0, "Byte"),
+                                  solid.Band(73.0, "Byte")])
+    tiles = solid.solid_dataset(spec, include_overviews=True)
+    src = RasterGrid(srs="local", extents=world, nx=512, ny=512)
+    dst = RasterGrid(srs="local", extents=world, nx=512, ny=512)
+    out = warp_tiles(tiles, src, dst, resampling="nearest").to_pandas()
+    # 2x2 tiles x 2 bands, every band intact and constant
+    assert len(out) == 8
+    assert sorted(out["band"].unique().tolist()) == [0, 1]
+    for _, r in out.iterrows():
+        px = np.frombuffer(r["px"], dtype=np.float64).reshape(256, 256)
+        want = 37.0 if r["band"] == 0 else 73.0
+        assert (px[:r["valid_h"], :r["valid_w"]] == want).all()
