@@ -303,6 +303,8 @@ def pack_zxy(z, x, y):
 
 
 def unpack_zxy(key):
+    """Inverse of pack_zxy. NOTE the return order is (z, y, x): the pack
+    layout is (z<<58)|(y<<29)|x, so the middle word is y."""
     key = np.asarray(key, dtype=np.int64)
     return key >> 58, (key >> 29) & ((1 << 29) - 1), key & ((1 << 29) - 1)
 

@@ -103,9 +103,17 @@ class MbtilesLookup:
         # reference, minus its reconnect
         limit = self.PRELOAD_LIMIT if preload_limit is None else preload_limit
         budget = self.PRELOAD_BYTES if preload_bytes is None else preload_bytes
-        n, nbytes = self.con.execute(
-            "SELECT count(*), coalesce(sum(length(tile_data)), 0) "
-            "FROM tiles").fetchone()
+        # file size is a free upper bound on total blob bytes: an archive
+        # bigger than the budget can never preload, so skip the full-table
+        # sum(length(tile_data)) scan exactly on the big archives where it
+        # would cost seconds per cold worker
+        fsize = os.path.getsize(db_path)
+        if fsize > budget:
+            n, nbytes = limit + 1, budget + 1
+        else:
+            n, nbytes = self.con.execute(
+                "SELECT count(*), coalesce(sum(length(tile_data)), 0) "
+                "FROM tiles").fetchone()
         # keyed by the same packed int64 as parse_requests' skey column, so
         # batch lookups are dict gets on DISTINCT keys only, no per-row
         # tuple building
@@ -143,10 +151,12 @@ class MbtilesLookup:
         if self.store is not None:
             hits = [self.store.get(int(k)) for k in uniq]
         else:
+            from ..grid import unpack_zxy
+            # unpack_zxy returns (z, y, x) — the pack layout is
+            # (z<<58)|(y<<29)|x, so the middle word is the ROW
+            zs, rs, cs = unpack_zxy(uniq)
             hits = []
-            for k in uniq:
-                k = int(k)
-                z, c, r = k >> 58, k & ((1 << 29) - 1), (k >> 29) & ((1 << 29) - 1)
+            for z, c, r in zip(zs.tolist(), cs.tolist(), rs.tolist()):
                 hit = self.con.execute(self.q, (z, c, r)).fetchone()
                 hits.append(None if hit is None else bytes(hit[0]))
         # gunzip at UNIQUE-key granularity (the request stream repeats
@@ -175,7 +185,11 @@ def _file_sig(path: str) -> tuple[int, int]:
     return (st.st_mtime_ns, st.st_size)
 
 
-@lru_cache(maxsize=8)
+# maxsize bounds the per-process memory pin: each entry may hold a
+# PRELOAD_BYTES dict plus an open connection, so 2 entries cap the warm
+# state at ~2x the documented per-actor budget (8 entries could pin 2 GiB
+# and kept evicted/stale sqlite connections alive until GC)
+@lru_cache(maxsize=2)
 def _warm_lookup_sig(db_path: str, preload_limit: int | None,
                      sig: tuple[int, int]) -> "MbtilesLookup":
     return MbtilesLookup(db_path, preload_limit)
@@ -240,6 +254,14 @@ def write_mbtiles_shards(tiles: ray.data.Dataset, out_dir: str,
     from ..stages.joins import partitioned_groups
 
     os.makedirs(out_dir, exist_ok=True)
+    # sidecar records the ROUTING MODULUS: the reader must hash with the
+    # same num_shards or lookups silently route to the wrong (or absent)
+    # shard and return not_found for tiles that exist. Atomic, idempotent.
+    sc = os.path.join(out_dir, "num_shards.txt")
+    tmp = sc + f".tmp{os.getpid()}"
+    with open(tmp, "w") as f:
+        f.write(str(int(num_shards)))
+    os.replace(tmp, sc)
 
     def add_shard(b: pa.Table) -> pa.Table:
         shard = shard_of(b["zoom"].to_numpy(), b["col"].to_numpy(),
@@ -328,6 +350,31 @@ class MbtilesShardedLookup:
                  preload_limit: int | None = None,
                  preload_bytes: int | None = None):
         self.num_shards = num_shards
+        # validate the routing modulus: a num_shards that disagrees with
+        # the writer's silently routes existing tiles to the wrong (or
+        # absent) shard -> 'not_found' with no error. The writer's
+        # sidecar is authoritative; without one (pre-sidecar archive)
+        # at least require the directory to hold plausible shard files.
+        import glob as _glob
+        sc = os.path.join(shard_dir, "num_shards.txt")
+        files = _glob.glob(os.path.join(shard_dir, "shard-*.mbtiles"))
+        if os.path.exists(sc):
+            with open(sc) as f:
+                written = int(f.read().strip())
+            if written != num_shards:
+                raise ValueError(
+                    f"mbtiles shard dir {shard_dir!r} was written with "
+                    f"num_shards={written}, lookup requested "
+                    f"{num_shards} — keys would route to wrong shards")
+        elif not files:
+            raise FileNotFoundError(
+                f"no shard-*.mbtiles in {shard_dir!r}")
+        else:
+            top = max(int(os.path.basename(p)[6:11]) for p in files)
+            if top >= num_shards:
+                raise ValueError(
+                    f"shard dir holds shard-{top:05d} but lookup "
+                    f"num_shards={num_shards} cannot route to it")
         # the preload budget is PER ACTOR, not per shard: divide it so
         # opening all shards cannot multiply resident memory by the
         # shard count (the big-archive point-query guard stays effective)
@@ -346,10 +393,9 @@ class MbtilesShardedLookup:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         parsed = parse_requests(batch)           # parse ONCE; route below
+        from ..grid import unpack_zxy
         skey = parsed["skey"].to_numpy()
-        z = skey >> 58
-        c = skey & ((np.int64(1) << 29) - 1)
-        r = (skey >> 29) & ((np.int64(1) << 29) - 1)  # stored TMS row
+        z, r, c = unpack_zxy(skey)     # pack layout (z<<58)|(row<<29)|col
         shard = shard_of(z, c, r, self.num_shards)
         shard[skey < 0] = -1                      # bad/oob rows route nowhere
         pieces, order = [], []

@@ -461,6 +461,11 @@ def decode_tile(buf: bytes, extents: Optional[Extents] = None,
             except GeometryError:
                 # abort this layer's stream (mvt.cpp:608-613)
                 break
+            if fid is not None and fid >= 1 << 63:
+                # Feature.id is uint64 on the wire; the reference casts
+                # to GIntBig (two's-complement wrap) — match that instead
+                # of overflowing the int64 Arrow column later
+                fid -= 1 << 64
             rows.append({
                 "layer": name,
                 "layer_idx": layer_idx,
@@ -506,11 +511,25 @@ def parse_tiles_batch(batch: pa.Table, extents: Optional[Extents] = None,
                       bytes_col: str = "bytes",
                       tile_id_col: str = "tile_id") -> pa.Table:
     """map_batches body: tile-bytes column -> exploded feature rows
-    (the engine's flat_map of SURVEY.md §3.2)."""
+    (the engine's flat_map of SURVEY.md §3.2).
+
+    Robustness contract: NULL tile bytes (the lookup stages' not_found
+    rows — this function is documented as the generic consumer of their
+    output) and wire-corrupt tiles (truncated varints, short fixed
+    fields, oversize geometry varints, zero extents) are SKIPPED, never
+    allowed to kill the whole batch task — the per-tile analog of the
+    reference's CPLError abort paths."""
+    import struct as _struct
     tables = []
     for tid, buf in zip(batch[tile_id_col].to_pylist(),
                         batch[bytes_col].to_pylist()):
-        rows = decode_tile(buf, extents)
+        if buf is None:
+            continue
+        try:
+            rows = decode_tile(buf, extents)
+        except (IndexError, OverflowError, ZeroDivisionError, ValueError,
+                UnicodeDecodeError, _struct.error):
+            continue        # corrupt tile: drop it, keep the batch
         if rows:
             tables.append(rows_to_table(rows, tid))
     if not tables:

@@ -352,7 +352,8 @@ def blend_dataset_shuffle(spec: BlendSpec, sources: list[BlendSource],
 
     def explode(batch: dict) -> pa.Table:
         pl = ray.get(pref)
-        out = {"tile_id": [], "src_idx": [], "wh": [], "img": [], "m": []}
+        out = {"tile_id": [], "src_idx": [], "wh": [], "img": [],
+               "dt": [], "m": []}
         for i in batch["src_idx"]:
             i = int(i)
             src = ray.get(srefs[i])
@@ -377,15 +378,19 @@ def blend_dataset_shuffle(spec: BlendSpec, sources: list[BlendSource],
                     out["tile_id"].append(by * ntx + bx)
                     out["src_idx"].append(i)
                     out["wh"].append((lh << 16) | lw)
-                    out["img"].append(
-                        np.ascontiguousarray(
-                            img.astype(np.float64)).tobytes())
+                    # ship the NATIVE dtype through the shuffle (a uint8
+                    # mosaic would otherwise move 8 bytes/px — the cast
+                    # to the float64 accumulate dtype happens AFTER the
+                    # exchange, in render_group)
+                    out["img"].append(np.ascontiguousarray(img).tobytes())
+                    out["dt"].append(str(img.dtype))
                     out["m"].append(m)
         return pa.table({
             "tile_id": pa.array(out["tile_id"], pa.int64()),
             "src_idx": pa.array(out["src_idx"], pa.int32()),
             "wh": pa.array(out["wh"], pa.int32()),
             "img": pa.array(out["img"], pa.large_binary()),
+            "dt": pa.array(out["dt"], pa.string()),
             "m": pa.array(out["m"], pa.large_binary()),
         })
 
@@ -399,6 +404,7 @@ def blend_dataset_shuffle(spec: BlendSpec, sources: list[BlendSource],
             "src_idx": pa.array(np.full(len(b["id"]), -1, dtype=np.int32)),
             "wh": pa.array(np.zeros(len(b["id"]), dtype=np.int32)),
             "img": pa.array([b""] * len(b["id"]), pa.large_binary()),
+            "dt": pa.array([""] * len(b["id"]), pa.string()),
             "m": pa.array([b""] * len(b["id"]), pa.large_binary()),
         }), batch_format="numpy")
 
@@ -419,8 +425,9 @@ def blend_dataset_shuffle(spec: BlendSpec, sources: list[BlendSource],
                 continue
             loc = locate(block, pl.placements[i])
             lh, lw = int(whs[j]) >> 16, int(whs[j]) & 0xFFFF
-            img = np.frombuffer(g["img"][j].as_py(), dtype=np.float64) \
-                .reshape(lh, lw, nbands)
+            img = np.frombuffer(g["img"][j].as_py(),
+                                dtype=np.dtype(g["dt"][j].as_py())) \
+                .reshape(lh, lw, nbands).astype(np.float64)
             mb = g["m"][j].as_py()
             m = np.ones((lh, lw), dtype=np.float64) if not mb else \
                 (np.frombuffer(mb, dtype=np.uint8)
@@ -464,12 +471,4 @@ def blend_oracle(plan: BlendPlan, sources: list[BlendSource]) -> tuple[np.ndarra
         acc[vy:vy + vh, vx:vx + vw] += img * mw[:, :, None]
         wacc[vy:vy + vh, vx:vx + vw] += mw
         vmask[vy:vy + vh, vx:vx + vw] |= np.where((m != 0) & (w > 0), 255, 0).astype(np.uint8)
-    invalid = wacc == 0.0
-    wacc[invalid] = 1.0
-    out = acc / wacc[:, :, None]
-    if plan.nodata is not None:
-        out[invalid] = plan.nodata
-    if np.issubdtype(plan.dtype, np.integer):
-        info = np.iinfo(plan.dtype)
-        out = np.clip(np.rint(out), info.min, info.max)
-    return out.astype(plan.dtype), vmask
+    return _finalize_block(plan, acc, wacc, vmask)

@@ -262,3 +262,30 @@ def test_sharded_lookup_matches_merged(ray_session, tmp_path):
     assert got_sharded == got_merged
     assert any(s == "not_found" for _, s, _ in got_sharded)
     assert any(s == "bad_key" for _, s, _ in got_sharded)
+
+
+def test_sharded_lookup_rejects_wrong_num_shards(ray_session, tmp_path):
+    """A num_shards that disagrees with the writer's must raise — with a
+    mismatched modulus, present tiles silently come back not_found."""
+    import numpy as np
+    import pytest
+    import ray.data
+
+    t = _tile_rows_table(50, seed=9)
+    out = str(tmp_path / "shards")
+    mbtiles.write_mbtiles_shards(ray.data.from_arrow(t), out,
+                                 num_shards=4).to_pandas()
+    with pytest.raises(ValueError, match="num_shards"):
+        mbtiles.MbtilesShardedLookup(out, num_shards=8)
+    with pytest.raises(FileNotFoundError):
+        mbtiles.MbtilesShardedLookup(str(tmp_path / "nothing"),
+                                     num_shards=4)
+    # the matching modulus still works
+    lk = mbtiles.MbtilesShardedLookup(out, num_shards=4)
+    zs = t["zoom"].to_numpy(); cs = t["col"].to_numpy()
+    rs = t["row"].to_numpy()
+    paths = [f"s/{z}-{c}-{(1 << z) - 1 - r}"
+             for z, c, r in zip(zs[:5], cs[:5], rs[:5])]
+    import pyarrow as pa
+    res = lk(pa.table({"path": paths}))
+    assert all(s == "ok" for s in res["status"].to_pylist())

@@ -245,3 +245,37 @@ def test_encode_uvarints_rejects_oversized_values():
 
     with pytest.raises(ValueError, match="2\\^35"):
         mvt.encode_uvarints(np.array([1 << 35], dtype=np.uint64))
+
+
+def test_parse_tiles_batch_skips_null_and_corrupt(ray_session):
+    """NULL tile bytes (lookup not_found rows) and wire-corrupt tiles are
+    skipped per tile — they must never kill the whole batch task."""
+    import pyarrow as pa
+
+    from gdal_drivers_ray.sources.mvt import parse_tiles_batch
+
+    g1 = mvt.geometry_stream([[(10, 10)]], mvt.GEOM_POINT)
+    good = tile_with([{"type": 1, "geometry": g1}])
+    batch = pa.table({
+        "tile_id": pa.array(["ok", "null", "trunc", "junk"]),
+        "bytes": pa.array([good, None, good[:max(1, len(good) // 3)],
+                           b"\x1a\x02\xff"], pa.large_binary()),
+    })
+    out = parse_tiles_batch(batch)
+    assert set(out["tile_id"].to_pylist()) == {"ok"}
+
+
+def test_uint64_fid_wraps_like_gintbig(ray_session):
+    """A spec-valid Feature.id >= 2^63 wraps two's-complement (the
+    reference's GIntBig cast) instead of overflowing the int64 column."""
+    import pyarrow as pa
+
+    from gdal_drivers_ray.sources.mvt import parse_tiles_batch
+
+    big = (1 << 63) + 7
+    g1 = mvt.geometry_stream([[(10, 10)]], mvt.GEOM_POINT)
+    tile = tile_with([{"type": 1, "geometry": g1, "id": big}])
+    out = parse_tiles_batch(pa.table({
+        "tile_id": pa.array(["t"]),
+        "bytes": pa.array([tile], pa.large_binary())}))
+    assert out["fid"].to_pylist() == [big - (1 << 64)]
