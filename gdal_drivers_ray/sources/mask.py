@@ -28,6 +28,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
+from functools import lru_cache
+
 from ..grid import Extents, level_size, num_tiles
 
 MAGIC = b"GRQTMK"
@@ -134,6 +136,9 @@ def render_tile(mask: QuadMask, depth_level: int, tile_x: int, tile_y: int,
                 tile: int = 256) -> np.ndarray:
     """Rasterize one tile at overview level `depth_level`
     (mask.cpp:219-264), vectorized rect-fill over the intersecting nodes."""
+    if not 0 <= depth_level <= mask.depth:
+        raise ValueError(f"depth_level {depth_level} out of range "
+                         f"0..{mask.depth}")
     tail = mask.depth - depth_level
     x_shift = tile_x * tile
     y_shift = tile_y * tile
@@ -165,6 +170,13 @@ def render_tile(mask: QuadMask, depth_level: int, tile_x: int, tile_y: int,
     return img
 
 
+@lru_cache(maxsize=4)
+def _warm_mask(buf: bytes) -> "QuadMask":
+    """Per-worker-process deserialize cache: hashing the buffer is far
+    cheaper than re-parsing the node table every 32-row batch."""
+    return deserialize(buf)
+
+
 def mask_tiles(buf: bytes, depth_level: int | None = None,
                tile: int = 256) -> ray.data.Dataset:
     """Dataset of rendered mask tiles at one level (default: all levels —
@@ -174,22 +186,37 @@ def mask_tiles(buf: bytes, depth_level: int | None = None,
     import ray
 
     mask = deserialize(buf)
+    if depth_level is not None and not 0 <= depth_level <= mask.depth:
+        raise ValueError(f"depth_level {depth_level} out of range "
+                         f"0..{mask.depth}")
     levels = ([depth_level] if depth_level is not None
               else list(range(mask.depth + 1)))
-    index: list[tuple[int, int, int]] = []
+    # ARITHMETIC row locate (the solid.py:188 discipline): the closure
+    # carries only O(n_levels) arrays — a materialized (lv, tx, ty)
+    # list is O(total tiles), gigabytes pickled into every task at
+    # depth 20
+    ntxs, counts = [], []
     for lv in levels:
         w, h = level_size(mask.size, mask.size, lv, mask.depth)
         ntx, nty = num_tiles(max(w, 1), max(h, 1), tile, tile)
-        for ty in range(nty):
-            for tx in range(ntx):
-                index.append((lv, tx, ty))
+        ntxs.append(ntx)
+        counts.append(ntx * nty)
+    offs = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    lv_arr = np.asarray(levels, dtype=np.int64)
+    ntx_arr = np.asarray(ntxs, dtype=np.int64)
+    total = int(offs[-1])
     mref = ray.put(buf)
 
     def gen(batch: dict) -> pa.Table:
-        m = deserialize(ray.get(mref))
+        m = _warm_mask(ray.get(mref))
         out = {"lod": [], "tile_x": [], "tile_y": [], "px": []}
         for rid in batch["id"]:
-            lv, tx, ty = index[int(rid)]
+            rid = int(rid)
+            li = int(np.searchsorted(offs, rid, side="right")) - 1
+            k = rid - int(offs[li])
+            lv = int(lv_arr[li])
+            tx = k % int(ntx_arr[li])
+            ty = k // int(ntx_arr[li])
             img = render_tile(m, lv, tx, ty, tile)
             out["lod"].append(lv)
             out["tile_x"].append(tx)
@@ -200,5 +227,5 @@ def mask_tiles(buf: bytes, depth_level: int | None = None,
                          "tile_y": pa.array(out["tile_y"], pa.int32()),
                          "px": pa.array(out["px"], pa.large_binary())})
 
-    return ray.data.range(len(index)).map_batches(gen, batch_format="numpy",
+    return ray.data.range(total).map_batches(gen, batch_format="numpy",
                                                   batch_size=32)

@@ -147,17 +147,25 @@ def parse_config(text: str) -> SolidSpec:
         gt = tuple(float(v) for v in solid["geoTransform"].split(","))
         if len(gt) != 6:
             raise ValueError("geoTransform needs 6 coefficients")
-    return SolidSpec(
-        srs=solid["srs"],
-        size=size2(solid["size"]),
-        tile_size=size2(solid.get("tileSize", "256x256")),
-        extents=extents,
-        geo_transform=gt,
-        bands=[Band(value=float(b["value"]),
-                    data_type=b.get("dataType", "Byte"),
-                    color_interpretation=b.get("colorInterpretation", "Gray"))
-               for b in bands],
-    )
+    for b in bands:
+        if "value" not in b:
+            raise ValueError("band section missing 'value'")
+    try:
+        return SolidSpec(
+            srs=solid["srs"],
+            size=size2(solid["size"]),
+            tile_size=size2(solid.get("tileSize", "256x256")),
+            extents=extents,
+            geo_transform=gt,
+            bands=[Band(value=float(b["value"]),
+                        data_type=b.get("dataType", "Byte"),
+                        color_interpretation=b.get("colorInterpretation",
+                                                   "Gray"))
+                   for b in bands],
+        )
+    except KeyError as e:
+        # the documented probe-failure contract is ValueError
+        raise ValueError(f"solid config missing {e.args[0]!r}") from e
 
 
 TILE_SCHEMA = pa.schema([
@@ -251,11 +259,15 @@ def create_copy(src_tiles: ray.data.Dataset, values: list[float],
         dts = batch["dtype"].to_pylist()
         bands = batch["band"].to_pylist()
         pxs = []
-        for b, dt_src in zip(bands, dts):
+        for i_row, (b, dt_src) in enumerate(zip(bands, dts)):
             dt = dtype or dt_src
-            n = len(batch["px"][0].as_py()) // np.dtype(DTYPES[dt_src]).itemsize
-            side = int(np.sqrt(n))
-            block = np.full((side, side), values[b], dtype=DTYPES[dt])
+            # size each block from ITS OWN row (row 0's byte length is
+            # wrong the moment bands mix dtypes) and keep the exact
+            # element count — int(sqrt(n)) silently shrank non-square
+            # or non-256 tiles
+            n = len(batch["px"][i_row].as_py()) \
+                // np.dtype(DTYPES[dt_src]).itemsize
+            block = np.full(n, values[b], dtype=DTYPES[dt])
             pxs.append(block.tobytes())
         i = batch.schema.get_field_index("px")
         t = batch.set_column(i, "px", pa.array(pxs, pa.large_binary()))

@@ -218,6 +218,11 @@ def lookup(requests: ray.data.Dataset, store_path: str,
         b = parse_requests(batch, path_col)
         keys, blobs = ray.get(sref)
         k = b["skey"].to_numpy()
+        if len(keys) == 0:
+            # empty store: every request is not_found (keys[posc] below
+            # would IndexError on a zero-length array)
+            return _finalize_lookup(
+                b, pa.nulls(b.num_rows, pa.large_binary()))
         pos = np.searchsorted(keys, k)
         inb = pos < len(keys)
         posc = np.where(inb, pos, 0)

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from ..grid import TILE, Extents, tms_flip
+from ..grid import Extents, tms_flip
 from ..sources import mvt
 
 
@@ -48,17 +48,6 @@ def world_to_local(xs, ys, te: Extents, extent: int):
     lx = np.round((np.asarray(xs) - te.llx) / te.width * extent).astype(np.int64)
     ly = np.round((te.ury - np.asarray(ys)) / te.height * extent).astype(np.int64)
     return lx, ly
-
-
-def _covering_tiles(gx0, gy0, gx1, gy1, world: Extents, lod: int):
-    side = 1 << lod
-    tw = world.width / side
-    th = world.height / side
-    tx0 = max(0, int(np.floor((gx0 - world.llx) / tw)))
-    tx1 = min(side - 1, int(np.floor((gx1 - world.llx) / tw)))
-    ty0 = max(0, int(np.floor((world.ury - gy1) / th)))
-    ty1 = min(side - 1, int(np.floor((world.ury - gy0) / th)))
-    return [(x, y) for y in range(ty0, ty1 + 1) for x in range(tx0, tx1 + 1)]
 
 
 def typed_value(v):
@@ -85,10 +74,12 @@ def _flatten_geometry(col: pa.ChunkedArray | pa.Array):
     no per-row Python."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    part_counts = pc.list_value_length(col).to_numpy(zero_copy_only=False) \
-        .astype(np.int64)
+    # fill_null(0): a NULL geometry (or null part) is an EMPTY one —
+    # list_value_length yields null -> NaN -> garbage int64 otherwise
+    part_counts = pc.list_value_length(col).fill_null(0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
     flat_parts = pc.list_flatten(col)
-    pt_counts = pc.list_value_length(flat_parts) \
+    pt_counts = pc.list_value_length(flat_parts).fill_null(0) \
         .to_numpy(zero_copy_only=False).astype(np.int64)
     pts = pc.list_flatten(flat_parts)
     xs = pc.struct_field(pts, "x").to_numpy(zero_copy_only=False)
@@ -104,6 +95,9 @@ def _layer_streams(lt: pa.Table, te: Extents, extent: int):
     lx, ly = world_to_local(xs, ys, te, extent)
 
     n_feat = len(gtypes)
+    if len(lx) == 0:   # all geometries empty/null: every stream is empty
+        return (np.zeros(0, dtype=np.int64),
+                np.zeros((n_feat, 2), dtype=np.int64))
     part_feat = np.repeat(np.arange(n_feat), part_counts)
     part_gtype = gtypes[part_feat]
     part_idx_in_feat = np.arange(len(part_feat)) \
@@ -115,15 +109,23 @@ def _layer_streams(lt: pa.Table, te: Extents, extent: int):
     # polygon rings drop a closing vertex identical to the first
     pt_start = np.concatenate(([0], np.cumsum(pt_counts)[:-1]))
     pt_end = pt_start + pt_counts - 1
+    # clamp the probe indices: an EMPTY trailing part has
+    # pt_start == len(lx); its closed-flag value is irrelevant (kept_n
+    # filters it) but the eager fancy index must stay in bounds
+    ps = np.minimum(pt_start, len(lx) - 1)
     closed = (part_gtype == mvt.GEOM_POLYGON) & (pt_counts > 1) \
-        & (lx[pt_start] == lx[np.maximum(pt_end, 0)]) \
-        & (ly[pt_start] == ly[np.maximum(pt_end, 0)])
+        & (lx[ps] == lx[np.maximum(np.minimum(pt_end, len(lx) - 1), 0)]) \
+        & (ly[ps] == ly[np.maximum(np.minimum(pt_end, len(lx) - 1), 0)])
     kept_n = np.where(closed, pt_counts - 1, pt_counts)
 
     # point keep-mask: drop tails of closed rings + all points of dropped
-    # parts, via per-part CSR ranges
+    # parts, via per-part CSR ranges. Non-point parts additionally need
+    # >= 2 kept points: a 1-point line/ring would emit a ZERO-count
+    # LineTo, which the decoder rejects by aborting the WHOLE layer —
+    # one degenerate part must not discard its neighbors.
     keep_pt = np.zeros(len(lx), dtype=bool)
-    kp = keep_part & (kept_n > 0)
+    kp = keep_part & np.where(part_gtype == mvt.GEOM_POINT,
+                              kept_n > 0, kept_n >= 2)
     if kp.any():
         s, n = pt_start[kp], kept_n[kp]
         idx = np.repeat(s - np.concatenate(([0], np.cumsum(n)[:-1])), n) \
@@ -143,6 +145,15 @@ def _layer_streams(lt: pa.Table, te: Extents, extent: int):
     fstart = np.concatenate(([True], pt_feat[1:] != pt_feat[:-1]))
     dx = lx - np.where(fstart, 0, prev_x)
     dy = ly - np.where(fstart, 0, prev_y)
+    if len(dx) and max(int(np.abs(dx).max()),
+                       int(np.abs(dy).max())) >= 1 << 31:
+        # no clipping happens upstream (a feature lands whole in every
+        # covered tile), so tile-local deltas grow as 2^lod * extent; a
+        # wrap here would silently corrupt geometry AND stay under the
+        # encoder's uvarint overflow guard — refuse instead
+        raise ValueError(
+            "tile-local coordinate delta exceeds the 32-bit MVT wire "
+            "range; clip the feature or lower lod/extent")
     zx = ((dx << 1) ^ (dx >> 63)) & 0xFFFFFFFF
     zy = ((dy << 1) ^ (dy >> 63)) & 0xFFFFFFFF
 
@@ -203,10 +214,22 @@ def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
             np.repeat(np.arange(len(part_counts)), part_counts),
             weights=pt_counts, minlength=n_feat).astype(np.int64)
         f_start = np.concatenate(([0], np.cumsum(pts_per_feat)[:-1]))
-        gx0 = np.minimum.reduceat(xs, f_start)
-        gx1 = np.maximum.reduceat(xs, f_start)
-        gy0 = np.minimum.reduceat(ys, f_start)
-        gy1 = np.maximum.reduceat(ys, f_start)
+        # reduceat only over features that HAVE points: an empty/null
+        # geometry's start equals the next feature's (reduceat would
+        # steal that feature's first vertex — or IndexError when the
+        # empty feature is last). Point-less features get an inverted
+        # bbox -> cnt = 0 -> dropped, the per-feature loop's semantics.
+        has = pts_per_feat > 0
+        gx0 = np.zeros(n_feat)
+        gx1 = np.zeros(n_feat)
+        gy0 = np.zeros(n_feat)
+        gy1 = np.zeros(n_feat)
+        if has.any():
+            sub = f_start[has]
+            gx0[has] = np.minimum.reduceat(xs, sub)
+            gx1[has] = np.maximum.reduceat(xs, sub)
+            gy0[has] = np.minimum.reduceat(ys, sub)
+            gy1[has] = np.maximum.reduceat(ys, sub)
         side = 1 << lod
         tw = world.width / side
         th = world.height / side
@@ -222,7 +245,7 @@ def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
         # negative repeat count crashing the whole job.
         nx = np.maximum(tx1 - tx0 + 1, 0)
         ny = np.maximum(ty1 - ty0 + 1, 0)
-        cnt = nx * ny
+        cnt = np.where(has, nx * ny, 0)
         idx = np.repeat(np.arange(n_feat), cnt)
         k = np.arange(int(cnt.sum())) \
             - np.repeat(np.concatenate(([0], np.cumsum(cnt)[:-1])), cnt)
@@ -258,6 +281,10 @@ def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
             val_ix: dict[tuple, int] = {}
             feats = []
             for i in range(lt.num_rows):
+                if fb[i, 1] == fb[i, 0]:
+                    # every part degenerate (or geometry empty): the MVT
+                    # spec requires features to carry geometry — skip
+                    continue
                 a = attrs_col[i]
                 items = (a.items() if isinstance(a, dict)
                          else [] if a is None else [("attrs", str(a))])
@@ -274,9 +301,13 @@ def build_tiles(features: ray.data.Dataset, world: Extents, lod: int,
                     if vi == len(values):
                         values.append(vk)
                     tags += [ki, vi]
-                feats.append({"id": int(fids[i]), "type": int(gts[i]),
-                              "tags": tags,
-                              "geometry": stream[fb[i, 0]:fb[i, 1]]})
+                feat = {"type": int(gts[i]), "tags": tags,
+                        "geometry": stream[fb[i, 0]:fb[i, 1]]}
+                # nullable int64 -> float64 with NaN; a null fid encodes
+                # as a feature WITHOUT an id (decode_tile's fid=None)
+                if fids[i] == fids[i]:
+                    feat["id"] = int(fids[i])
+                feats.append(feat)
             layers.append({"name": str(lay_names[bounds[li]]),
                            "extent": extent,
                            "keys": keys, "values": values,

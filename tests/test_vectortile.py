@@ -211,3 +211,65 @@ def test_out_of_world_feature_dropped_not_crash(ray_session):
     te = VT.tile_world_extents(WORLD, 1, tx, ty)
     decoded = mvt.decode_tile(bytes(store["tile_data"].iloc[0]), extents=te)
     assert [f["fid"] for f in decoded] == [1]
+
+
+def test_build_tiles_null_fid_and_empty_geometry(ray_session):
+    """Null fid encodes as a feature WITHOUT an id; empty/null geometry
+    rows drop cleanly (no reduceat crash, no stolen bbox); a 1-point
+    LINESTRING part never emits the zero-count LineTo that would abort
+    the whole layer on decode."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.grid import Extents
+    from gdal_drivers_ray.sources import mvt
+    from gdal_drivers_ray.stages.vectortile import build_tiles
+
+    world = Extents(0.0, 0.0, 1024.0, 1024.0)
+    geom_t = mvt.FEATURE_SCHEMA.field("geometry").type
+
+    def g(parts):
+        return [[{"x": float(x), "y": float(y)} for (x, y) in p]
+                for p in parts]
+
+    t = pa.table({
+        "fid": pa.array([1, None, 7, 8], pa.int64()),
+        "layer": pa.array(["l", "l", "l", "l"]),
+        "geom_type": pa.array([mvt.GEOM_POINT, mvt.GEOM_POINT,
+                               mvt.GEOM_LINESTRING,
+                               mvt.GEOM_LINESTRING], pa.int8()),
+        "geometry": pa.array([g([[(10, 10)]]),      # fid=1, fine
+                              g([[(20, 20)]]),      # null fid
+                              g([[(30, 30)]]),      # 1-pt line: dropped
+                              g([[(40, 40), (50, 50)]])], geom_t),
+        "attrs": pa.array([None, None, None, None], pa.string()),
+    })
+    out = build_tiles(ray.data.from_arrow(t), world, lod=0).take_all()
+    assert len(out) == 1
+    feats = mvt.decode_tile(out[0]["tile_data"])
+    fids = sorted((f["fid"] is None, f["fid"]) for f in feats
+                  if f["fid"] is not None or True)
+    got = {(f["fid"], f["geom_type"]) for f in feats}
+    # the 1-point line vanished; the others survive with right fids
+    assert got == {(1, mvt.GEOM_POINT), (None, mvt.GEOM_POINT),
+                   (8, mvt.GEOM_LINESTRING)}
+
+
+def test_lookup_empty_store(ray_session, tmp_path):
+    """An empty store answers not_found for every request, never
+    IndexError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from gdal_drivers_ray.sources import tilestore
+
+    p = str(tmp_path / "store.parquet")
+    pq.write_table(pa.table({
+        "zoom": pa.array([], pa.int64()),
+        "col": pa.array([], pa.int64()),
+        "row": pa.array([], pa.int64()),
+        "tile_data": pa.array([], pa.large_binary())}), p)
+    reqs = ray.data.from_items([{"path": "s/1-0-0"}, {"path": "s/2-1-1"}])
+    rows = tilestore.lookup(reqs, p).take_all()
+    assert [r["status"] for r in rows] == ["not_found", "not_found"]
