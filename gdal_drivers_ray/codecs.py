@@ -44,6 +44,11 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         h, w, c = arr.shape
     else:
         raise ValueError(f"bad image ndim {arr.ndim}")
+    if h > 0xFFFF or w > 0xFFFF or c > 0xFF:
+        # the header packs <HHBB — fail clearly at the API boundary, not
+        # with a bare struct.error inside the packer
+        raise ValueError(f"image {h}x{w}x{c} exceeds the codec header "
+                         "limits (65535 x 65535 x 255)")
     code = _DTYPE_CODES[arr.dtype]
     if fmt == "png":
         payload = zlib.compress(arr.tobytes(), 6)
@@ -65,6 +70,13 @@ def decode_image(buf: bytes) -> np.ndarray:
     if buf[:1] == b"\x1f":
         buf = gzip.decompress(buf)
     magic, header, payload = buf[:4], buf[4:10], buf[10:]
+    # validate magic + header BEFORE decompressing: a foreign buffer must
+    # fail with the documented ValueError, not a zlib.error from blindly
+    # inflating attacker-shaped bytes
+    if magic not in (_MAGIC_PNG, _MAGIC_JPG):
+        raise ValueError(f"bad magic {magic!r}")
+    if len(header) < 6:
+        raise ValueError("truncated image header")
     h, w, c, code = struct.unpack("<HHBB", header)
     dtype = _DTYPES[code]
     raw = np.frombuffer(zlib.decompress(payload), dtype=dtype)
@@ -72,8 +84,6 @@ def decode_image(buf: bytes) -> np.ndarray:
         raw = (raw.astype(np.uint8) << _JPEG_SHIFT)
         # mid-rise reconstruction: +2 centers each 4-wide bin, halving error
         raw = (raw + (1 << (_JPEG_SHIFT - 1))).astype(np.uint8)
-    elif magic != _MAGIC_PNG:
-        raise ValueError(f"bad magic {magic!r}")
     arr = raw.reshape((h, w) if c == 1 else (h, w, c))
     return arr
 
@@ -217,6 +227,8 @@ def y4m_info(buf: bytes) -> tuple[int, int, int, float]:
     n = 0
     while off < len(buf):
         off = buf.index(b"\n", off) + 1 + fsz   # FRAME[ params]\n + planes
+        if off > len(buf):
+            break   # truncated trailing frame: not decodable, not counted
         n += 1
     num, den = p.get("F", (30, 1))
     return w, h, n, num / max(den, 1)

@@ -341,7 +341,10 @@ def _parse_part(s: str) -> Optional[int]:
     """Strict unsigned parse (ref: detail/mbtiles.cpp:63-90): no sign chars,
     at least one digit, and a leading '0' is only legal when the number is
     exactly one digit wide (minWidth=1 -> '0' ok, '01' rejected)."""
-    if not s or s[0] in "+-" or not s.isdigit():
+    # isascii() first: Unicode isdigit() accepts superscripts (which then
+    # crash int()) and non-ASCII digit scripts the strict reference
+    # parser rejects
+    if not s or not s.isascii() or s[0] in "+-" or not s.isdigit():
         return None
     if s[0] == "0" and len(s) > 1:
         return None
@@ -446,7 +449,18 @@ def blend_weights(roi: tuple[int, int, int, int],
         inx = (cx >= vx) & (cx < vx + vw)
         iny = (cy >= vy) & (cy < vy + vh)
         return (iny[:, None] & inx[None, :]).astype(np.float64)
-    kernel_area = 4.0 * ow * oh
-    lenx = np.clip(np.minimum(vx + vw, cx + ow) - np.maximum(vx, cx - ow), 0.0, None)
-    leny = np.clip(np.minimum(vy + vh, cy + oh) - np.maximum(vy, cy - oh), 0.0, None)
-    return (leny[:, None] * lenx[None, :]) / kernel_area
+    # per-axis: ramp where the kernel has extent, membership where it
+    # collapsed to 0 (anisotropic resolution can round ONE axis's
+    # overlap_px to 0 — dividing by the joint 4*ow*oh would emit
+    # NaN/inf weights and silently corrupt every blended tile)
+    if ow == 0:
+        wx = ((cx >= vx) & (cx < vx + vw)).astype(np.float64)
+    else:
+        wx = np.clip(np.minimum(vx + vw, cx + ow)
+                     - np.maximum(vx, cx - ow), 0.0, None) / (2.0 * ow)
+    if oh == 0:
+        wy = ((cy >= vy) & (cy < vy + vh)).astype(np.float64)
+    else:
+        wy = np.clip(np.minimum(vy + vh, cy + oh)
+                     - np.maximum(vy, cy - oh), 0.0, None) / (2.0 * oh)
+    return wy[:, None] * wx[None, :]

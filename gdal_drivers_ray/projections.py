@@ -254,8 +254,11 @@ def projdef_for_epsg(code: int) -> Optional[ProjDef]:
 
 
 def _proj4_tokens(text: str) -> dict:
+    # split on WHITESPACE and keep '+'-prefixed tokens: inserting a space
+    # before every '+' would split scientific-notation values with
+    # positive exponents ('+x_0=3.5e+06' -> '3.5e' / '+06')
     toks = dict(t.split("=", 1) if "=" in t else (t, "")
-                for t in text.replace("+", " +").split()
+                for t in text.split()
                 if t.startswith("+"))
     return {k.lstrip("+"): v for k, v in toks.items()}
 
@@ -269,6 +272,21 @@ def _require_wgs84(toks: dict, text: str) -> None:
         raise ValueError(
             f"unsupported ellipsoid {dat!r} in {text[:60]!r} "
             "(built-in projections are WGS84-only)")
+    # explicit axis tokens must ALSO match WGS84 — '+a=6378137 +b=6378137'
+    # (the authalic sphere) has the right semi-major axis but zero
+    # flattening, and projecting it with WGS84 eccentricity is silently
+    # wrong by up to ~20 km
+    if "a" in toks and abs(float(toks["a"]) - A) > 1e-3:
+        raise ValueError("unsupported +a (built-in projections are "
+                         "WGS84-only)")
+    if "R" in toks:
+        raise ValueError("spherical +R ellipsoid is not WGS84")
+    if "b" in toks and abs(float(toks["b"]) - A * (1.0 - F)) > 1e-3:
+        raise ValueError("unsupported +b (built-in projections are "
+                         "WGS84-only)")
+    if "f" in toks and abs(float(toks["f"]) - F) > 1e-12:
+        raise ValueError("unsupported +f (built-in projections are "
+                         "WGS84-only)")
 
 
 def projdef_from_proj4(text: str) -> Optional[ProjDef]:
@@ -297,6 +315,11 @@ def projdef_from_proj4(text: str) -> Optional[ProjDef]:
                        k0=g("k", g("k_0", 1.0)), fe=g("x_0"), fn=g("y_0"))
     if proj == "lcc":
         _require_wgs84(toks, text)
+        if g("k_0", g("k", 1.0)) != 1.0:
+            # LCC-1SP scale factors are not implemented; dropping one
+            # silently would misplace every coordinate by ~k_0-1
+            raise ValueError("+proj=lcc with k_0 != 1 (LCC-1SP scale) "
+                             "not implemented")
         return ProjDef("lcc", lon0=g("lon_0"), lat0=g("lat_0"),
                        lat1=g("lat_1"), lat2=g("lat_2", g("lat_1")),
                        fe=g("x_0"), fn=g("y_0"))
@@ -307,7 +330,8 @@ _WKT_PROJECTION_RE = re.compile(r'PROJECTION\s*\[\s*"([^"]+)"', re.I)
 _WKT_PARAM_RE = re.compile(
     r'PARAMETER\s*\[\s*"([^"]+)"\s*,\s*([-+0-9.eE]+)\s*\]', re.I)
 _WKT_SPHEROID_RE = re.compile(
-    r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)', re.I)
+    r'SPHEROID\s*\[\s*"[^"]*"\s*,\s*([-+0-9.eE]+)\s*,\s*([-+0-9.eE]+)',
+    re.I)
 
 _WKT_PROJ_KINDS = {
     "transverse_mercator": "tmerc",
@@ -324,7 +348,11 @@ def projdef_from_wkt(text: str) -> Optional[ProjDef]:
     if kind is None:
         raise ValueError(f"unsupported WKT PROJECTION {m.group(1)!r}")
     sph = _WKT_SPHEROID_RE.search(text)
-    if sph and abs(float(sph.group(1)) - A) > 1e-3:
+    if sph and (abs(float(sph.group(1)) - A) > 1e-3
+                or abs(float(sph.group(2)) - 1.0 / F) > 1e-6):
+        # BOTH axes matter: the authalic sphere shares WGS84's semi-major
+        # axis but has inverse flattening 0 — projecting it with WGS84
+        # eccentricity is silently wrong by up to ~20 km
         raise ValueError("unsupported WKT ellipsoid "
                          "(built-in projections are WGS84-only)")
     p = {k.strip().lower(): float(v)
@@ -336,11 +364,16 @@ def projdef_from_wkt(text: str) -> Optional[ProjDef]:
                        lat0=g("latitude_of_origin"),
                        k0=g("scale_factor") or 1.0,
                        fe=g("false_easting"), fn=g("false_northing"))
+    # explicit membership test: `or` would treat a legal
+    # standard_parallel_2 == 0.0 (equator) as missing and pick the
+    # wrong cone
+    lat2 = p["standard_parallel_2"] if "standard_parallel_2" in p \
+        else g("standard_parallel_1")
     return ProjDef("lcc",
                    lon0=g("central_meridian", "longitude_of_origin"),
                    lat0=g("latitude_of_origin"),
                    lat1=g("standard_parallel_1"),
-                   lat2=g("standard_parallel_2") or g("standard_parallel_1"),
+                   lat2=lat2,
                    fe=g("false_easting"), fn=g("false_northing"))
 
 

@@ -139,9 +139,10 @@ def sessionize_bucketed(ev: ray.data.Dataset, gap_us: int, bucket_us: int,
 
     # --- pass 2: stitch boundary sessions from per-bucket summaries ------
     def summarize(b: pa.Table) -> pa.Table:
-        t = b.filter(pa.compute.or_(
-            pa.compute.equal(b["lsid"], 1),
-            pa.compute.equal(b["lsid"], b["s"])))
+        import pyarrow.compute as pc
+        t = b.filter(pc.or_(
+            pc.equal(b["lsid"], 1),
+            pc.equal(b["lsid"], b["s"])))
         return t
 
     def stitch(g: pd.DataFrame) -> pd.DataFrame:

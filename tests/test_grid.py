@@ -248,3 +248,25 @@ def test_blend_weights_overlap_matches_bruteforce():
 def test_blend_weights_full_inside_is_one():
     w = grid.blend_weights((10, 10, 2, 2), (0.0, 0.0, 100.0, 100.0), (3, 3))
     assert np.allclose(w, 1.0)
+
+
+def test_blend_weights_one_axis_zero_overlap():
+    """An anisotropic resolution can round ONE overlap axis to 0: weights
+    must be the ramp x membership limit, never NaN/inf."""
+    import numpy as np
+
+    from gdal_drivers_ray.grid import blend_weights
+
+    w = blend_weights((0, 0, 4, 4), (0.5, 0.5, 3.0, 3.0), (0, 2))
+    assert np.isfinite(w).all()
+    assert (w >= 0).all() and (w <= 1).all()
+    # x axis is pure membership (0.5 <= cx < 3.5), y axis ramps
+    assert w[1, 0] == w[1, 1] and w[1, 0] > 0
+
+
+def test_parse_tile_key_rejects_unicode_digits():
+    from gdal_drivers_ray.grid import parse_tile_key
+
+    assert parse_tile_key("5-²-3") is None      # superscript 2
+    assert parse_tile_key("٥-1-2") is None      # Arabic-Indic five
+    assert parse_tile_key("5-2-3") == (5, 2, 3)

@@ -221,3 +221,39 @@ def test_utm_spellings_property(dlon, lat, zone):
     xa, ya = a.forward(a.lon0 + dlon, lat)
     xb, yb = b.forward(a.lon0 + dlon, lat)
     assert float(xa) == float(xb) and float(ya) == float(yb)
+
+
+def test_proj4_scientific_notation_and_guards():
+    import pytest
+
+    from gdal_drivers_ray.projections import projdef_from_proj4
+
+    # positive-exponent values must tokenize (the old '+'-split broke them)
+    d = projdef_from_proj4(
+        "+proj=tmerc +lat_0=0 +lon_0=9 +k=0.9996 +x_0=3.5e+06 +y_0=0 "
+        "+datum=WGS84")
+    assert d is not None and d.fe == 3.5e6
+    # non-WGS84 axes raise honestly instead of silently projecting wrong
+    with pytest.raises(ValueError, match="WGS84|[+]b"):
+        projdef_from_proj4("+proj=tmerc +lon_0=9 +a=6378137 +b=6378137")
+    # LCC-1SP scale factor is unimplemented -> raise, never drop
+    with pytest.raises(ValueError, match="k_0"):
+        projdef_from_proj4(
+            "+proj=lcc +lat_1=49 +lat_0=49 +lon_0=-95 +k_0=0.999 "
+            "+datum=WGS84")
+
+
+def test_wkt_equator_parallel_and_sphere_guard():
+    import pytest
+
+    from gdal_drivers_ray.projections import projdef_from_wkt
+
+    wkt = ('PROJCS["t",GEOGCS["g",DATUM["WGS_1984",SPHEROID["WGS 84",'
+           '6378137,298.257223563]]],PROJECTION["Lambert_Conformal_'
+           'Conic_2SP"],PARAMETER["standard_parallel_1",30],'
+           'PARAMETER["standard_parallel_2",0],'
+           'PARAMETER["central_meridian",-95]]')
+    d = projdef_from_wkt(wkt)
+    assert d.lat2 == 0.0        # `or` fallback would have picked 30
+    with pytest.raises(ValueError, match="ellipsoid"):
+        projdef_from_wkt(wkt.replace("298.257223563", "0"))
