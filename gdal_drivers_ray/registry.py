@@ -46,8 +46,13 @@ def register_driver(name: str, identify: Identify, opener: Opener,
     if name in _DRIVERS and not replace:
         raise ValueError(f"driver {name!r} already registered "
                          "(pass replace=True to swap it)")
-    if name not in _DRIVERS:
-        _ORDER.append(name)
+    if name in _DRIVERS:
+        # true deregister-then-register (mvt.cpp:821-829): the
+        # replacement moves to the END of the probe order, behind more
+        # specific drivers — keeping the old slot would give a swapped-in
+        # greedy identify() first pick
+        _ORDER.remove(name)
+    _ORDER.append(name)
     _DRIVERS[name] = Driver(name, identify, opener, description)
 
 

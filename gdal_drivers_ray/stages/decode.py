@@ -30,16 +30,16 @@ class DecodeImages:
 
     Parameters
     ----------
-    world : Extents of the tile grid the images belong to.
     lod : grid level; image i occupies tile (i % 2^lod, (i // 2^lod) % 2^lod)
         per the fixture addressing (fixtures.tile_addr_of).
     keep_pixels : also emit the decoded pixel buffer (`px`, large_binary) and
         its dtype tag. Off for narrow analytics paths.
     """
 
-    def __init__(self, world: Extents | None = None, lod: int = 5,
-                 keep_pixels: bool = False):
-        self.world = world
+    def __init__(self, lod: int = 5, keep_pixels: bool = False):
+        # tile addresses derive purely from image_id index + lod — no
+        # world-extents dependency exists (a former parameter suggested
+        # one and was removed)
         self.lod = lod
         self.keep_pixels = keep_pixels
 
@@ -52,6 +52,7 @@ class DecodeImages:
         phash = np.empty(n, dtype=np.int64)
         status: list[str] = []
         pxs: list[bytes] = []
+        dts: list[str] = []
         for i, b in enumerate(bufs):
             # poison-row quarantine (SURVEY §4): a corrupt payload becomes a
             # dead-letter ROW (status='decode_error', zeroed features), not
@@ -66,6 +67,7 @@ class DecodeImages:
                 phash[i] = 0
                 if self.keep_pixels:
                     pxs.append(b"")
+                    dts.append("")
                 continue
             status.append("ok")
             means[i] = px.mean()
@@ -73,6 +75,7 @@ class DecodeImages:
             phash[i] = codecs.phash64(px)
             if self.keep_pixels:
                 pxs.append(px.tobytes())
+                dts.append(str(px.dtype))
         # deterministic image index -> tile address (fixtures.tile_addr_of)
         idx = np.array([int(s.rsplit("-", 1)[-1]) for s in ids], dtype=np.int64)
         side = 1 << self.lod
@@ -96,6 +99,10 @@ class DecodeImages:
         }
         if self.keep_pixels:
             out["px"] = pa.array(pxs, pa.large_binary())
+            # the promised dtype tag: every TILE_SCHEMA px consumer zips
+            # px with a dtype column to frombuffer the payload ("" for
+            # decode_error rows — filter status first, as they do)
+            out["dtype"] = pa.array(dts, pa.string())
         return pa.table(out)
 
 

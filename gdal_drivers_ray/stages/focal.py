@@ -28,19 +28,19 @@ import pyarrow as pa
 import ray.data
 
 from ..grid import TILE
-
-_GDAL_DTYPES = {"Byte": np.uint8, "UInt16": np.uint16, "Int16": np.int16,
-                "UInt32": np.uint32, "Int32": np.int32,
-                "Float32": np.float32, "Float64": np.float64}
-
-
-def _np_dtype(tag: str) -> np.dtype:
-    return np.dtype(_GDAL_DTYPES.get(tag, tag))
+# ONE dtype-tag mapping for the whole engine (stages/warp.py owns it):
+# a second copy silently goes stale when a new GDAL tag is added
+from .warp import _GDAL_DTYPES, _np_dtype  # noqa: F401  (re-export for cc)
 
 
 def focal_sum3_oracle(src: np.ndarray, nodata: float = -1.0) -> np.ndarray:
     """Whole-raster 3x3 focal sum: the parity oracle. Border ring (any
-    cell whose 3x3 window leaves the raster) is nodata."""
+    cell whose 3x3 window leaves the raster) is nodata. NaN input pixels
+    are rejected — the distributed plan uses NaN as its missing-halo
+    sentinel, so the shared contract is NaN-free input."""
+    if src.dtype.kind == "f" and np.isnan(src).any():
+        raise ValueError("focal_sum3: NaN pixels are not supported; "
+                         "use a nodata value")
     ny, nx = src.shape
     out = np.full((ny, nx), nodata, dtype=np.float64)
     if ny < 3 or nx < 3:
@@ -88,6 +88,13 @@ def focal_sum3(tiles: ray.data.Dataset, *, nx: int, ny: int,
             blk = np.frombuffer(b["px"][i].as_py(),
                                 dtype=_np_dtype(b["dtype"][i].as_py())) \
                 .reshape(TILE, TILE)
+            if blk.dtype.kind == "f" and np.isnan(blk[:vh, :vw]).any():
+                # NaN is this plan's missing-halo SENTINEL: a NaN data
+                # pixel would silently rewrite to nodata while the
+                # whole-raster oracle propagates NaN — refuse instead
+                # (encode missing data as a nodata VALUE upstream)
+                raise ValueError("focal_sum3: NaN pixels are not "
+                                 "supported; use a nodata value")
             # the tile itself
             dtx.append(tx); dty.append(ty); kind.append(0)
             lods.append(lod); bands.append(band)

@@ -60,7 +60,9 @@ def pack_sequences(docs: ray.data.Dataset, *, ctx: int = 2048,
 
     def features(b: pa.Table) -> pa.Table:
         ids = b[doc_col].to_numpy().astype(np.int64)
-        toks = np.fromiter((len(_TOKEN_RE.findall(t))
+        # null text = zero tokens (the poison-row discipline: one bad row
+        # must never kill the task on every retry)
+        toks = np.fromiter((0 if t is None else len(_TOKEN_RE.findall(t))
                             for t in b[text_col].to_pylist()),
                            dtype=np.int64, count=b.num_rows)
         return pa.table({"doc_id": pa.array(ids), "n_tok": pa.array(toks)})
@@ -68,14 +70,16 @@ def pack_sequences(docs: ray.data.Dataset, *, ctx: int = 2048,
     narrow0 = docs.map_batches(features, batch_format="pyarrow") \
         .materialize()   # 2 int64/doc: bounded + spillable; text read once
 
+    max_id = narrow0.max("doc_id")   # cheap: the materialized narrow
+    if max_id is None:   # empty corpus packs to an empty result —
+        # regardless of bucket_width (Ray skips map UDFs on empty
+        # blocks, so the typed empty table must be built explicitly)
+        return ray.data.from_arrow(pa.table({
+            c: pa.array([], pa.int64())
+            for c in ("doc_id", "n_tok", "start_off", "first_pack",
+                      "last_pack", "n_packs")}))
     if bucket_width is None:
         from ..config import cluster_parallelism
-        max_id = narrow0.max("doc_id")   # cheap: the materialized narrow
-        if max_id is None:   # empty corpus packs to an empty result
-            return ray.data.from_arrow(pa.table({
-                c: pa.array([], pa.int64())
-                for c in ("doc_id", "n_tok", "start_off", "first_pack",
-                          "last_pack", "n_packs")}))
         n_buckets = max(64, 8 * cluster_parallelism())
         bucket_width = max(1, (int(max_id) + n_buckets) // n_buckets)
 

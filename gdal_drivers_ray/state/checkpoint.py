@@ -38,13 +38,26 @@ def done_partitions(out_dir: str) -> set[int]:
 
 
 def mark_done(out_dir: str, part: int, meta: dict) -> None:
-    """Atomic write-then-rename so a crash never leaves a half manifest."""
+    """Atomic write-then-rename, fsync'd (file + directory): the entry is
+    durable once this returns, so a crash never leaves a half manifest.
+    Scope honestly stated: the PARQUET data is written by Ray's writer
+    and is not fsynced here, so a power loss can still lose data a
+    journaled rename already advertised — on local filesystems pair this
+    with mount-level barriers, and on object stores (the 100 TB target)
+    PUT visibility already implies durability."""
     d = manifest_dir(out_dir)
     os.makedirs(d, exist_ok=True)
     tmp = os.path.join(d, f".part-{part}.json.tmp")
     with open(tmp, "w") as f:
         json.dump({"part": part, "ts": time.time(), **meta}, f)
+        f.flush()
+        os.fsync(f.fileno())
     os.replace(tmp, os.path.join(d, f"part-{part}.json"))
+    dfd = os.open(d, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def filter_done(ds: "ray.data.Dataset", out_dir: str,
@@ -94,6 +107,12 @@ def write_partitioned(ds: "ray.data.Dataset", out_dir: str,
             continue
         if p not in already:
             shutil.rmtree(d, ignore_errors=True)
+    # manifested partitions are AUTHORITATIVE: filter their rows out of
+    # the input here (not only in the caller's filter_done) — otherwise
+    # an unfiltered re-run appends duplicate files into finished dirs
+    # and the stale manifest blesses the doubled rows
+    if already:
+        ds = filter_done(ds, out_dir, part_col)
     ds.write_parquet(out_dir, partition_cols=[part_col])
     entries = []
     for d in sorted(glob.glob(os.path.join(out_dir, f"{part_col}=*"))):
@@ -143,8 +162,16 @@ def compact_parquet(src_dir: str, out_dir: str, *,
     _old = out_dir + ".compact-old"
     if not os.path.exists(out_dir) and os.path.exists(_old):
         os.replace(_old, out_dir)
-    files = [os.path.join(src_dir, f) for f in sorted(os.listdir(src_dir))
-             if f.endswith(".parquet")]
+    # recurse: write_partitioned's hive layout (part=k/ subdirs) is the
+    # advertised input, and its files are never at the top level. The
+    # _manifest dir and rotation scratch dirs are not data.
+    files = []
+    for root, dirs, names in os.walk(src_dir):
+        dirs[:] = [d for d in dirs
+                   if d != "_manifest" and not d.startswith(".")]
+        files += [os.path.join(root, f) for f in names
+                  if f.endswith(".parquet")]
+    files.sort()
     if not files:
         raise ValueError(f"no parquet files under {src_dir!r}")
     total_rows = sum(pq.read_metadata(f).num_rows for f in files)

@@ -83,3 +83,39 @@ def test_compact_parquet_recovers_interrupted_rotation(ray_session,
     res = compact_parquet(str(src), str(out), rows_per_file=100)
     assert res["rows"] == 10 and out.exists()
     assert not os.path.exists(old)   # consumed by the rotation
+
+
+def test_write_partitioned_rerun_never_doubles(ray_session, tmp_path):
+    """An unfiltered re-run over the same out_dir must not append
+    duplicate files into already-manifested partitions."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.state import checkpoint as C
+
+    out = str(tmp_path / "out")
+    t = pa.table({"part": pa.array([0, 0, 1, 1], pa.int64()),
+                  "v": pa.array([1, 2, 3, 4], pa.int64())})
+    e1 = C.write_partitioned(ray.data.from_arrow(t), out)
+    assert sorted(x["part"] for x in e1) == [0, 1]
+    # re-run WITHOUT pre-filtering: manifested partitions are authoritative
+    e2 = C.write_partitioned(ray.data.from_arrow(t), out)
+    assert e2 == []
+    got = ray.data.read_parquet(out).to_pandas()
+    assert len(got) == 4
+
+
+def test_compact_parquet_hive_layout(ray_session, tmp_path):
+    """compact_parquet handles write_partitioned's part=k/ layout (its
+    advertised input) and skips the _manifest dir."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.state import checkpoint as C
+
+    out = str(tmp_path / "out")
+    t = pa.table({"part": pa.array([0, 0, 1], pa.int64()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    C.write_partitioned(ray.data.from_arrow(t), out)
+    res = C.compact_parquet(out, str(tmp_path / "compact"))
+    assert res["rows"] == 3

@@ -115,3 +115,19 @@ def test_open_images_table_by_probe(ray_session):
     ds = R.open_dataset(path)
     rows = ds.take(3)
     assert {"cell", "phash", "mean_px"} <= set(rows[0].keys())
+
+
+def test_register_replace_moves_to_probe_end():
+    """replace=True is deregister-then-register: the replacement probes
+    LAST (mvt.cpp semantics), not from the old slot."""
+    from gdal_drivers_ray import registry as R
+
+    order0 = list(R._ORDER)
+    try:
+        first = order0[0]
+        drv = R._DRIVERS[first]
+        R.register_driver(first, drv.identify, drv.open, replace=True)
+        assert R._ORDER[-1] == first
+        assert sorted(R._ORDER) == sorted(order0)
+    finally:
+        R._ORDER[:] = order0
