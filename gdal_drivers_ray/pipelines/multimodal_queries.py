@@ -172,7 +172,7 @@ costed AS (
   SELECT m.image_id, m.idx, l.ab, l.bw, l.bh, l.cap,
          row_number() OVER (
            PARTITION BY m.image_id
-           ORDER BY abs(m.w * l.bh - m.h * l.bw) * 1000000 // (l.bw * l.bh),
+           ORDER BY abs(m.w * l.bh - m.h * l.bw) * 1000000 // l.bh,
                     l.ab) AS rn
   FROM meta m CROSS JOIN ladder l
 ), assigned AS (SELECT * FROM costed WHERE rn = 1),

@@ -124,10 +124,18 @@ def parse_srs(value: Union[str, int, None]) -> SrsDef:
         return SrsDef(s, "proj4", _proj4_epsg(s))
     head = s.split("[", 1)[0].strip().upper()
     if "[" in s and head in _WKT_NODES:
-        # WKT1: the LAST top-level AUTHORITY is the CRS's own code;
-        # WKT2 uses ID["EPSG", n]
-        codes = _AUTH_RE.findall(s) or _WKT2_ID_RE.findall(s)
-        return SrsDef(s, "wkt", int(codes[-1]) if codes else None)
+        # WKT1: the CRS's OWN code is the last AUTHORITY at bracket
+        # DEPTH 1 — a flat findall would grab inner nodes' codes (the
+        # UNIT's 9001, the base GEOGCS's 4326) for any custom CRS that
+        # omits its own, silently routing transforms to a wrong CRS.
+        # No depth-1 code -> None: the canonical key falls back to the
+        # WKT text itself, which is honest.
+        def depth1_codes(rx):
+            return [int(m.group(1)) for m in rx.finditer(s)
+                    if s.count("[", 0, m.start())
+                    - s.count("]", 0, m.start()) == 1]
+        codes = depth1_codes(_AUTH_RE) or depth1_codes(_WKT2_ID_RE)
+        return SrsDef(s, "wkt", codes[-1] if codes else None)
     raise ValueError(f"unrecognized SRS definition: {s[:80]!r}")
 
 

@@ -47,14 +47,17 @@ def default_ladder() -> list[tuple[int, int]]:
 
 
 def ar_cost(w, h, bw: int, bh: int):
-    """Integer-exact distance between an image's aspect ratio w/h and a
-    ladder rung bw/bh: |w*bh - h*bw| * SCALE // (bw*bh). Monotone in the
-    cross-multiplied ratio difference; integer division makes the SAME
-    formula reproducible in SQL (no float ulp ties). int64-safe for
+    """Integer distance between an image's aspect ratio w/h and a ladder
+    rung bw/bh: |w*bh - h*bw| * SCALE // bh. The true distance is
+    |w/h - bw/bh| = |w*bh - h*bw| / (h*bh); h is constant per image, so
+    the rung-correct denominator is bh ALONE — dividing by bw*bh (the
+    old formula) biased argmin toward wide-bw rungs and gave two
+    identical-AR rungs different costs. Integer division makes the SAME
+    formula reproducible in SQL (no float ulp ties); int64-safe for
     dimensions up to ~10^6 px per side."""
     w = np.asarray(w, dtype=np.int64)
     h = np.asarray(h, dtype=np.int64)
-    return np.abs(w * bh - h * bw) * _AR_COST_SCALE // (bw * bh)
+    return np.abs(w * bh - h * bw) * _AR_COST_SCALE // bh
 
 
 def assign_ar_bucket(w, h, ladder: list[tuple[int, int]]) -> np.ndarray:

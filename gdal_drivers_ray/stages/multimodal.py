@@ -145,7 +145,11 @@ class SampleVideoFrames:
             payload = blobs[i]
             vid = batch["video_id"][i].as_py()
             if payload[:9] == b"YUV4MPEG2":
-                w, h, _, _ = codecs.y4m_info(payload)   # REAL container parse
+                # header parse only (w/h): y4m_info would walk every
+                # frame to compute a count this loop never uses, doubling
+                # container traversal per video
+                hdr, _ = codecs._y4m_header(payload)
+                w, h = hdr["W"], hdr["H"]
                 for j, luma in codecs.decode_y4m_frames(payload,
                                                         self.every_k):
                     vids.append(vid); fidx.append(j)
@@ -160,12 +164,16 @@ class SampleVideoFrames:
                 pxs.append(self._fake_frame(payload, j, w, h).tobytes())
                 ws.append(w)
                 hs.append(h)
+        # explicit string types: a zero-frame batch (empty input block OR
+        # all-empty clips) would otherwise infer null-typed video_id /
+        # dtype columns and break downstream schema unification (the
+        # imageprep.py:97 hazard)
         return pa.table({
-            "video_id": pa.array(vids),
+            "video_id": pa.array(vids, type=pa.string()),
             "frame_idx": pa.array(fidx, type=pa.int32()),
             "w": pa.array(ws, type=pa.int32()),
             "h": pa.array(hs, type=pa.int32()),
-            "dtype": pa.array(["uint8"] * len(vids)),
+            "dtype": pa.array(["uint8"] * len(vids), type=pa.string()),
             "px": pa.array(pxs, type=pa.large_binary()),
         })
 
@@ -203,7 +211,8 @@ class ResizeImages:
             "bytes": pa.array(out_bytes, type=pa.large_binary()),
             "w": pa.array(ws, type=pa.int32()),
             "h": pa.array(hs, type=pa.int32()),
-            "fmt": pa.array([self.out_fmt] * batch.num_rows),
+            "fmt": pa.array([self.out_fmt] * batch.num_rows,
+                            type=pa.string()),
         })
 
 

@@ -20,13 +20,10 @@ import ray.data
 
 from ..grid import TILE, cell_id, cell_parent, unmorton2
 
-_DTYPES = {"uint8": np.uint8, "uint16": np.uint16, "int16": np.int16,
-           "uint32": np.uint32, "int32": np.int32,
-           "float32": np.float32, "float64": np.float64,
-           # GDAL names (solid.cpp:408-440)
-           "Byte": np.uint8, "UInt16": np.uint16, "Int16": np.int16,
-           "UInt32": np.uint32, "Int32": np.int32,
-           "Float32": np.float32, "Float64": np.float64}
+# ONE dtype-tag mapping for the whole engine (stages/warp.py owns it) —
+# _np_dtype also falls through to np.dtype(tag) for plain numpy names,
+# which the old inline table here rejected with KeyError
+from .warp import _np_dtype
 
 
 def downsample2(arr: np.ndarray) -> np.ndarray:
@@ -57,26 +54,34 @@ def _parent_level(level_tiles: ray.data.Dataset, lod: int, fill: float,
                 .append_column("_part", pa.array(part))
 
     def assemble_part(g: pa.Table) -> pa.Table:
-        par = g["parent_cell"].to_numpy()
-        order = np.argsort(par, kind="stable")
-        par = par[order]
+        par_raw = g["parent_cell"].to_numpy()
+        band_raw = (g["band"].to_numpy().astype(np.int64)
+                    if "band" in g.column_names
+                    else np.zeros(len(par_raw), dtype=np.int64))
+        # group key is (parent_cell, BAND): a multi-band tileset has one
+        # child row per band at the same coords, and unifying them by
+        # cell alone splatted all bands into one parent (last writer
+        # wins) and emitted a single band — the warp/focal band rule
+        order = np.lexsort((band_raw, par_raw))
+        par = par_raw[order]
+        band = band_raw[order]
         tx = g["tile_x"].to_numpy().astype(np.int64)[order]
         ty = g["tile_y"].to_numpy().astype(np.int64)[order]
         vw = g["valid_w"].to_numpy().astype(np.int64)[order]
         vh = g["valid_h"].to_numpy().astype(np.int64)[order]
-        band = (g["band"].to_numpy()[order] if "band" in g.column_names
-                else np.zeros(len(par), dtype=np.int64))
         dts = [g["dtype"][int(i)].as_py() for i in order.tolist()]
         pxs = g["px"].to_pylist()
 
-        upar, starts = np.unique(par, return_index=True)
-        n_par = len(upar)
-        pidx = np.searchsorted(upar, par)
+        newgrp = np.concatenate(([True], (par[1:] != par[:-1])
+                                 | (band[1:] != band[:-1])))
+        starts = np.nonzero(newgrp)[0]
+        n_par = len(starts)
+        pidx = np.cumsum(newgrp) - 1
         ptx = tx // 2
         pty = ty // 2
         big = np.full((n_par, 2 * TILE, 2 * TILE), fill, dtype=np.float64)
         for i in range(len(par)):           # numpy slice copy per child;
-            dt = _DTYPES[dts[i]]            # the 512^2 math is batched below
+            dt = _np_dtype(dts[i])          # the 512^2 math is batched below
             a = np.frombuffer(pxs[order[i]], dtype=dt).reshape(TILE, TILE)
             ox = int((tx[i] - 2 * ptx[i]) * TILE)
             oy = int((ty[i] - 2 * pty[i]) * TILE)
@@ -93,7 +98,7 @@ def _parent_level(level_tiles: ray.data.Dataset, lod: int, fill: float,
         out_px: list[bytes] = [b""] * n_par
         pdts = [dts[int(i)] for i in first.tolist()]
         for dt_name in set(pdts):
-            dt = _DTYPES[dt_name]
+            dt = _np_dtype(dt_name)
             sel = np.asarray([j for j, d in enumerate(pdts)
                               if d == dt_name])
             stack = big[sel].astype(dt).astype(np.float64)

@@ -26,8 +26,11 @@ import ray.data
 
 def dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol: int) -> np.ndarray:
     """Boolean keep-mask of Douglas–Peucker at integer tolerance `tol`
-    over integer coordinates (int64-safe for |coord| < ~2^15 with
-    tol < ~2^15; the engine's tile coordinates are far smaller)."""
+    over integer coordinates. EXACT for the full int64 coordinate range:
+    the split test escalates to Python-int (object-dtype) math whenever
+    the span could overflow the vectorized int64 path (from
+    |coord| ~ 2^15 the squared cross product wraps — the old claimed
+    ~2^15 'safe' bound was exactly where it broke)."""
     n = len(xs)
     keep = np.zeros(n, dtype=bool)
     if n == 0:
@@ -44,22 +47,43 @@ def dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol: int) -> np.ndarray:
         if j - i < 2:
             continue
         ax, ay, bx, by = xs[i], ys[i], xs[j], ys[j]
-        dx, dy = bx - ax, by - ay
+        dx, dy = int(bx - ax), int(by - ay)
         px = xs[i + 1:j] - ax
         py = ys[i + 1:j] - ay
+        # overflow discipline: cross ~ span^2 and c2 ~ span^4, so int64
+        # silently wraps from |span| ~ 2^15.25 up — the wrapped compare
+        # DROPPED far-off vertices and argmax picked wrong split points.
+        # Escalate to exact Python-int (object-dtype) math when the span
+        # can overflow; the fast vector path covers the common case.
+        span = max(int(np.abs(px).max(initial=0)),
+                   int(np.abs(py).max(initial=0)), abs(dx), abs(dy))
         if dx == 0 and dy == 0:
             # closed segment: plain squared distance to the endpoint
-            d2 = px * px + py * py
+            if span >= 1 << 31:
+                d2 = np.array([int(a) ** 2 + int(c) ** 2
+                               for a, c in zip(px.tolist(), py.tolist())],
+                              dtype=object)
+            else:
+                d2 = px * px + py * py
             k = int(np.argmax(d2))
             if int(d2[k]) > tol2:
                 keep[i + 1 + k] = True
                 stack.append((i, i + 1 + k))
                 stack.append((i + 1 + k, j))
             continue
-        cross = px * dy - py * dx
-        c2 = cross * cross
+        if span >= 1 << 31:
+            c2 = np.array([(int(a) * dy - int(c) * dx) ** 2
+                           for a, c in zip(px.tolist(), py.tolist())],
+                          dtype=object)
+        else:
+            cross = px * dy - py * dx
+            if int(np.abs(cross).max(initial=0)) >= 1 << 31:
+                c2 = np.array([int(c) * int(c) for c in cross.tolist()],
+                              dtype=object)
+            else:
+                c2 = cross * cross
         k = int(np.argmax(c2))
-        if int(c2[k]) > tol2 * int(dx * dx + dy * dy):
+        if int(c2[k]) > tol2 * (dx * dx + dy * dy):
             keep[i + 1 + k] = True
             stack.append((i, i + 1 + k))
             stack.append((i + 1 + k, j))

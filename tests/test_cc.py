@@ -217,3 +217,46 @@ def test_kmeans_is_actually_lloyd():
         inertia = d2.min(axis=1).sum()
         assert inertia <= prev + 1e-9
         prev = inertia
+
+
+def test_dp_exact_for_large_coordinates():
+    """The squared cross product wraps int64 from |coord| ~ 2^15 — the
+    exact (object-int) escalation must keep far-off vertices."""
+    import numpy as np
+
+    from gdal_drivers_ray.stages.simplify import dp_keep_mask
+
+    xs = np.array([-32767, 0, 32767], dtype=np.int64)
+    ys = np.array([-32767, 32767, -32767], dtype=np.int64)
+    keep = dp_keep_mask(xs, ys, tol=1)
+    assert keep.tolist() == [True, True, True]  # wrapped math dropped [1]
+    # and far beyond the old bound, against a straight-line baseline
+    big = 1 << 40
+    xs = np.array([-big, 0, big], dtype=np.int64)
+    ys = np.array([-big, big, -big], dtype=np.int64)
+    assert dp_keep_mask(xs, ys, tol=1).tolist() == [True, True, True]
+
+
+def test_pyramid_multiband(ray_session):
+    """Each band rolls up independently: a 2-band constant tileset keeps
+    both bands per parent cell (cell-only grouping mixed them)."""
+    import numpy as np
+    import ray.data
+
+    from gdal_drivers_ray.sources import solid
+    from gdal_drivers_ray.stages.pyramid import build_pyramid
+
+    world = solid.Extents(0.0, 0.0, 1024.0, 1024.0)
+    spec = solid.SolidSpec(srs="local", size=(1024, 1024), extents=world,
+                           bands=[solid.Band(30.0, "Byte"),
+                                  solid.Band(200.0, "Byte")])
+    tiles = solid.solid_dataset(spec, include_overviews=False)
+    out = build_pyramid(tiles, base_lod=2, top_lod=1).to_pandas()
+    lvl1 = out[out["lod"] == 1]
+    # 2x2 parents x 2 bands
+    assert len(lvl1) == 8
+    assert sorted(lvl1["band"].unique().tolist()) == [0, 1]
+    for _, r in lvl1.iterrows():
+        px = np.frombuffer(r["px"], dtype=np.uint8).reshape(256, 256)
+        want = 30 if r["band"] == 0 else 200
+        assert (px[:r["valid_h"], :r["valid_w"]] == want).all()

@@ -114,3 +114,17 @@ def test_psnr_audit_integer_verdict(ray_session):
     # sse exactly equals the corrupted image's squared error
     d = (orig["im-5"].astype(np.int64) ^ 0x80) - orig["im-5"]
     assert out.loc[0, "sse"] == int((d * d).sum())
+
+
+def test_ar_cost_rung_invariant_denominator():
+    """The comparator is monotone in the TRUE AR distance: identical-AR
+    rungs cost the same, and argmin picks the genuinely nearest AR (the
+    old bw*bh denominator biased toward wide-bw rungs)."""
+    # identical aspect ratios -> identical cost for any image
+    assert IP.ar_cost(500, 400, 256, 256) == IP.ar_cost(500, 400, 512, 512)
+    # 1142x1000 (AR 1.142): nearest rung is 1:1 (dist .142), not
+    # 576x448 (dist .1437) — the old formula picked 576x448
+    lad = IP.default_ladder()
+    ab = int(IP.assign_ar_bucket(np.array([1142]), np.array([1000]), lad))
+    bw, bh = lad[ab]
+    assert bw == bh

@@ -80,3 +80,21 @@ def test_transformer_valid_but_unsupported_crs():
     # same CRS in different spellings = identity, even when unsupported
     f = warp.get_transformer("2180", "EPSG:2180")
     np.testing.assert_array_equal(f([1.0], [2.0])[0], [1.0])
+
+
+def test_wkt_inner_authority_not_mistaken_for_crs_code():
+    """A custom PROJCS with no CRS-level AUTHORITY but a standard
+    UNIT[...AUTHORITY 9001] must NOT resolve to EPSG:9001."""
+    from gdal_drivers_ray.srs import parse_srs
+
+    wkt = ('PROJCS["custom",GEOGCS["WGS 84",DATUM["WGS_1984",'
+           'SPHEROID["WGS 84",6378137,298.257223563]],'
+           'AUTHORITY["EPSG","4326"]],'
+           'PROJECTION["Transverse_Mercator"],'
+           'PARAMETER["central_meridian",9],'
+           'UNIT["metre",1,AUTHORITY["EPSG","9001"]]]')
+    d = parse_srs(wkt)
+    assert d.epsg is None           # no depth-1 code -> honest None
+    # a REAL top-level AUTHORITY still resolves
+    d2 = parse_srs(wkt[:-1] + ',AUTHORITY["EPSG","32632"]]')
+    assert d2.epsg == 32632
