@@ -69,10 +69,17 @@ def broadcast_join(left: ray.data.Dataset, small_df: pd.DataFrame,
                 f"broadcast_join key {left_on!r} must be integer-typed "
                 f"(got {batch.schema.field(left_on).type})")
         bk = batch[left_on].to_numpy().astype(np.int64)
-        pos = np.searchsorted(ks, bk)
-        ok = pos < len(ks)
-        pos_c = np.where(ok, pos, 0)
-        ok &= ks[pos_c] == bk
+        if len(ks) == 0:
+            # empty small side: ks[pos_c] below would index an empty
+            # array. No key can match — inner keeps nothing, left keeps
+            # everything with null right columns.
+            ok = np.zeros(len(bk), dtype=bool)
+            pos = np.zeros(len(bk), dtype=np.int64)
+        else:
+            pos = np.searchsorted(ks, bk)
+            ok = pos < len(ks)
+            pos_c = np.where(ok, pos, 0)
+            ok &= ks[pos_c] == bk
         rows = np.nonzero(ok)[0]
         n_m = ln[pos[rows]]
         li = np.repeat(rows, n_m)

@@ -757,14 +757,18 @@ def zonal_stats_shuffle(tiles: ray.data.Dataset, polygons: ray.data.Dataset,
             poly_rows_ = sl[kind[sl] == 1]
             if len(tile_rows_) == 0 or len(poly_rows_) == 0:
                 continue
+            # unpack each polygon ONCE per cell, not once per (tile, poly)
+            # pair — a hot cell with T tiles x P polys was doing T*P
+            # decodes of the same P blobs
+            unpacked = {int(j): unpack_rings(g["rings"][int(order[j])].as_py())
+                        for j in poly_rows_}
             for i in tile_rows_:
                 wxf, wyf, vals = _tile_pixels_world(
                     pxs[int(order[i])], dts[int(order[i])],
                     int(txs[i]), int(tys[i]), int(vws[i]), int(vhs[i]),
                     world, rx, ry)
                 for j in poly_rows_:
-                    rings = unpack_rings(g["rings"][int(order[j])].as_py())
-                    st = _poly_tile_partial(wxf, wyf, vals, rings)
+                    st = _poly_tile_partial(wxf, wyf, vals, unpacked[int(j)])
                     if st is None:
                         continue
                     out["poly_id"].append(int(pid[j]))

@@ -222,3 +222,27 @@ def test_cogroup_join_rejects_other_key_types(ray_session):
         "k": pa.array([1.5, 2.5]), "v": pa.array([1, 2], pa.int64())}))
     with pytest.raises(Exception, match="integer or string"):
         cogroup_join(f, f, on="k", num_partitions=2).count()
+
+
+def test_broadcast_join_empty_small_side(ray_session):
+    """An empty small side must not crash the probe (ks[pos_c] on an
+    empty key array): inner keeps nothing, left keeps every row with
+    null right columns."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.joins import broadcast_join
+
+    left = ray.data.from_arrow(pa.table({
+        "k": pa.array([3, 1, 2], pa.int64()),
+        "lv": pa.array(["a", "b", "c"])}))
+    empty = pd.DataFrame({"rk": pd.array([], dtype="int64"),
+                          "rv": pd.array([], dtype="string")})
+
+    inner = broadcast_join(left, empty, "k", "rk").to_pandas()
+    assert len(inner) == 0
+
+    lj = broadcast_join(left, empty, "k", "rk", how="left").to_pandas()
+    assert list(lj["k"]) == [3, 1, 2]
+    assert lj["rv"].isna().all()
