@@ -196,7 +196,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q.q_sessionize,
         "sessionize_bucketed": _q.q_sessionize_bucketed,
         "hopping_window": _q.q_hopping_window,
-        "topk_fullsort": _q.q_topk_fullsort,
+        # gram_matrix is new in round 5 (never driver-verified); it takes
+        # topk_fullsort's slot — topk_fullsort is r3 driver-green and its
+        # full-sort top-k semantics are exercised in-window by
+        # topk_orders + group_topk; parked past 50 below
+        "gram_matrix": _dq.q_gram_matrix,
         "distinct_sketch": _q.q_distinct_sketch,
         # unigram_surprisal is new in round 5 (never driver-verified);
         # it takes sample_mod's slot — sample_mod is r3 driver-green and
@@ -228,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join": _q.q_bloom_semi_join,
         "zigzag": _q.q_zigzag,
         "sample_mod": _q.q_sample_mod,
+        "topk_fullsort": _q.q_topk_fullsort,
         "cluster_labels": _dq.q_cluster_labels,
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
@@ -328,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "mvt_errors": _vq.SQL_MVT_ERRORS,
         "vector_tiling": _vq.SQL_VECTOR_TILING,
         "embed_near_dup": _dq.SQL_EMBED_NEAR_DUP,
+        "gram_matrix": _dq.SQL_GRAM_MATRIX,
         # dedup + ANN: plain in-memory re-derivations of the gate's sf0.01
         # result (pure kernels reused; NONE of the distributed machinery)
         "minhash_dedup": _od.sql_minhash_dedup(),

@@ -255,3 +255,32 @@ def q_kmeans_fit(sf_dir: str):
         "n_vecs": counts.astype(np.int64),
         "cent_q_sum": cq,
     })
+
+
+def q_gram_matrix(sf_dir: str):
+    """Distributed d x d Gram matrix over the embeddings table
+    (stages/linalg.py): per-block integer partials tree-sum through the
+    fixed-fan-in funnel; only 2080 (i, j, gram) rows leave it. The pure
+    SQL twin (SQL_GRAM_MATRIX) recomputes every entry from unnested
+    coordinates — both sides quantize with floor(x * 1e5) on doubles, so
+    the integers match bit-for-bit at any sf."""
+    from ..stages.linalg import gram_matrix
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["embedding"])
+    return gram_matrix(emb).sort(["i", "j"])
+
+
+SQL_GRAM_MATRIX = """
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 100000) AS BIGINT)
+             AS qv
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS gram
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+ORDER BY i, j
+"""
