@@ -189,7 +189,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "solid_agg": _q.q_solid_agg,
         "pip_rect": _q.q_pip_rect,
         "dedup_exact": _q.q_dedup_exact,
-        "token_count": _q.q_token_count,
+        # cooc_top is new in round 5 (never driver-verified); it takes
+        # token_count's slot — token_count is r3 driver-green and its RE2
+        # count kernel stays in-window via bpe_token_count (same kernel,
+        # richer pattern); parked past 50 below
+        "cooc_top": _tq.q_cooc_top,
         "bpe_token_count": _q.q_bpe_token_count,
         "quality": _q.q_quality,
         "events_window": _q.q_events_window,
@@ -233,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zigzag": _q.q_zigzag,
         "sample_mod": _q.q_sample_mod,
         "topk_fullsort": _q.q_topk_fullsort,
+        "token_count": _q.q_token_count,
         "cluster_labels": _dq.q_cluster_labels,
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
@@ -356,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         "interleave_sources": _tq.SQL_INTERLEAVE_SOURCES,
         "stratified_sample": _tq.SQL_STRATIFIED_SAMPLE,
         "tfidf_top": _tq.SQL_TFIDF_TOP,
+        "cooc_top": _tq.SQL_COOC_TOP,
         "epoch_shuffle": _tq.SQL_EPOCH_SHUFFLE,
         "wds_export": _mq.SQL_WDS_EXPORT,
         "psnr_audit": _od.sql_psnr_audit(),

@@ -814,3 +814,35 @@ FROM samp GROUP BY source
 
 
 SQL_CURATION_PIPELINE = _sql_curation_pipeline()
+
+
+def q_cooc_top(sf_dir: str):
+    """Global top-50 windowed token co-occurrence pairs (stages/text.py
+    cooccurrence_topk — the GloVe/PMI corpus-statistics pass): one
+    pair-vocabulary exchange of per-block pre-aggregated counts, then a
+    local-head funnel; the driver receives exactly k rows."""
+    from ..stages.text import cooccurrence_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text"])
+    return cooccurrence_topk(docs, window=3, k=50)
+
+
+SQL_COOC_TOP = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS t,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+), pairs AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS n
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT t1, t2, CAST(n AS BIGINT) AS n,
+         row_number() OVER (ORDER BY n DESC, t1, t2) AS rank
+  FROM pairs)
+SELECT CAST(rank AS BIGINT) AS rank, t1, t2, n
+FROM ranked WHERE rank <= 50 ORDER BY rank
+"""

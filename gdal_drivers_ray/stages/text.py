@@ -824,3 +824,82 @@ def gopher_filter(docs, *, doc_col: str = "doc_id",
         })
 
     return docs.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def cooccurrence_topk(docs, *, window: int = 3, k: int = 50,
+                      text_col: str = "text"):
+    """Windowed token co-occurrence counts — the corpus statistics pass
+    of GloVe/PMI-style embedding prep (Pennington et al. 2014): count
+    ordered pairs (t1, t2) where t2 follows t1 within `window` tokens in
+    a document; return the global top-k pairs by count (ties ->
+    lexicographic (t1, t2)).
+
+    Shape (the _fused_term_topk discipline — ONE pair-vocabulary-sized
+    exchange, documents never move): each block tokenizes once
+    (split_pattern + dictionary_encode, no Python per token), builds
+    pair codes for offsets 1..window with w vectorized shifts, and
+    PRE-AGGREGATES to one (t1, t2, n) row per distinct pair per block;
+    the groupby sums partials; the top-k is a local-head funnel
+    (<= k rows per block -> one reducer task), so the driver receives
+    exactly k rows. Pair vocabulary is the exchange bound — the standard
+    window cap keeps it O(corpus tokens x window), pre-aggregation
+    collapses it per block."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        texts = b[text_col].combine_chunks() \
+            if isinstance(b[text_col], pa.ChunkedArray) else b[text_col]
+        lst = pc.split_pattern(texts, " ")
+        n_tok = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        flat = lst.flatten()
+        if len(flat) == 0:
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        m = len(enc.dictionary)
+        parent = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        keys = []
+        for d in range(1, window + 1):
+            if d >= len(codes):
+                break
+            same = parent[:-d] == parent[d:]
+            keys.append(codes[:-d][same] * m + codes[d:][same])
+        if not keys:
+            return pa.table({"t1": pa.array([], pa.string()),
+                             "t2": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pa.table({
+            "t1": pc.take(enc.dictionary, pa.array(uk // m)).cast(pa.string()),
+            "t2": pc.take(enc.dictionary, pa.array(uk % m)).cast(pa.string()),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    sums = docs.map_batches(pair_partials, batch_format="pyarrow",
+                            batch_size=None) \
+        .groupby(["t1", "t2"]).aggregate(Sum("n", alias_name="n"))
+
+    def local_head(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = b.to_pandas()
+        df = df.sort_values(["n", "t1", "t2"],
+                            ascending=[False, True, True],
+                            kind="stable").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = local_head(b)
+        return t.append_column(
+            "rank", pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64)))
+
+    # top-k funnel over the AGGREGATED pair table: <= k rows per block,
+    # one reducer task, exactly k rows reach the caller
+    return sums.map_batches(local_head, batch_format="pyarrow",
+                            batch_size=None) \
+        .repartition(1) \
+        .map_batches(finish, batch_format="pyarrow", batch_size=None) \
+        .select_columns(["rank", "t1", "t2", "n"])

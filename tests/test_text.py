@@ -391,3 +391,40 @@ def test_unigram_surprisal_planted(ray_session):
     assert out.loc[1, "n_tok"] == 4
     assert out.loc[1, "surprise"] == 3 * the + qux
     assert out.loc[1, "surprise"] > out.loc[0, "surprise"]
+
+
+def test_cooccurrence_topk_planted(ray_session):
+    """Closed form: 'a b a b' with window 2 -> pairs
+    (a,b)x2 [offsets 1], (b,a)x1, (a,a)x1, (b,b)x1 [offset 2].
+    Doc boundaries never pair; ranks tie-break lexicographically."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import cooccurrence_topk
+
+    docs = ray.data.from_arrow(pa.table({
+        "text": pa.array(["a b a b", "z z"])}))
+    out = cooccurrence_topk(docs, window=2, k=10).to_pandas()
+    got = {(r.t1, r.t2): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "a"): 1, ("b", "a"): 1,
+                   ("b", "b"): 1, ("z", "z"): 1}
+    # rank 1 = highest count; ties lexicographic
+    assert out.iloc[0][["t1", "t2", "n"]].tolist() == ["a", "b", 2]
+    assert list(out["rank"]) == list(range(1, len(out) + 1))
+
+
+def test_cooccurrence_topk_block_invariant(ray_session):
+    """Same corpus split across 1 vs 4 blocks -> identical top-k (the
+    per-block partials must sum, not truncate, before selection)."""
+    import pyarrow as pa
+    import ray.data
+
+    from gdal_drivers_ray.stages.text import cooccurrence_topk
+
+    texts = [f"w{i % 5} w{(i + 1) % 5} w{i % 3} end" for i in range(40)]
+    one = ray.data.from_arrow(pa.table({"text": pa.array(texts)}))
+    four = ray.data.from_arrow([
+        pa.table({"text": pa.array(texts[i::4])}) for i in range(4)])
+    a = cooccurrence_topk(one, window=3, k=7).to_pandas()
+    b = cooccurrence_topk(four, window=3, k=7).to_pandas()
+    assert a.values.tolist() == b.values.tolist()
