@@ -433,7 +433,12 @@ def knn_kring(points: ray.data.Dataset, queries: pd.DataFrame, *, k: int,
     acc_cells: list[np.ndarray] = []
     acc_qidx: list[np.ndarray] = []
     dmax = np.zeros(len(qx), dtype=np.float64)
-    blk = 1024
+    # adapt the query block to the occupied-cell count: the accept pass
+    # allocates (blk x n_cells) int64 scratch, so a FIXED blk=1024 at a
+    # dense lod-10 grid (4^10 cells) would be an 8 GiB driver array —
+    # cap the scratch at ~16M elements (~128 MiB) instead. Results are
+    # per-query independent, so block size cannot change them.
+    blk = int(np.clip(16_000_000 // max(len(ckey), 1), 16, 1024))
     for s in range(0, len(qx) if len(ckey) else 0, blk):
         e = min(s + blk, len(qx))
         nb = e - s
