@@ -196,7 +196,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooc_top": _tq.q_cooc_top,
         "bpe_token_count": _q.q_bpe_token_count,
         "quality": _q.q_quality,
-        "events_window": _q.q_events_window,
+        # hex_assign is new in round 5 (never driver-verified); it takes
+        # events_window's slot — events_window is r3 driver-green and the
+        # window-aggregate kernel family stays in-window via
+        # hopping_window; parked past 50 below
+        "hex_assign": _sq.q_hex_assign,
         "sessionize": _q.q_sessionize,
         "sessionize_bucketed": _q.q_sessionize_bucketed,
         "hopping_window": _q.q_hopping_window,
@@ -238,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_mod": _q.q_sample_mod,
         "topk_fullsort": _q.q_topk_fullsort,
         "token_count": _q.q_token_count,
+        "events_window": _q.q_events_window,
         "cluster_labels": _dq.q_cluster_labels,
         "knn_kring": _sq.q_knn_kring,
         "pip_poly": _sq.q_pip_poly,
@@ -380,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_labels": _dq.SQL_CLUSTER_LABELS,
         "phash_dedup": _dq.SQL_PHASH_DEDUP,
         "knn_kring": _sq.SQL_KNN_KRING,
+        "hex_assign": _sq.SQL_HEX_ASSIGN,
         "pip_poly": _sq.SQL_PIP_POLY,
         "zonal_stats": _sq.SQL_ZONAL,
         "zonal_shuffle": _sq.SQL_ZONAL,

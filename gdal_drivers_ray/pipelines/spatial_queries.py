@@ -257,3 +257,75 @@ FROM inside GROUP BY poly_id
 
 
 SQL_ZONAL = _zonal_sql()
+
+
+def q_hex_assign(sf_dir: str) -> ray.data.Dataset:
+    """H3-style hexagonal cell assignment (stages/spatial.hex_bin): the
+    hex analog of tile_assign — customer-derived integer points bin to
+    the nearest center of two interleaved lattices (exact int64
+    arithmetic, no sqrt(3), no float borders), counts per hex cell.
+    Per-batch partial counts pre-aggregate before the groupby (the
+    combiner discipline)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.spatial import hex_bin
+
+    DX, DY = 40, 60
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b["c_custkey"].to_numpy().astype(np.int64)
+        x = (ck * 13) % 1000
+        y = (ck * 29) % 900
+        lat, i, j = hex_bin(x, y, dx=DX, dy=DY)
+        key = lat * (1 << 60) + i * (1 << 30) + j
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({"hex_key": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = cust.map_batches(partial, batch_format="pyarrow") \
+        .groupby("hex_key").aggregate(Sum("n", alias_name="n_points"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["hex_key"].to_numpy()
+        return pa.table({
+            "hex_key": b["hex_key"],
+            "lattice": pa.array(k >> 60),
+            "hex_i": pa.array((k >> 30) & ((1 << 30) - 1)),
+            "hex_j": pa.array(k & ((1 << 30) - 1)),
+            "n_points": b["n_points"]})
+
+    return agg.map_batches(unpack, batch_format="pyarrow",
+                           batch_size=None)
+
+
+# integer twin of hex_bin: all points are NON-NEGATIVE here, so
+# DuckDB's truncating // equals numpy's floor //; the tie rule
+# (d1 <= d2 -> lattice A) is pinned identically
+SQL_HEX_ASSIGN = """
+WITH pts AS (
+  SELECT (c_custkey * 13) % 1000 AS x, (c_custkey * 29) % 900 AS y
+  FROM customer
+), cand AS (
+  SELECT x, y,
+         80 * ((x + 40) // 80) AS cx1, 120 * ((y + 60) // 120) AS cy1,
+         80 * (x // 80) + 40 AS cx2, 120 * (y // 120) + 60 AS cy2
+  FROM pts
+), assigned AS (
+  SELECT CASE WHEN d1 <= d2 THEN 0 ELSE 1 END AS lattice,
+         CASE WHEN d1 <= d2 THEN cx1 // 80 ELSE (cx2 - 40) // 80 END AS i,
+         CASE WHEN d1 <= d2 THEN cy1 // 120 ELSE (cy2 - 60) // 120 END AS j
+  FROM (SELECT *,
+               ((x - cx1) * 60) * ((x - cx1) * 60)
+               + ((y - cy1) * 40) * ((y - cy1) * 40) AS d1,
+               ((x - cx2) * 60) * ((x - cx2) * 60)
+               + ((y - cy2) * 40) * ((y - cy2) * 40) AS d2
+        FROM cand)
+)
+SELECT lattice * 1152921504606846976 + i * 1073741824 + j AS hex_key,
+       CAST(lattice AS BIGINT) AS lattice,
+       CAST(i AS BIGINT) AS hex_i, CAST(j AS BIGINT) AS hex_j,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM assigned GROUP BY 1, 2, 3, 4
+"""

@@ -794,3 +794,41 @@ def zonal_stats_shuffle(tiles: ray.data.Dataset, polygons: ray.data.Dataset,
         Sum("s", alias_name="px_sum"),
         Min("mn", alias_name="px_min"),
         Max("mx", alias_name="px_max"))
+
+
+# ---------------------------------------------------------------------------
+# hexagonal cell binning — the H3-style index of the north rule, built
+# exactly: dual-lattice nearest-center assignment (two interleaved
+# rectangular lattices of hex centers; a point belongs to the nearer
+# center under the anisotropic metric). With integer coordinates and
+# integer half-pitches the comparison is pure int64 arithmetic, so the
+# SQL twin reproduces every cell id bit-for-bit — no sqrt(3), no float
+# rounding at cell borders.
+# ---------------------------------------------------------------------------
+
+def hex_bin(x: np.ndarray, y: np.ndarray, *, dx: int,
+            dy: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (lattice, i, j): the hex cell of each integer point. Lattice A
+    centers sit at (2*dx*i, 2*dy*j), lattice B at the half-offset
+    (2*dx*i + dx, 2*dy*j + dy); the induced nearest-center tessellation
+    (squared distance weighted by the opposite pitch: (Δx*dy)^2 +
+    (Δy*dx)^2) is a (stretched) hexagonal grid — the matplotlib-hexbin
+    construction, kept in int64 end-to-end. Ties go to lattice A
+    (d1 <= d2), pinned in both engines."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    # nearest multiple of the full pitch, half-up rounding via floor
+    # division (matches SQL's (v + p) // (2p) on integers for v >= -p)
+    i1 = (x + dx) // (2 * dx)
+    j1 = (y + dy) // (2 * dy)
+    # nearest B center: shift by the half-offset, same rounding
+    i2 = x // (2 * dx)
+    j2 = y // (2 * dy)
+    cx1, cy1 = 2 * dx * i1, 2 * dy * j1
+    cx2, cy2 = 2 * dx * i2 + dx, 2 * dy * j2 + dy
+    d1 = ((x - cx1) * dy) ** 2 + ((y - cy1) * dx) ** 2
+    d2 = ((x - cx2) * dy) ** 2 + ((y - cy2) * dx) ** 2
+    a = d1 <= d2
+    lattice = np.where(a, 0, 1).astype(np.int64)
+    return lattice, np.where(a, i1, i2).astype(np.int64), \
+        np.where(a, j1, j2).astype(np.int64)

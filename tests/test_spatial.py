@@ -478,3 +478,49 @@ def test_knn_kring_lod_capped(ray_session):
                          lod=25)  # would be 4^25 cells uncapped
     pd.testing.assert_frame_equal(
         capped.reset_index(drop=True), base.reset_index(drop=True))
+
+
+def test_hex_bin_matches_brute_force_nearest_center():
+    """hex_bin == brute-force nearest center over BOTH lattices under the
+    anisotropic metric (the construction's definition), including the
+    d1 <= d2 tie rule; centers self-assign."""
+    import numpy as np
+
+    from gdal_drivers_ray.stages.spatial import hex_bin
+
+    dx, dy = 40, 60
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 1000, 4000)
+    y = rng.integers(0, 900, 4000)
+    lat, i, j = hex_bin(x, y, dx=dx, dy=dy)
+
+    # brute force: all candidate centers in range, weighted sq distance
+    ii = np.arange(-1, 1000 // (2 * dx) + 2)
+    jj = np.arange(-1, 900 // (2 * dy) + 2)
+    cents = []
+    for a in ii:
+        for b in jj:
+            cents.append((0, a, b, 2 * dx * a, 2 * dy * b))
+            cents.append((1, a, b, 2 * dx * a + dx, 2 * dy * b + dy))
+    carr = np.array([(cx, cy) for _, _, _, cx, cy in cents])
+    meta = np.array([(l_, a, b) for l_, a, b, _, _ in cents])
+    d = ((x[:, None] - carr[None, :, 0]) * dy) ** 2 \
+        + ((y[:, None] - carr[None, :, 1]) * dx) ** 2
+    # tie rules: cross-lattice ties -> lattice A (d1 <= d2); within a
+    # lattice the componentwise half-up rounding picks the HIGHER index
+    # on an exact midpoint — so order candidates (lattice asc, i desc,
+    # j desc) and take the first minimum
+    order = np.lexsort((-meta[:, 2], -meta[:, 1], meta[:, 0]))
+    d = d[:, order]
+    meta = meta[order]
+    best = np.argmin(d, axis=1)   # first minimum in (lattice, i, j) order
+    exp = meta[best]
+    assert (lat == exp[:, 0]).all()
+    assert (i == exp[:, 1]).all()
+    assert (j == exp[:, 2]).all()
+
+    # centers self-assign
+    lat0, i0, j0 = hex_bin(np.array([0, 80, 40]), np.array([0, 120, 60]),
+                           dx=dx, dy=dy)
+    assert lat0.tolist() == [0, 0, 1]
+    assert i0.tolist() == [0, 1, 0] and j0.tolist() == [0, 1, 0]
